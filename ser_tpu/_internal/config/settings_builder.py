@@ -1,0 +1,178 @@
+"""Pure ``ResolvedSettingsInputs`` → ``AppConfig`` assembly.
+
+Parity surface: reference ``ser/_internal/config/settings_builder.py:16-27``
+(RAVDESS code→emotion map) and its override-merging semantics: catalog defaults
+→ env overrides, with CLI overrides applied later via ``dataclasses.replace``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections.abc import Mapping
+from types import MappingProxyType
+
+from ser_tpu._internal.config import schema as config_schema
+from ser_tpu._internal.config.settings_inputs import (
+    ProfileRuntimeOverrides,
+    ResolvedSettingsInputs,
+)
+from ser_tpu.profiles import ProfileName
+
+#: RAVDESS filename emotion-code mapping (reference settings_builder.py:16-27).
+RAVDESS_EMOTIONS: Mapping[str, str] = MappingProxyType(
+    {
+        "01": "neutral",
+        "02": "calm",
+        "03": "happy",
+        "04": "sad",
+        "05": "angry",
+        "06": "fearful",
+        "07": "disgust",
+        "08": "surprised",
+    }
+)
+
+
+def _merge_runtime_overrides(
+    base: config_schema.ProfileRuntimeConfig,
+    overrides: ProfileRuntimeOverrides | None,
+) -> config_schema.ProfileRuntimeConfig:
+    if overrides is None:
+        return base
+    changes = {
+        name: value
+        for name, value in dataclasses.asdict(overrides).items()
+        if value is not None
+    }
+    return dataclasses.replace(base, **changes) if changes else base
+
+
+def build_settings_from_inputs(
+    inputs: ResolvedSettingsInputs,
+) -> config_schema.AppConfig:
+    """Builds one immutable settings snapshot from captured inputs."""
+    base = config_schema.AppConfig(emotions=RAVDESS_EMOTIONS)
+
+    dataset = base.dataset
+    if inputs.dataset_folder is not None:
+        dataset = dataclasses.replace(dataset, folder=inputs.dataset_folder)
+    if inputs.dataset_manifests:
+        dataset = dataclasses.replace(dataset, manifest_paths=inputs.dataset_manifests)
+    if inputs.dataset_recipe is not None:
+        dataset = dataclasses.replace(dataset, recipe=inputs.dataset_recipe)
+    if inputs.dataset_strict_audit is not None:
+        dataset = dataclasses.replace(dataset, strict_audit=inputs.dataset_strict_audit)
+
+    data_loader = base.data_loader
+    loader_changes = {
+        name: value
+        for name, value in (
+            ("max_workers", inputs.data_loader_max_workers),
+            ("max_failed_files", inputs.data_loader_max_failed_files),
+            ("max_failed_file_ratio", inputs.data_loader_max_failed_file_ratio),
+        )
+        if value is not None
+    }
+    if loader_changes:
+        data_loader = dataclasses.replace(data_loader, **loader_changes)
+
+    models = base.models
+    model_changes: dict[str, object] = {}
+    if inputs.models_folder is not None:
+        model_changes["folder"] = inputs.models_folder
+    if inputs.model_cache_dir is not None:
+        model_changes["model_cache_dir"] = inputs.model_cache_dir
+    if inputs.num_cores is not None:
+        model_changes["num_cores"] = inputs.num_cores
+    if inputs.medium_model_id is not None:
+        model_changes["medium_model_id"] = inputs.medium_model_id
+    if inputs.accurate_model_id is not None:
+        model_changes["accurate_model_id"] = inputs.accurate_model_id
+    if inputs.accurate_research_model_id is not None:
+        model_changes["accurate_research_model_id"] = inputs.accurate_research_model_id
+    if inputs.whisper_model is not None:
+        model_changes["whisper_model"] = dataclasses.replace(
+            base.models.whisper_model, name=inputs.whisper_model
+        )
+    if model_changes:
+        models = dataclasses.replace(models, **model_changes)
+
+    timeline = base.timeline
+    if inputs.transcripts_folder is not None:
+        timeline = dataclasses.replace(timeline, folder=inputs.transcripts_folder)
+
+    transcription = base.transcription
+    tx_changes: dict[str, object] = {}
+    if inputs.whisper_backend is not None:
+        tx_changes["backend_id"] = inputs.whisper_backend
+    if inputs.whisper_demucs is not None:
+        tx_changes["use_demucs"] = inputs.whisper_demucs
+    if inputs.whisper_vad is not None:
+        tx_changes["use_vad"] = inputs.whisper_vad
+    if tx_changes:
+        transcription = dataclasses.replace(transcription, **tx_changes)
+
+    runtime_flags = dataclasses.replace(
+        base.runtime_flags,
+        medium_profile=bool(inputs.enable_medium_profile),
+        accurate_profile=bool(inputs.enable_accurate_profile),
+        accurate_research_profile=bool(inputs.enable_accurate_research_profile),
+        restricted_backends=bool(inputs.enable_restricted_backends),
+        new_output_schema=bool(inputs.new_output_schema),
+    )
+
+    torch_runtime = base.torch_runtime
+    if inputs.device is not None or inputs.dtype is not None:
+        torch_runtime = dataclasses.replace(
+            torch_runtime,
+            device=inputs.device if inputs.device is not None else torch_runtime.device,
+            dtype=inputs.dtype if inputs.dtype is not None else torch_runtime.dtype,
+        )
+
+    mesh = base.mesh
+    if inputs.mesh_data_axis_size is not None or inputs.mesh_model_axis_size is not None:
+        mesh = dataclasses.replace(
+            mesh,
+            data_axis_size=(
+                inputs.mesh_data_axis_size
+                if inputs.mesh_data_axis_size is not None
+                else mesh.data_axis_size
+            ),
+            model_axis_size=(
+                inputs.mesh_model_axis_size
+                if inputs.mesh_model_axis_size is not None
+                else mesh.model_axis_size
+            ),
+        )
+
+    overrides = inputs.profile_runtime_overrides
+
+    def runtime_for(profile: ProfileName, base_config):
+        return _merge_runtime_overrides(base_config, overrides.get(profile))
+
+    return dataclasses.replace(
+        base,
+        tmp_folder=inputs.tmp_folder if inputs.tmp_folder is not None else base.tmp_folder,
+        dataset=dataset,
+        data_loader=data_loader,
+        models=models,
+        timeline=timeline,
+        transcription=transcription,
+        runtime_flags=runtime_flags,
+        torch_runtime=torch_runtime,
+        mesh=mesh,
+        fast_runtime=runtime_for("fast", base.fast_runtime),
+        medium_runtime=runtime_for("medium", base.medium_runtime),
+        accurate_runtime=runtime_for("accurate", base.accurate_runtime),
+        accurate_research_runtime=runtime_for(
+            "accurate-research", base.accurate_research_runtime
+        ),
+        default_language=(
+            inputs.default_language
+            if inputs.default_language is not None
+            else base.default_language
+        ),
+    )
+
+
+__all__ = ["RAVDESS_EMOTIONS", "build_settings_from_inputs"]

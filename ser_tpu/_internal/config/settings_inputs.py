@@ -1,0 +1,225 @@
+"""One-shot environment capture into a frozen inputs snapshot.
+
+Parity surface: reference ``ser/_internal/config/settings_inputs.py`` — the
+same ``SER_*`` / ``WHISPER_*`` variables are honored so existing deployments
+keep working. Capture happens exactly once per (re)load; ambient env reads are
+forbidden elsewhere.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from ser_tpu.profiles import PROFILE_NAMES, ProfileName, get_profile_catalog
+
+_TRUTHY = {"1", "true", "yes", "on"}
+_FALSY = {"0", "false", "no", "off"}
+
+
+class SettingsInputError(ValueError):
+    """Raised when an environment variable holds an unparseable value."""
+
+
+def read_env_str(env: dict[str, str], name: str) -> str | None:
+    raw = env.get(name)
+    if raw is None:
+        return None
+    stripped = raw.strip()
+    return stripped or None
+
+
+def read_env_bool(env: dict[str, str], name: str) -> bool | None:
+    raw = read_env_str(env, name)
+    if raw is None:
+        return None
+    lowered = raw.lower()
+    if lowered in _TRUTHY:
+        return True
+    if lowered in _FALSY:
+        return False
+    raise SettingsInputError(f"Env var {name}={raw!r} is not a boolean.")
+
+
+def read_env_int(env: dict[str, str], name: str) -> int | None:
+    raw = read_env_str(env, name)
+    if raw is None:
+        return None
+    try:
+        return int(raw)
+    except ValueError as err:
+        raise SettingsInputError(f"Env var {name}={raw!r} is not an integer.") from err
+
+
+def read_env_float(env: dict[str, str], name: str) -> float | None:
+    raw = read_env_str(env, name)
+    if raw is None:
+        return None
+    try:
+        return float(raw)
+    except ValueError as err:
+        raise SettingsInputError(f"Env var {name}={raw!r} is not a float.") from err
+
+
+def read_env_path(env: dict[str, str], name: str) -> Path | None:
+    raw = read_env_str(env, name)
+    return Path(raw).expanduser() if raw is not None else None
+
+
+@dataclass(frozen=True)
+class ProfileRuntimeOverrides:
+    """Captured per-profile SER_<PROFILE>_* runtime knob overrides (partial)."""
+
+    timeout_seconds: float | None = None
+    max_timeout_retries: int | None = None
+    max_transient_retries: int | None = None
+    retry_backoff_seconds: float | None = None
+    pool_window_size_seconds: float | None = None
+    pool_window_stride_seconds: float | None = None
+    post_smoothing_window_frames: int | None = None
+    post_hysteresis_enter_confidence: float | None = None
+    post_hysteresis_exit_confidence: float | None = None
+    post_min_segment_duration_seconds: float | None = None
+    process_isolation: bool | None = None
+
+
+@dataclass(frozen=True)
+class ResolvedSettingsInputs:
+    """All environment-derived configuration inputs, captured once."""
+
+    dataset_folder: Path | None = None
+    dataset_manifests: tuple[Path, ...] = ()
+    dataset_recipe: str | None = None
+    dataset_strict_audit: bool | None = None
+    data_loader_max_workers: int | None = None
+    data_loader_max_failed_files: int | None = None
+    data_loader_max_failed_file_ratio: float | None = None
+    models_folder: Path | None = None
+    model_cache_dir: Path | None = None
+    transcripts_folder: Path | None = None
+    tmp_folder: Path | None = None
+    num_cores: int | None = None
+    # Profile enables + model ids
+    enable_medium_profile: bool | None = None
+    enable_accurate_profile: bool | None = None
+    enable_accurate_research_profile: bool | None = None
+    enable_restricted_backends: bool | None = None
+    allowed_restricted_backends: tuple[str, ...] = ()
+    new_output_schema: bool | None = None
+    medium_model_id: str | None = None
+    accurate_model_id: str | None = None
+    accurate_research_model_id: str | None = None
+    # Accelerator selectors (SER_JAX_* preferred; SER_TORCH_* honored as alias)
+    device: str | None = None
+    dtype: str | None = None
+    # Transcription
+    whisper_backend: str | None = None
+    whisper_model: str | None = None
+    whisper_demucs: bool | None = None
+    whisper_vad: bool | None = None
+    # Mesh (TPU-native addition)
+    mesh_data_axis_size: int | None = None
+    mesh_model_axis_size: int | None = None
+    default_language: str | None = None
+    profile_runtime_overrides: dict[ProfileName, ProfileRuntimeOverrides] = field(
+        default_factory=dict
+    )
+
+
+_OVERRIDE_READERS = {
+    "timeout_seconds": read_env_float,
+    "max_timeout_retries": read_env_int,
+    "max_transient_retries": read_env_int,
+    "retry_backoff_seconds": read_env_float,
+    "pool_window_size_seconds": read_env_float,
+    "pool_window_stride_seconds": read_env_float,
+    "post_smoothing_window_frames": read_env_int,
+    "post_hysteresis_enter_confidence": read_env_float,
+    "post_hysteresis_exit_confidence": read_env_float,
+    "post_min_segment_duration_seconds": read_env_float,
+    "process_isolation": read_env_bool,
+}
+
+
+def _capture_profile_overrides(
+    env: dict[str, str],
+) -> dict[ProfileName, ProfileRuntimeOverrides]:
+    catalog = get_profile_catalog()
+    captured: dict[ProfileName, ProfileRuntimeOverrides] = {}
+    for name in PROFILE_NAMES:
+        spec = catalog[name]
+        values = {
+            knob: _OVERRIDE_READERS[knob](env, env_name)
+            for knob, env_name in spec.runtime_env.items()
+        }
+        if any(value is not None for value in values.values()):
+            captured[name] = ProfileRuntimeOverrides(**values)
+    return captured
+
+
+def capture_settings_inputs(env: dict[str, str] | None = None) -> ResolvedSettingsInputs:
+    """Captures all recognized environment variables into one frozen snapshot."""
+    env = dict(os.environ) if env is None else env
+    manifests_raw = read_env_str(env, "SER_DATASET_MANIFESTS")
+    manifests = (
+        tuple(Path(p.strip()).expanduser() for p in manifests_raw.split(os.pathsep) if p.strip())
+        if manifests_raw
+        else ()
+    )
+    allowed_raw = read_env_str(env, "SER_ALLOWED_RESTRICTED_BACKENDS")
+    allowed = (
+        tuple(item.strip() for item in allowed_raw.split(",") if item.strip())
+        if allowed_raw
+        else ()
+    )
+    return ResolvedSettingsInputs(
+        dataset_folder=read_env_path(env, "SER_DATASET_FOLDER"),
+        dataset_manifests=manifests,
+        dataset_recipe=read_env_str(env, "SER_DATASET_RECIPE"),
+        dataset_strict_audit=read_env_bool(env, "SER_DATASET_STRICT_AUDIT"),
+        data_loader_max_workers=read_env_int(env, "SER_DATA_LOADER_MAX_WORKERS"),
+        data_loader_max_failed_files=read_env_int(env, "SER_DATA_LOADER_MAX_FAILED_FILES"),
+        data_loader_max_failed_file_ratio=read_env_float(
+            env, "SER_DATA_LOADER_MAX_FAILED_FILE_RATIO"
+        ),
+        models_folder=read_env_path(env, "SER_MODELS_FOLDER"),
+        model_cache_dir=read_env_path(env, "SER_MODEL_CACHE_DIR"),
+        transcripts_folder=read_env_path(env, "SER_TRANSCRIPTS_FOLDER"),
+        tmp_folder=read_env_path(env, "SER_TMP_FOLDER"),
+        num_cores=read_env_int(env, "SER_NUM_CORES"),
+        enable_medium_profile=read_env_bool(env, "SER_ENABLE_MEDIUM_PROFILE"),
+        enable_accurate_profile=read_env_bool(env, "SER_ENABLE_ACCURATE_PROFILE"),
+        enable_accurate_research_profile=read_env_bool(
+            env, "SER_ENABLE_ACCURATE_RESEARCH_PROFILE"
+        ),
+        enable_restricted_backends=read_env_bool(env, "SER_ENABLE_RESTRICTED_BACKENDS"),
+        allowed_restricted_backends=allowed,
+        new_output_schema=read_env_bool(env, "SER_NEW_OUTPUT_SCHEMA"),
+        medium_model_id=read_env_str(env, "SER_MEDIUM_MODEL_ID"),
+        accurate_model_id=read_env_str(env, "SER_ACCURATE_MODEL_ID"),
+        accurate_research_model_id=read_env_str(env, "SER_ACCURATE_RESEARCH_MODEL_ID"),
+        device=read_env_str(env, "SER_JAX_DEVICE") or read_env_str(env, "SER_TORCH_DEVICE"),
+        dtype=read_env_str(env, "SER_JAX_DTYPE") or read_env_str(env, "SER_TORCH_DTYPE"),
+        whisper_backend=read_env_str(env, "WHISPER_BACKEND"),
+        whisper_model=read_env_str(env, "WHISPER_MODEL"),
+        whisper_demucs=read_env_bool(env, "WHISPER_DEMUCS"),
+        whisper_vad=read_env_bool(env, "WHISPER_VAD"),
+        mesh_data_axis_size=read_env_int(env, "SER_MESH_DATA_AXIS_SIZE"),
+        mesh_model_axis_size=read_env_int(env, "SER_MESH_MODEL_AXIS_SIZE"),
+        default_language=read_env_str(env, "SER_DEFAULT_LANGUAGE"),
+        profile_runtime_overrides=_capture_profile_overrides(env),
+    )
+
+
+__all__ = [
+    "ProfileRuntimeOverrides",
+    "ResolvedSettingsInputs",
+    "SettingsInputError",
+    "capture_settings_inputs",
+    "read_env_bool",
+    "read_env_float",
+    "read_env_int",
+    "read_env_path",
+    "read_env_str",
+]

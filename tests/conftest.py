@@ -1,0 +1,48 @@
+"""Test harness configuration.
+
+Mirrors the reference test strategy (SURVEY.md §4): markers are derived from
+directory layout, and every integration/smoke test gets an ambient-settings
+reset. TPU-specific: tests run on a virtual 8-device CPU mesh so multi-chip
+sharding logic is exercised without TPU hardware
+(``xla_force_host_platform_device_count``).
+"""
+
+import os
+
+# Must happen before jax is imported anywhere in the test process.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pytest  # noqa: E402
+
+_SUITE_MARKERS = ("unit", "integration", "smoke")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Applies suite markers from directory layout (reference tests/conftest.py:29-60)."""
+    for item in items:
+        path = str(item.fspath)
+        for marker in _SUITE_MARKERS:
+            if f"/suites/{marker}/" in path:
+                item.add_marker(getattr(pytest.mark, marker))
+
+
+@pytest.fixture
+def reset_ambient_settings():
+    """Reloads ambient settings before and after one test."""
+    from ser_tpu.config import reload_settings
+
+    reload_settings()
+    yield
+    reload_settings()
+
+
+@pytest.fixture(autouse=True)
+def _reset_for_integration(request):
+    """Auto-applies ambient settings reset for integration/smoke suites."""
+    path = str(request.node.fspath)
+    if "/suites/integration/" in path or "/suites/smoke/" in path:
+        request.getfixturevalue("reset_ambient_settings")
+    yield
