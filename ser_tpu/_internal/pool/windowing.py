@@ -1,0 +1,67 @@
+"""Deterministic temporal pooling-window generation.
+
+Parity surface: reference ``ser/_internal/pool/windowing.py:10-71`` — clip-wide
+window when the clip is shorter than the window size, stride-spaced windows
+otherwise, and a tail window completing coverage of the clip end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ser_tpu._internal.repr import EncodedSequence, PoolingWindow
+
+
+def temporal_pooling_windows(
+    encoded: EncodedSequence,
+    *,
+    window_size_seconds: float,
+    window_stride_seconds: float,
+) -> list[PoolingWindow]:
+    """Builds ordered pooling windows covering the encoded timeline."""
+    if window_size_seconds <= 0.0 or not np.isfinite(window_size_seconds):
+        raise ValueError("window_size_seconds must be a positive finite float.")
+    if window_stride_seconds <= 0.0 or not np.isfinite(window_stride_seconds):
+        raise ValueError("window_stride_seconds must be a positive finite float.")
+
+    clip_start = float(encoded.frame_start_seconds[0])
+    clip_end = float(encoded.frame_end_seconds[-1])
+    clip_duration = clip_end - clip_start
+    if clip_duration <= 0.0:
+        raise ValueError("Encoded sequence duration must be positive.")
+
+    effective_window = min(window_size_seconds, clip_duration)
+    if np.isclose(effective_window, clip_duration):
+        return [PoolingWindow(start_seconds=clip_start, end_seconds=clip_end)]
+
+    epsilon = 1e-9
+    windows: list[PoolingWindow] = []
+    cursor = clip_start
+    while cursor + effective_window <= clip_end + epsilon:
+        windows.append(
+            PoolingWindow(start_seconds=cursor, end_seconds=min(clip_end, cursor + effective_window))
+        )
+        cursor += window_stride_seconds
+
+    if not windows:
+        return [
+            PoolingWindow(
+                start_seconds=max(clip_start, clip_end - effective_window),
+                end_seconds=clip_end,
+            )
+        ]
+
+    if windows[-1].end_seconds < clip_end - epsilon:
+        tail = PoolingWindow(
+            start_seconds=max(clip_start, clip_end - effective_window), end_seconds=clip_end
+        )
+        previous = windows[-1]
+        if not (
+            np.isclose(previous.start_seconds, tail.start_seconds)
+            and np.isclose(previous.end_seconds, tail.end_seconds)
+        ):
+            windows.append(tail)
+    return windows
+
+
+__all__ = ["temporal_pooling_windows"]

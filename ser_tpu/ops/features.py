@@ -1,0 +1,225 @@
+"""Host orchestration for handcrafted feature extraction.
+
+Bridges variable-length audio onto the fixed-shape jitted program in
+``ser_tpu/ops/dsp.py``:
+
+- Clips are split into 3 s frames at 1 s stride (reference
+  ``ser/_internal/repr/handcrafted.py:85-107``); all frames are processed in a
+  **single batched jit call** at a fixed shape (zero-padded + column-masked),
+  instead of the reference's sequential per-frame librosa loop.
+- Whole-clip vectors (training path, reference ``handcrafted.py:124-137``) are
+  padded up to shape buckets so jit compiles O(log n) programs, with masks
+  keeping results exact for the true length.
+- Frames shorter than 2048 samples replicate librosa's small-signal behavior
+  (``dsp.py:38-45,96``: pad to >=512, n_fft=min(size, 2048), and the resulting
+  mixed hop lengths) on a rare per-frame fallback path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ser_tpu._internal.config.schema import FeatureFlags
+from ser_tpu.ops import dsp
+
+_FFT_MIN_WINDOW = 512
+_FULL_NFFT = 2048
+_HOP = 512
+_LENGTH_BUCKET = 16384  # whole-clip lengths round up to this multiple (~0.34 s @ 48 kHz)
+
+
+def feature_dim(flags: FeatureFlags) -> int:
+    """Feature dimensionality for one flag set (reference handcrafted.py:46-59)."""
+    return 40 * flags.mfcc + 12 * flags.chroma + 128 * flags.mel + 7 * flags.contrast + 6 * flags.tonnetz
+
+
+def pad_audio_for_fft(audio: np.ndarray, minimum_window: int = _FFT_MIN_WINDOW) -> np.ndarray:
+    """Zero-pads short clips so spectral features can be computed safely."""
+    if audio.size >= minimum_window:
+        return audio
+    return np.pad(audio, (0, minimum_window - audio.size))
+
+
+def _validate(audio: np.ndarray, sample_rate: int) -> None:
+    if sample_rate <= 0:
+        raise ValueError("Sample rate must be a positive integer.")
+    if audio.ndim != 1:
+        raise ValueError("Audio must be mono (1D array).")
+    if audio.size == 0:
+        raise ValueError("Audio contains no samples.")
+    if not np.all(np.isfinite(audio)):
+        raise ValueError("Audio buffer is not finite everywhere.")
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
+def _flag_kwargs(flags: FeatureFlags) -> dict[str, bool]:
+    return {
+        "mfcc": flags.mfcc,
+        "chroma": flags.chroma,
+        "mel": flags.mel,
+        "contrast": flags.contrast,
+        "tonnetz": flags.tonnetz,
+    }
+
+
+def _batched_features(
+    frames: np.ndarray, lengths: np.ndarray, sample_rate: int, flags: FeatureFlags
+) -> np.ndarray:
+    """Runs the jitted batch program with batch-size bucketing."""
+    true_batch = frames.shape[0]
+    bucket = _next_pow2(true_batch)
+    if bucket != true_batch:
+        frames = np.pad(frames, ((0, bucket - true_batch), (0, 0)))
+        lengths = np.pad(lengths, (0, bucket - true_batch), constant_values=frames.shape[1])
+    out = dsp.handcrafted_features_batch(
+        jnp.asarray(frames, dtype=jnp.float32),
+        jnp.asarray(lengths, dtype=jnp.int32),
+        sr=sample_rate,
+        **_flag_kwargs(flags),
+    )
+    return np.asarray(out)[:true_batch]
+
+
+def _features_small(audio: np.ndarray, sample_rate: int, flags: FeatureFlags) -> np.ndarray:
+    """Exact small-signal path for frames shorter than 2048 samples.
+
+    librosa conventions for short inputs: stft-magnitude features (chroma,
+    contrast) use n_fft=len with hop=n_fft//4; mel/MFCC keep hop=512; tonnetz
+    keeps n_fft=2048 (the suppressed "n_fft too large" case, dsp.py:22-35).
+    """
+    prepared = pad_audio_for_fft(np.asarray(audio, dtype=np.float32))
+    n_fft = min(prepared.size, _FULL_NFFT)
+    length = prepared.size
+    signal = jnp.asarray(prepared[None, :], dtype=jnp.float32)
+    lengths = jnp.asarray([length], dtype=jnp.int32)
+
+    def mask_for(mag_cols: int, hop: int) -> jnp.ndarray:
+        return jnp.arange(mag_cols)[None, :] < (1 + lengths // hop)[:, None]
+
+    def mean(values: jnp.ndarray, mask: jnp.ndarray) -> np.ndarray:
+        return np.asarray(dsp._masked_mean_cols(values, mask))[0]
+
+    parts: list[np.ndarray] = []
+    mel_pow = mel_mask = None
+    if flags.mfcc or flags.mel:
+        mag_mel = dsp.stft_magnitude(signal, n_fft, _HOP)
+        mel_mask = mask_for(mag_mel.shape[-1], _HOP)
+        mel_pow = dsp.mel_power(mag_mel, sample_rate, n_fft)
+    if flags.chroma or flags.contrast:
+        hop = max(1, n_fft // 4)
+        mag = dsp.stft_magnitude(signal, n_fft, hop)
+        mask = mask_for(mag.shape[-1], hop)
+
+    if flags.mfcc:
+        parts.append(mean(dsp.mfcc_per_column(mel_pow, mel_mask), mel_mask))
+    if flags.chroma:
+        parts.append(mean(dsp.chroma_per_column(mag, mask, sample_rate, n_fft), mask))
+    if flags.mel:
+        parts.append(mean(mel_pow, mel_mask))
+    if flags.contrast:
+        power = mag * mag
+        s_db = dsp.power_to_db(power, mask, ref=dsp._masked_max(power, mask))
+        parts.append(
+            mean(dsp.spectral_contrast_per_column(s_db, mask, sample_rate, n_fft), mask)
+        )
+    if flags.tonnetz:
+        mag_t = dsp.stft_magnitude(signal, _FULL_NFFT, _HOP)
+        mask_t = mask_for(mag_t.shape[-1], _HOP)
+        parts.append(mean(dsp.tonnetz_per_column(mag_t, sample_rate, _FULL_NFFT), mask_t))
+    if not parts:
+        return np.empty(0, dtype=np.float64)
+    return np.concatenate(parts).astype(np.float64)
+
+
+def extract_feature_from_signal(
+    audio: np.ndarray,
+    sample_rate: int,
+    *,
+    feature_flags: FeatureFlags | None = None,
+) -> np.ndarray:
+    """Whole-signal feature vector (reference dsp.py:67-151 equivalent).
+
+    Returns a 1-D float64 vector in [mfcc, chroma, mel, contrast, tonnetz]
+    order for the enabled flags.
+    """
+    flags = feature_flags if feature_flags is not None else FeatureFlags()
+    _validate(np.asarray(audio), sample_rate)
+    prepared = pad_audio_for_fft(np.asarray(audio, dtype=np.float32))
+    if feature_dim(flags) == 0:
+        return np.empty(0, dtype=np.float64)
+    if prepared.size < _FULL_NFFT:
+        return _features_small(prepared, sample_rate, flags)
+    bucket_len = int(np.ceil(prepared.size / _LENGTH_BUCKET)) * _LENGTH_BUCKET
+    frame = np.zeros((1, bucket_len), dtype=np.float32)
+    frame[0, : prepared.size] = prepared
+    features = _batched_features(
+        frame, np.asarray([prepared.size], dtype=np.int32), sample_rate, flags
+    )
+    return features[0].astype(np.float64)
+
+
+def extract_frame_features(
+    audio: np.ndarray,
+    sample_rate: int,
+    *,
+    frame_size_seconds: float = 3.0,
+    frame_stride_seconds: float = 1.0,
+    feature_flags: FeatureFlags | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Frame-level features for one clip in a single batched TPU call.
+
+    Returns ``(features, start_seconds, end_seconds)`` with features float32 of
+    shape (n_frames, D). Framing matches reference handcrafted.py:78-97: frames
+    start every stride, are truncated at clip end, and empty frames are
+    skipped.
+    """
+    flags = feature_flags if feature_flags is not None else FeatureFlags()
+    audio = np.asarray(audio, dtype=np.float32)
+    _validate(audio, sample_rate)
+
+    frame_length = max(1, int(round(frame_size_seconds * sample_rate)))
+    frame_step = max(1, int(round(frame_stride_seconds * sample_rate)))
+
+    starts = np.arange(0, audio.size, frame_step, dtype=np.int64)
+    ends = np.minimum(starts + frame_length, audio.size)
+    lengths = (ends - starts).astype(np.int64)
+    keep = lengths > 0
+    starts, ends, lengths = starts[keep], ends[keep], lengths[keep]
+    if starts.size == 0:
+        raise ValueError("Could not extract handcrafted features from provided audio.")
+
+    dim = feature_dim(flags)
+    features = np.zeros((starts.size, dim), dtype=np.float32)
+
+    bulk = lengths >= _FULL_NFFT
+    if np.any(bulk):
+        bulk_idx = np.flatnonzero(bulk)
+        frames = np.zeros((bulk_idx.size, frame_length), dtype=np.float32)
+        for row, i in enumerate(bulk_idx):
+            frames[row, : lengths[i]] = audio[starts[i] : ends[i]]
+        features[bulk_idx] = _batched_features(
+            frames, lengths[bulk_idx].astype(np.int32), sample_rate, flags
+        )
+    for i in np.flatnonzero(~bulk):
+        features[i] = _features_small(audio[starts[i] : ends[i]], sample_rate, flags).astype(
+            np.float32
+        )
+
+    return (
+        features,
+        starts.astype(np.float64) / float(sample_rate),
+        ends.astype(np.float64) / float(sample_rate),
+    )
+
+
+__all__ = [
+    "extract_feature_from_signal",
+    "extract_frame_features",
+    "feature_dim",
+    "pad_audio_for_fft",
+]

@@ -9,13 +9,32 @@ sharding logic is exercised without TPU hardware
 
 import os
 
-# Must happen before jax is imported anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU with 8 virtual devices for multi-chip sharding tests. The axon TPU
+# plugin registers itself at interpreter start (sitecustomize) and pins
+# jax_platforms="axon,cpu", so overriding the env var alone is not enough —
+# the config must be updated after import, before backends initialize.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
+
+
+def _enable_persistent_compile_cache() -> None:
+    """Caches XLA compilations on disk so reruns skip the expensive compiles."""
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+_enable_persistent_compile_cache()
 
 _SUITE_MARKERS = ("unit", "integration", "smoke")
 
