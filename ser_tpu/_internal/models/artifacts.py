@@ -1,0 +1,223 @@
+"""Versioned model-artifact envelope: build, persist, load, compat-check.
+
+Parity surface: reference ``ser/_internal/models/artifact_envelope.py:22-160``
+(v3 envelope, supported versions {2, 3}, metadata with backend/profile/model-id
+/device/dtype/provenance used as load-time compatibility filters) and
+``artifact_persistence.py:88-144`` (atomic writes). Payloads may be either a
+``JaxMLPClassifier`` state dict (native) or a pickled sklearn estimator
+(migration path for reference-trained artifacts) — all inference paths
+duck-type ``predict`` / ``predict_proba`` / ``classes_``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import tempfile
+from pathlib import Path
+from typing import Any, NamedTuple
+
+from ser_tpu._internal.utils.logger import get_logger
+from ser_tpu.models.mlp_head import JaxMLPClassifier
+from ser_tpu.runtime.schema import ARTIFACT_SCHEMA_VERSION
+
+logger = get_logger(__name__)
+
+MODEL_ARTIFACT_VERSION = 3
+SUPPORTED_MODEL_ARTIFACT_VERSIONS = frozenset({2, MODEL_ARTIFACT_VERSION})
+DEFAULT_BACKEND_ID = "handcrafted"
+DEFAULT_PROFILE_ID = "fast"
+
+
+class ArtifactError(ValueError):
+    """Raised for malformed or incompatible model artifacts."""
+
+
+class LoadedModel(NamedTuple):
+    """Loaded model object and optional expected feature-vector length."""
+
+    model: Any
+    expected_feature_size: int | None
+    artifact_metadata: dict[str, Any] | None = None
+
+
+def build_artifact_metadata(
+    *,
+    feature_vector_size: int,
+    training_samples: int,
+    labels: list[str],
+    backend_id: str = DEFAULT_BACKEND_ID,
+    profile: str = DEFAULT_PROFILE_ID,
+    feature_dim: int | None = None,
+    frame_size_seconds: float = 3.0,
+    frame_stride_seconds: float = 1.0,
+    pooling_strategy: str = "mean",
+    backend_model_id: str | None = None,
+    model_revision: str | None = None,
+    device: str | None = None,
+    dtype: str | None = None,
+    provenance: dict[str, Any] | None = None,
+    seed: int | None = None,
+    evaluation_summary: dict[str, Any] | None = None,
+) -> dict[str, Any]:
+    """Builds normalized v3 artifact metadata."""
+    if feature_vector_size <= 0:
+        raise ArtifactError("feature_vector_size must be positive.")
+    if training_samples <= 0:
+        raise ArtifactError("training_samples must be positive.")
+    if not labels:
+        raise ArtifactError("labels must be non-empty.")
+    return {
+        "artifact_version": MODEL_ARTIFACT_VERSION,
+        "artifact_schema_version": ARTIFACT_SCHEMA_VERSION,
+        "feature_vector_size": int(feature_vector_size),
+        "training_samples": int(training_samples),
+        "labels": [str(label) for label in labels],
+        "backend_id": backend_id,
+        "profile": profile,
+        "feature_dim": int(feature_dim) if feature_dim is not None else None,
+        "frame_size_seconds": float(frame_size_seconds),
+        "frame_stride_seconds": float(frame_stride_seconds),
+        "pooling_strategy": pooling_strategy,
+        "backend_model_id": backend_model_id,
+        "model_revision": model_revision,
+        "device": device,
+        "dtype": dtype,
+        "provenance": provenance or {},
+        "task_heads": ["primary_emotion"],
+        "seed": seed,
+        "evaluation_summary": evaluation_summary,
+    }
+
+
+def build_model_artifact(model: Any, metadata: dict[str, Any]) -> dict[str, Any]:
+    """Wraps a model + metadata into a persistable envelope dict."""
+    payload: Any
+    if isinstance(model, JaxMLPClassifier):
+        payload = model.get_state()
+    else:
+        payload = model  # sklearn estimators and test doubles pickle directly
+    return {"model": payload, "metadata": dict(metadata)}
+
+
+def _rehydrate_model(payload: Any) -> Any:
+    if isinstance(payload, dict) and payload.get("kind") == "ser_tpu_mlp":
+        return JaxMLPClassifier.from_state(payload)
+    return payload
+
+
+def save_model_artifact(envelope: dict[str, Any], path: str | Path) -> str:
+    """Atomically persists one artifact envelope (write-temp + rename).
+
+    Also writes a sidecar ``<name>.meta.json`` with the metadata for
+    inspection without unpickling (the TPU-native replacement for the
+    reference's skops secure twin).
+    """
+    target = Path(path)
+    target.parent.mkdir(parents=True, exist_ok=True)
+    fd, tmp_name = tempfile.mkstemp(dir=target.parent, prefix=f".{target.name}.")
+    try:
+        with os.fdopen(fd, "wb") as handle:
+            pickle.dump(envelope, handle, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp_name, target)
+    except BaseException:
+        if os.path.exists(tmp_name):
+            os.unlink(tmp_name)
+        raise
+    meta_path = target.with_suffix(target.suffix + ".meta.json")
+    try:
+        meta_path.write_text(
+            json.dumps(envelope.get("metadata", {}), indent=2, default=str), encoding="utf-8"
+        )
+    except OSError:
+        logger.warning("Could not write metadata sidecar %s", meta_path)
+    return str(target)
+
+
+def load_model_artifact(
+    path: str | Path,
+    *,
+    expected_backend_id: str | None = None,
+    expected_profile: str | None = None,
+    expected_model_id: str | None = None,
+) -> LoadedModel:
+    """Loads one artifact and enforces metadata compatibility filters.
+
+    Raises ``ArtifactError`` on version/backend/profile/model-id mismatch —
+    silently running a model trained for another backend would produce garbage
+    predictions with full confidence.
+    """
+    target = Path(path)
+    if not target.exists():
+        raise FileNotFoundError(f"Model artifact not found: {path}")
+    with target.open("rb") as handle:
+        raw = pickle.load(handle)
+
+    if not isinstance(raw, dict) or "model" not in raw:
+        # Legacy bare-estimator pickle (pre-envelope): accept with no metadata.
+        return LoadedModel(model=_rehydrate_model(raw), expected_feature_size=None)
+
+    metadata = raw.get("metadata") or {}
+    version = metadata.get("artifact_version")
+    if version not in SUPPORTED_MODEL_ARTIFACT_VERSIONS:
+        raise ArtifactError(
+            f"Unsupported artifact version {version!r}; "
+            f"supported: {sorted(SUPPORTED_MODEL_ARTIFACT_VERSIONS)}."
+        )
+    if expected_backend_id is not None:
+        found = metadata.get("backend_id", DEFAULT_BACKEND_ID)
+        if found != expected_backend_id:
+            raise ArtifactError(
+                f"Artifact backend mismatch: expected {expected_backend_id!r}, found {found!r}."
+            )
+    if expected_profile is not None:
+        found = metadata.get("profile", DEFAULT_PROFILE_ID)
+        if found != expected_profile:
+            raise ArtifactError(
+                f"Artifact profile mismatch: expected {expected_profile!r}, found {found!r}."
+            )
+    if expected_model_id is not None:
+        found = metadata.get("backend_model_id")
+        if found is not None and found != expected_model_id:
+            raise ArtifactError(
+                f"Artifact model-id mismatch: expected {expected_model_id!r}, found {found!r}."
+            )
+
+    size = metadata.get("feature_vector_size")
+    expected_size = int(size) if isinstance(size, int) and size > 0 else None
+    return LoadedModel(
+        model=_rehydrate_model(raw["model"]),
+        expected_feature_size=expected_size,
+        artifact_metadata=metadata,
+    )
+
+
+def discover_artifact_candidates(folder: str | Path, stem_prefix: str = "ser_model") -> list[Path]:
+    """Lists artifact candidates in a models folder, newest first.
+
+    Reference behavior (``artifact_loading.py``): candidates are
+    ``ser_model*.pkl`` files; metadata-aware filtering happens at load time.
+    """
+    root = Path(folder)
+    if not root.is_dir():
+        return []
+    candidates = sorted(
+        root.glob(f"{stem_prefix}*.pkl"), key=lambda p: p.stat().st_mtime, reverse=True
+    )
+    return candidates
+
+
+__all__ = [
+    "ArtifactError",
+    "DEFAULT_BACKEND_ID",
+    "DEFAULT_PROFILE_ID",
+    "LoadedModel",
+    "MODEL_ARTIFACT_VERSION",
+    "SUPPORTED_MODEL_ARTIFACT_VERSIONS",
+    "build_artifact_metadata",
+    "build_model_artifact",
+    "discover_artifact_candidates",
+    "load_model_artifact",
+    "save_model_artifact",
+]

@@ -1,0 +1,228 @@
+"""Encoder-profile training: utterances → embeddings → windows → head → artifact.
+
+Parity surface: reference ``medium_training_preparation.py:184-410`` /
+``accurate_training_preparation.py`` — speaker-disjoint split, backend encode
+with embedding-cache reuse, per-window mean+std dataset with noise controls
+(``medium_noise_controls.py``: minimum window std, max windows per clip),
+head fit, grouped per-sample metrics, artifact v3 with backend/model-id/
+device/dtype metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any
+
+import numpy as np
+
+from ser_tpu._internal.config.bootstrap import reload_settings
+from ser_tpu._internal.config.schema import AppConfig, profile_artifact_file_names
+from ser_tpu._internal.data import loader
+from ser_tpu._internal.models import artifacts
+from ser_tpu._internal.pool import mean_std_pool, temporal_pooling_windows
+from ser_tpu._internal.repr import FeatureBackend
+from ser_tpu._internal.repr.runtime_policy import resolve_feature_runtime
+from ser_tpu._internal.train.eval import speaker_disjoint_split
+from ser_tpu._internal.train.metrics import (
+    accuracy,
+    compute_grouped_ser_metrics_by_sample,
+    compute_ser_metrics,
+)
+from ser_tpu._internal.utils.audio_io import read_audio_file
+from ser_tpu._internal.utils.logger import get_logger
+from ser_tpu.models.mlp_head import JaxMLPClassifier
+from ser_tpu.profiles import ProfileName, get_profile_catalog
+
+logger = get_logger(__name__)
+
+
+def _windowed_dataset(
+    *,
+    files: list[tuple[str, str, str | None]],  # (path, label, speaker)
+    backend: FeatureBackend,
+    settings: AppConfig,
+    window_size: float,
+    window_stride: float,
+    cache=None,
+) -> tuple[np.ndarray, list[str], list[str]]:
+    """Per-window mean+std features with labels and sample ids."""
+    min_std = settings.medium_training.min_window_std
+    max_windows = settings.medium_training.max_windows_per_clip
+    rows, labels, sample_ids = [], [], []
+    for path, label, _speaker in files:
+        audio, sr = read_audio_file(path, audio_read_config=settings.audio_read)
+        encoded = None
+        if cache is not None:
+            encoded = cache.load(path, audio=audio)
+        if encoded is None:
+            encoded = backend.encode_sequence(audio, sr)
+            if cache is not None:
+                cache.store(path, encoded, audio=audio)
+        windows = temporal_pooling_windows(
+            encoded, window_size_seconds=window_size, window_stride_seconds=window_stride
+        )
+        pooled = mean_std_pool(encoded, windows)
+        dim = pooled.shape[1] // 2
+        kept = 0
+        for row in pooled:
+            if max_windows > 0 and kept >= max_windows:
+                break
+            if min_std > 0.0 and float(np.mean(row[dim:])) < min_std:
+                continue
+            rows.append(row)
+            labels.append(label)
+            sample_ids.append(path)
+            kept += 1
+    if not rows:
+        raise RuntimeError("No training windows survived the noise controls.")
+    return np.vstack(rows), labels, sample_ids
+
+
+def train_encoder_profile_model(
+    *,
+    profile: ProfileName,
+    settings: AppConfig | None = None,
+    backend: FeatureBackend | None = None,
+) -> dict[str, Any]:
+    """Trains one encoder-backed profile head end to end.
+
+    ``backend`` injection is the designed test seam (reference backends accept
+    injected doubles, SURVEY.md §4).
+    """
+    settings = settings if settings is not None else reload_settings()
+    spec = get_profile_catalog()[profile]
+    started = time.time()
+
+    if backend is None:
+        from ser_tpu._internal.repr.encoders import build_encoder_backend
+
+        backend = build_encoder_backend(profile, settings=settings)
+
+    files = [
+        (clip_path, label, loader.extract_ravdess_speaker_id_from_path(clip_path))
+        for clip_path in loader.discover_dataset_files(settings)
+        if (label := dict(settings.emotions).get(
+            loader.extract_ravdess_emotion_code(clip_path.rsplit("/", 1)[-1]) or ""
+        ))
+        is not None
+    ]
+    if not files:
+        raise RuntimeError("No labeled dataset files found for encoder training.")
+
+    train_files, test_files = speaker_disjoint_split(
+        files,
+        speaker_of=lambda item: item[2] or item[0],
+        label_of=lambda item: item[1],
+        test_size=settings.training.test_size,
+        random_state=settings.training.random_state,
+    )
+
+    from ser_tpu._internal.data.embedding_cache import EmbeddingCache
+
+    runtime = resolve_feature_runtime(
+        spec.backend_id,
+        torch_runtime=settings.torch_runtime,
+        policy=settings.feature_runtime_policy,
+    )
+    cache = EmbeddingCache(
+        root=settings.tmp_folder / "embedding-cache",
+        backend_id=spec.backend_id,
+        model_id=spec.model.default_model_id or "none",
+        revision="local",
+        device=runtime.device_kind,
+        dtype=runtime.dtype,
+    )
+
+    runtime_config = settings.profile_runtime(profile)  # type: ignore[arg-type]
+    x_train, y_train, _ = _windowed_dataset(
+        files=train_files,
+        backend=backend,
+        settings=settings,
+        window_size=runtime_config.pool_window_size_seconds,
+        window_stride=runtime_config.pool_window_stride_seconds,
+        cache=cache,
+    )
+    x_test, y_test, test_ids = _windowed_dataset(
+        files=test_files,
+        backend=backend,
+        settings=settings,
+        window_size=runtime_config.pool_window_size_seconds,
+        window_stride=runtime_config.pool_window_stride_seconds,
+        cache=cache,
+    )
+
+    model = JaxMLPClassifier.from_config(settings.nn)
+    model.fit(x_train, y_train)
+    y_pred = [str(item) for item in model.predict(x_test)]
+    window_metrics = compute_ser_metrics(y_true=y_test, y_pred=y_pred)
+    grouped = compute_grouped_ser_metrics_by_sample(
+        y_true=y_test, y_pred=y_pred, sample_ids=test_ids
+    )
+
+    model_id = spec.model.default_model_id
+    report: dict[str, Any] = {
+        "profile": profile,
+        "backend_id": spec.backend_id,
+        "backend_model_id": model_id,
+        "accuracy": accuracy(y_test, y_pred),
+        "uar": window_metrics["uar"],
+        "macro_f1": window_metrics["macro_f1"],
+        "per_class_recall": window_metrics["per_class_recall"],
+        "grouped": {
+            "uar": grouped["uar"],
+            "macro_f1": grouped["macro_f1"],
+            "samples_evaluated": grouped["samples_evaluated"],
+        },
+        "labels": window_metrics["labels"],
+        "training_windows": len(y_train),
+        "test_windows": len(y_test),
+        "feature_vector_size": int(x_train.shape[1]),
+        "elapsed_seconds": time.time() - started,
+    }
+
+    metadata = artifacts.build_artifact_metadata(
+        feature_vector_size=int(x_train.shape[1]),
+        training_samples=len(y_train),
+        labels=sorted(set(y_train)),
+        backend_id=spec.backend_id,
+        profile=profile,
+        feature_dim=backend.feature_dim,
+        frame_size_seconds=runtime_config.pool_window_size_seconds,
+        frame_stride_seconds=runtime_config.pool_window_stride_seconds,
+        pooling_strategy="mean_std",
+        backend_model_id=model_id,
+        device=runtime.device_kind,
+        dtype=runtime.dtype,
+        seed=settings.nn.random_state,
+        provenance={"framework": "ser_tpu", "trainer": "encoder_training"},
+        evaluation_summary={
+            "accuracy": report["accuracy"],
+            "uar": report["uar"],
+            "macro_f1": report["macro_f1"],
+        },
+    )
+    names = profile_artifact_file_names(
+        profile=profile,
+        medium_model_id=settings.models.medium_model_id,
+        accurate_model_id=settings.models.accurate_model_id,
+        accurate_research_model_id=settings.models.accurate_research_model_id,
+    )
+    model_path = artifacts.save_model_artifact(
+        artifacts.build_model_artifact(model, metadata),
+        settings.models.folder / names[0],
+    )
+    report["model_path"] = model_path
+    report_path = settings.models.folder / names[2]
+    report_path.write_text(json.dumps(report, indent=2, default=str), encoding="utf-8")
+    report["report_path"] = str(report_path)
+    logger.info(
+        "%s training done: window-uar=%.3f grouped-uar=%.3f",
+        profile,
+        report["uar"],
+        report["grouped"]["uar"],
+    )
+    return report
+
+
+__all__ = ["train_encoder_profile_model"]

@@ -1,0 +1,110 @@
+"""Fast-profile training: batched features → JAX MLP head → artifact + report.
+
+Parity surface: reference ``ser/_internal/models/fast_training.py`` +
+``training_support.py`` — load features, split, fit the configured MLP head,
+evaluate accuracy/macro-F1/UAR/per-class recall/confusion, persist the
+artifact envelope and a JSON training report.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any
+
+import numpy as np
+
+from ser_tpu._internal.config.bootstrap import reload_settings
+from ser_tpu._internal.config.schema import AppConfig
+from ser_tpu._internal.data import loader
+from ser_tpu._internal.models import artifacts
+from ser_tpu._internal.train.metrics import accuracy, compute_ser_metrics
+from ser_tpu._internal.utils.logger import get_logger
+from ser_tpu.models.mlp_head import JaxMLPClassifier
+from ser_tpu.ops.features import feature_dim
+
+logger = get_logger(__name__)
+
+
+class TrainingDataError(RuntimeError):
+    """Raised when training data cannot support a model fit."""
+
+
+def train_fast_model(*, settings: AppConfig | None = None) -> dict[str, Any]:
+    """Trains the fast-profile head end-to-end; returns the training report."""
+    settings = settings if settings is not None else reload_settings()
+    started = time.time()
+
+    split = loader.load_data(settings=settings)
+    if split is None:
+        raise TrainingDataError(
+            "No trainable data found. Check SER_DATASET_FOLDER and dataset contents."
+        )
+    x_train, x_test, y_train, y_test = split
+    logger.info(
+        "Training fast head on %d samples (%d test), dim=%d",
+        len(y_train),
+        len(y_test),
+        x_train.shape[1],
+    )
+
+    model = JaxMLPClassifier.from_config(settings.nn)
+    model.fit(x_train, y_train)
+
+    y_pred = [str(item) for item in model.predict(x_test)]
+    metrics = compute_ser_metrics(y_true=y_test, y_pred=y_pred)
+    report: dict[str, Any] = {
+        "profile": "fast",
+        "backend_id": "handcrafted",
+        "accuracy": accuracy(y_test, y_pred),
+        "uar": metrics["uar"],
+        "macro_f1": metrics["macro_f1"],
+        "per_class_recall": metrics["per_class_recall"],
+        "confusion_matrix": metrics["confusion_matrix"],
+        "labels": metrics["labels"],
+        "training_samples": len(y_train),
+        "test_samples": len(y_test),
+        "feature_vector_size": int(x_train.shape[1]),
+        "n_iter": model.n_iter_,
+        "final_loss": model.loss_,
+        "elapsed_seconds": time.time() - started,
+    }
+
+    metadata = artifacts.build_artifact_metadata(
+        feature_vector_size=int(x_train.shape[1]),
+        training_samples=len(y_train),
+        labels=sorted(set(y_train)),
+        backend_id="handcrafted",
+        profile="fast",
+        feature_dim=feature_dim(settings.feature_flags),
+        pooling_strategy="mean",
+        device="cpu",
+        dtype="float32",
+        seed=settings.nn.random_state,
+        provenance={"framework": "ser_tpu", "trainer": "fast_training"},
+        evaluation_summary={
+            "accuracy": report["accuracy"],
+            "uar": report["uar"],
+            "macro_f1": report["macro_f1"],
+        },
+    )
+    envelope = artifacts.build_model_artifact(model, metadata)
+    model_path = artifacts.save_model_artifact(envelope, settings.models.model_file)
+    report["model_path"] = model_path
+
+    settings.models.folder.mkdir(parents=True, exist_ok=True)
+    settings.models.training_report_file.write_text(
+        json.dumps(report, indent=2, default=str), encoding="utf-8"
+    )
+    report["report_path"] = str(settings.models.training_report_file)
+    logger.info(
+        "Fast training done: accuracy=%.3f uar=%.3f macro_f1=%.3f (%d iters)",
+        report["accuracy"],
+        report["uar"],
+        report["macro_f1"],
+        model.n_iter_,
+    )
+    return report
+
+
+__all__ = ["TrainingDataError", "train_fast_model"]

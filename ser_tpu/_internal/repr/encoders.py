@@ -1,0 +1,61 @@
+"""Encoder-backend construction for transformer profiles (medium/accurate/research).
+
+Builds the profile's JAX encoder backend (wav2vec2-XLS-R class, Whisper
+encoder, emotion2vec class — see ``ser_tpu/models``) with the runtime-policy
+resolved device/dtype. Weights load from the local HF-format cache; this
+framework performs no network access, so missing weights surface as a typed
+runtime-dependency error (reference analogue: ``hf_xlsr.py`` model resolution
++ ``registry.py`` missing-module reporting).
+"""
+
+from __future__ import annotations
+
+from ser_tpu._internal.config.schema import AppConfig
+from ser_tpu._internal.repr.runtime_policy import resolve_feature_runtime
+from ser_tpu._internal.runtime.errors import RuntimeDependencyError
+from ser_tpu.profiles import ProfileName, get_profile_catalog
+
+
+def build_encoder_backend(
+    profile: ProfileName, *, settings: AppConfig, device_kind: str = "auto"
+):
+    """Builds the encoder FeatureBackend for one transformer profile."""
+    spec = get_profile_catalog()[profile]
+    runtime = resolve_feature_runtime(
+        spec.backend_id,
+        torch_runtime=settings.torch_runtime,
+        policy=settings.feature_runtime_policy,
+    )
+    dtype = runtime.dtype if device_kind != "cpu" else "float32"
+
+    if spec.backend_id == "jax_xlsr":
+        from ser_tpu._internal.repr.wav2vec2_backend import XlsrBackend
+
+        return XlsrBackend(
+            model_id=settings.models.medium_model_id,
+            cache_root=settings.models.huggingface_cache_root,
+            dtype=dtype,
+        )
+    if spec.backend_id == "jax_whisper_encoder":
+        from ser_tpu._internal.repr.whisper_backend import WhisperEncoderBackend
+
+        return WhisperEncoderBackend(
+            model_id=settings.models.accurate_model_id,
+            cache_root=settings.models.huggingface_cache_root,
+            dtype=dtype,
+        )
+    if spec.backend_id == "emotion2vec":
+        from ser_tpu._internal.repr.emotion2vec_backend import Emotion2VecBackend
+
+        return Emotion2VecBackend(
+            model_id=settings.models.accurate_research_model_id,
+            cache_root=settings.models.huggingface_cache_root,
+            dtype=dtype,
+        )
+    raise RuntimeDependencyError(
+        f"No encoder backend registered for backend_id {spec.backend_id!r}.",
+        profile=profile,
+    )
+
+
+__all__ = ["build_encoder_backend"]

@@ -1,0 +1,123 @@
+"""Restricted-backend license policy and consent gating.
+
+Parity surface: reference ``ser/_internal/runtime/restricted_backends.py`` +
+``license_check.py:88-427`` — the emotion2vec backend requires explicit
+opt-in via the ``SER_ENABLE_RESTRICTED_BACKENDS`` flag AND either the
+``SER_ALLOWED_RESTRICTED_BACKENDS`` env allowlist or a persisted consent
+record; consents carry the policy fingerprint so a policy change re-prompts.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from hashlib import sha256
+from pathlib import Path
+
+from ser_tpu._internal.config.schema import AppConfig, default_data_root
+from ser_tpu._internal.utils.logger import get_logger
+
+logger = get_logger(__name__)
+
+
+class RestrictedBackendError(PermissionError):
+    """Raised when a restricted backend is used without recorded consent."""
+
+
+@dataclass(frozen=True)
+class BackendPolicy:
+    """License/usage policy for one restricted backend."""
+
+    backend_id: str
+    policy_id: str
+    license_id: str
+    notice: str
+
+    @property
+    def fingerprint(self) -> str:
+        payload = f"{self.backend_id}|{self.policy_id}|{self.license_id}|{self.notice}"
+        return sha256(payload.encode("utf-8")).hexdigest()[:16]
+
+
+RESTRICTED_BACKEND_POLICIES: dict[str, BackendPolicy] = {
+    "emotion2vec": BackendPolicy(
+        backend_id="emotion2vec",
+        policy_id="emotion2vec-research-v1",
+        license_id="model-specific-research-license",
+        notice=(
+            "The emotion2vec model family is distributed under a research-oriented "
+            "license. Confirm your use complies with the upstream model license "
+            "before enabling this backend."
+        ),
+    ),
+}
+
+
+def _consent_store_path() -> Path:
+    return default_data_root() / "consents" / "restricted_backends.json"
+
+
+def _read_consents() -> dict[str, str]:
+    path = _consent_store_path()
+    if not path.exists():
+        return {}
+    try:
+        data = json.loads(path.read_text(encoding="utf-8"))
+        return {str(k): str(v) for k, v in data.items()} if isinstance(data, dict) else {}
+    except (OSError, json.JSONDecodeError):
+        logger.warning("Unreadable restricted-backend consent store at %s", path)
+        return {}
+
+
+def record_backend_consent(backend_id: str) -> None:
+    """Persists consent (policy-fingerprinted) for one restricted backend."""
+    policy = RESTRICTED_BACKEND_POLICIES.get(backend_id)
+    if policy is None:
+        raise ValueError(f"Backend {backend_id!r} has no restricted policy to consent to.")
+    consents = _read_consents()
+    consents[backend_id] = policy.fingerprint
+    path = _consent_store_path()
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(json.dumps(consents, indent=2), encoding="utf-8")
+
+
+def has_backend_consent(backend_id: str, *, allowed_env: tuple[str, ...] = ()) -> bool:
+    """True when consent exists via env allowlist or fingerprint-matched store."""
+    policy = RESTRICTED_BACKEND_POLICIES.get(backend_id)
+    if policy is None:
+        return True
+    if backend_id in allowed_env:
+        return True
+    return _read_consents().get(backend_id) == policy.fingerprint
+
+
+def ensure_backend_access(
+    backend_id: str,
+    *,
+    settings: AppConfig,
+    allowed_env: tuple[str, ...] = (),
+) -> None:
+    """Raises ``RestrictedBackendError`` when access is not granted."""
+    policy = RESTRICTED_BACKEND_POLICIES.get(backend_id)
+    if policy is None:
+        return
+    if not settings.runtime_flags.restricted_backends:
+        raise RestrictedBackendError(
+            f"Backend {backend_id!r} is restricted. Enable it with "
+            "SER_ENABLE_RESTRICTED_BACKENDS=1 after reviewing its license."
+        )
+    if not has_backend_consent(backend_id, allowed_env=allowed_env):
+        raise RestrictedBackendError(
+            f"Backend {backend_id!r} requires recorded consent. Run `ser configure` "
+            "or set SER_ALLOWED_RESTRICTED_BACKENDS."
+        )
+
+
+__all__ = [
+    "BackendPolicy",
+    "RESTRICTED_BACKEND_POLICIES",
+    "RestrictedBackendError",
+    "ensure_backend_access",
+    "has_backend_consent",
+    "record_backend_consent",
+]

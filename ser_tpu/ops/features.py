@@ -22,7 +22,10 @@ import numpy as np
 import jax.numpy as jnp
 
 from ser_tpu._internal.config.schema import FeatureFlags
+from ser_tpu._internal.utils.jax_runtime import ensure_compilation_cache
 from ser_tpu.ops import dsp
+
+ensure_compilation_cache()
 
 _FFT_MIN_WINDOW = 512
 _FULL_NFFT = 2048
@@ -217,8 +220,51 @@ def extract_frame_features(
     )
 
 
+def extract_feature_vectors_batch(
+    clips: list[tuple[np.ndarray, int]],
+    *,
+    feature_flags: FeatureFlags | None = None,
+) -> np.ndarray:
+    """Whole-clip feature vectors for many clips in few device calls.
+
+    TPU-native replacement for the reference's per-file ``mp.Pool`` loop
+    (reference ``ser/_internal/data/data_loader.py:374-380``): clips are
+    grouped by (sample_rate, padded-length bucket) and each group runs as one
+    batched jitted call; masks keep results exact per true length.
+
+    Returns an (n_clips, D) float64 matrix in input order.
+    """
+    flags = feature_flags if feature_flags is not None else FeatureFlags()
+    dim = feature_dim(flags)
+    out = np.zeros((len(clips), dim), dtype=np.float64)
+
+    groups: dict[tuple[int, int], list[int]] = {}
+    for index, (audio, sr) in enumerate(clips):
+        audio = np.asarray(audio, dtype=np.float32)
+        _validate(audio, sr)
+        prepared = pad_audio_for_fft(audio)
+        if prepared.size < _FULL_NFFT:
+            out[index] = _features_small(prepared, sr, flags)
+            continue
+        bucket = int(np.ceil(prepared.size / _LENGTH_BUCKET)) * _LENGTH_BUCKET
+        groups.setdefault((sr, bucket), []).append(index)
+
+    for (sr, bucket), indices in groups.items():
+        frames = np.zeros((len(indices), bucket), dtype=np.float32)
+        lengths = np.zeros(len(indices), dtype=np.int32)
+        for row, index in enumerate(indices):
+            clip = pad_audio_for_fft(np.asarray(clips[index][0], dtype=np.float32))
+            frames[row, : clip.size] = clip
+            lengths[row] = clip.size
+        out[np.asarray(indices)] = _batched_features(frames, lengths, sr, flags).astype(
+            np.float64
+        )
+    return out
+
+
 __all__ = [
     "extract_feature_from_signal",
+    "extract_feature_vectors_batch",
     "extract_frame_features",
     "feature_dim",
     "pad_audio_for_fft",
