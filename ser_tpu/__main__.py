@@ -1,0 +1,288 @@
+"""CLI composition root.
+
+Parity surface: reference ``ser/__main__.py`` — the same flag surface
+(``--file/--train/--profile/--save_transcript/--no-transcript/--subtitle-*/
+--disable-timeouts/--preflight/--dry-run``), subcommands ``configure``,
+``data``, ``doctor``, the restricted-backend gate (``:311-325``), the
+preflight gate (``:328-347``), and validation=2 / runtime=1 / timeout=3 exit
+codes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+from pathlib import Path
+
+from ser_tpu import api
+from ser_tpu._internal.runtime import restricted_backends
+from ser_tpu._internal.runtime.commands import (
+    EXIT_OK,
+    EXIT_VALIDATION,
+    classify_exit_code,
+    run_command,
+)
+from ser_tpu._internal.utils.logger import configure_logging, get_logger
+from ser_tpu.config import reload_settings
+from ser_tpu.profiles import PROFILE_NAMES, get_profile_catalog, resolve_profile_name
+
+logger = get_logger(__name__)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="ser", description="TPU-native speech emotion recognition."
+    )
+    parser.add_argument("--file", type=str, help="Audio file to analyze.")
+    parser.add_argument("--train", action="store_true", help="Train the active profile.")
+    parser.add_argument("--profile", choices=PROFILE_NAMES, help="Runtime profile.")
+    parser.add_argument("--language", type=str, default=None)
+    parser.add_argument("--save_transcript", action="store_true")
+    parser.add_argument("--no-transcript", action="store_true", dest="no_transcript")
+    parser.add_argument("--subtitle-path", type=str, default=None)
+    parser.add_argument("--subtitle-format", choices=("ass", "srt", "vtt"), default=None)
+    parser.add_argument("--disable-timeouts", action="store_true")
+    parser.add_argument(
+        "--preflight", choices=("off", "warn", "strict"), default="warn",
+        help="Startup preflight gate mode.",
+    )
+    parser.add_argument("--dry-run", action="store_true", help="Training readiness only.")
+    parser.add_argument("--prepare-only", action="store_true")
+    parser.add_argument("--prepared-plan", type=str, default=None)
+    parser.add_argument("--dataset-recipe", type=str, default=None)
+    parser.add_argument("--log-level", type=str, default=None)
+
+    subparsers = parser.add_subparsers(dest="command")
+
+    configure = subparsers.add_parser("configure", help="Record restricted-backend consents.")
+    configure.add_argument("--enable-backend", action="append", default=[])
+
+    doctor = subparsers.add_parser("doctor", help="Run environment diagnostics.")
+    doctor.add_argument("--style", choices=("text", "brief", "json"), default="text")
+    doctor.add_argument("--no-transcription-checks", action="store_true")
+
+    data = subparsers.add_parser("data", help="Dataset operations.")
+    data_sub = data.add_subparsers(dest="data_command")
+    data_sub.add_parser("list", help="List supported datasets.")
+    data_sub.add_parser("registry", help="Show registered datasets.")
+    data_sub.add_parser("health", help="Audit registry health.")
+    prepare = data_sub.add_parser("prepare", help="Prepare one dataset from local files.")
+    prepare.add_argument("dataset_id")
+    prepare.add_argument("--root", type=Path, default=None)
+    prepare.add_argument("--manifest", type=Path, default=None)
+    prepare.add_argument("--labels-csv", type=Path, default=None)
+    prepare.add_argument("--accept-license", action="store_true")
+    prepare.add_argument("--skip-download", action="store_true", default=True)
+    consents = data_sub.add_parser("consents", help="Show or record dataset consents.")
+    consents.add_argument("--accept-policy", action="append", default=[])
+    consents.add_argument("--accept-license", action="append", default=[])
+    return parser
+
+
+def _disable_timeouts(settings):
+    def zeroed(config):
+        return dataclasses.replace(
+            config, timeout_seconds=0.0, max_timeout_retries=0
+        )
+
+    return dataclasses.replace(
+        settings,
+        fast_runtime=zeroed(settings.fast_runtime),
+        medium_runtime=zeroed(settings.medium_runtime),
+        accurate_runtime=zeroed(settings.accurate_runtime),
+        accurate_research_runtime=zeroed(settings.accurate_research_runtime),
+    )
+
+
+def _run_doctor(args, settings) -> int:
+    from ser_tpu._internal.diagnostics import service
+
+    report = service.run_doctor_diagnostics(
+        settings=settings,
+        include_transcription_checks=not args.no_transcription_checks,
+    )
+    print(service.render_report(report, style=args.style))
+    return EXIT_OK if not report.has_errors else 1
+
+
+def _run_data(args, settings) -> int:
+    if args.data_command == "list":
+        for dataset_id in api.list_datasets():
+            print(dataset_id)
+        return EXIT_OK
+    if args.data_command == "registry":
+        for record in api.list_registered_datasets(settings=settings):
+            print(
+                f"{record.dataset_id}: {record.utterance_count} utterances, "
+                f"manifest={record.manifest_path}"
+            )
+        return EXIT_OK
+    if args.data_command == "health":
+        issues = api.list_dataset_registry_health_issues(settings=settings)
+        for issue in issues:
+            print(f"{issue.dataset_id}: [{issue.issue_kind}] {issue.message}")
+        if not issues:
+            print("Registry healthy.")
+        return EXIT_OK
+    if args.data_command == "prepare":
+        result, code = run_command(
+            lambda: api.prepare_dataset(
+                dataset_id=args.dataset_id,
+                dataset_root=args.root,
+                manifest_path=args.manifest,
+                labels_csv_path=args.labels_csv,
+                accept_license=args.accept_license,
+                skip_download=args.skip_download,
+                settings=settings,
+            ),
+            label="dataset prepare",
+        )
+        if result is not None:
+            print(
+                f"Prepared {result.dataset_id}: {result.utterance_count} utterances "
+                f"→ {result.manifest_path}"
+            )
+            for warning in result.warnings:
+                print(f"warning: {warning}")
+        return code
+    if args.data_command == "consents":
+        if args.accept_policy or args.accept_license:
+            record = api.configure_dataset_consents(
+                accept_policy_ids=tuple(args.accept_policy),
+                accept_license_ids=tuple(args.accept_license),
+                settings=settings,
+            )
+        else:
+            record = api.show_dataset_consents(settings=settings)
+        print(f"policies: {', '.join(record.policy_ids) or '(none)'}")
+        print(f"licenses: {', '.join(record.license_ids) or '(none)'}")
+        return EXIT_OK
+    print("Usage: ser data {list,registry,health,prepare,consents}", file=sys.stderr)
+    return EXIT_VALIDATION
+
+
+def _run_configure(args) -> int:
+    for backend_id in args.enable_backend:
+        if backend_id not in restricted_backends.RESTRICTED_BACKEND_POLICIES:
+            print(f"Backend {backend_id!r} is not restricted; nothing to record.")
+            continue
+        policy = restricted_backends.RESTRICTED_BACKEND_POLICIES[backend_id]
+        print(policy.notice)
+        restricted_backends.record_backend_consent(backend_id)
+        print(f"Recorded consent for {backend_id} (policy {policy.policy_id}).")
+    if not args.enable_backend:
+        print("Nothing to configure. Use --enable-backend <backend_id>.")
+    return EXIT_OK
+
+
+def _restricted_backend_gate(settings, profile) -> int | None:
+    """CLI gate for restricted backends (reference __main__.py:311-325)."""
+    spec = get_profile_catalog()[profile]
+    if spec.backend_id not in restricted_backends.RESTRICTED_BACKEND_POLICIES:
+        return None
+    try:
+        restricted_backends.ensure_backend_access(spec.backend_id, settings=settings)
+    except restricted_backends.RestrictedBackendError as err:
+        logger.error("%s", err)
+        return EXIT_VALIDATION
+    return None
+
+
+def _preflight_gate(args, settings) -> int | None:
+    """Startup preflight gate (reference __main__.py:328-347)."""
+    if args.preflight == "off":
+        return None
+    from ser_tpu._internal.diagnostics import service
+
+    report = api.run_startup_preflight(
+        include_transcription_checks=not args.no_transcript,
+        settings=settings,
+    )
+    rendered = service.render_report(report, style="brief")
+    if rendered and rendered != "All checks passed.":
+        print(rendered, file=sys.stderr)
+    if service.preflight_should_abort(report, args.preflight):
+        logger.error("Preflight failed in %s mode.", args.preflight)
+        return EXIT_VALIDATION
+    return None
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    configure_logging(args.log_level)
+
+    from ser_tpu._internal.utils.jax_runtime import honor_platform_env
+
+    honor_platform_env()
+
+    settings = reload_settings()
+
+    if args.command == "configure":
+        return _run_configure(args)
+    if args.command == "doctor":
+        return _run_doctor(args, settings)
+    if args.command == "data":
+        return _run_data(args, settings)
+
+    if args.disable_timeouts:
+        settings = _disable_timeouts(settings)
+
+    active_profile = args.profile or resolve_profile_name(
+        medium_profile=settings.runtime_flags.medium_profile,
+        accurate_profile=settings.runtime_flags.accurate_profile,
+        accurate_research_profile=settings.runtime_flags.accurate_research_profile,
+    )
+
+    if args.train:
+        gate = _restricted_backend_gate(settings, active_profile)
+        if gate is not None:
+            return gate
+        if args.dry_run or args.prepare_only or args.prepared_plan:
+            from ser_tpu._internal.models.training_readiness import run_training_readiness_cli
+
+            return run_training_readiness_cli(
+                settings=settings,
+                profile=active_profile,
+                dry_run=args.dry_run,
+                prepare_only=args.prepare_only,
+                prepared_plan=args.prepared_plan,
+            )
+        _, code = run_command(
+            lambda: api.train(profile=args.profile, settings=settings), label="training"
+        )
+        return code
+
+    if args.file:
+        gate = _restricted_backend_gate(settings, active_profile)
+        if gate is not None:
+            return gate
+        gate = _preflight_gate(args, settings)
+        if gate is not None:
+            return gate
+        result, code = run_command(
+            lambda: api.infer(
+                args.file,
+                profile=args.profile,
+                language=args.language,
+                save_transcript=args.save_transcript,
+                include_transcript=not args.no_transcript,
+                subtitle_output_path=args.subtitle_path,
+                subtitle_format=args.subtitle_format,
+                settings=settings,
+            ),
+            label="inference",
+        )
+        if result is not None and result.timeline_csv_path:
+            print(f"Timeline CSV: {result.timeline_csv_path}")
+        if result is not None and result.subtitle_path:
+            print(f"Subtitles: {result.subtitle_path}")
+        return code
+
+    parser.print_help()
+    return EXIT_VALIDATION
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,213 @@
+"""Dataset preparation: local sources → validated manifest + registry record.
+
+Parity surface: reference ``ser/_internal/data/dataset_prepare.py`` +
+``adapters/`` + ``strategies/`` — per-dataset manifest builders behind a
+strategy registry, consent enforcement, and registry persistence.
+
+Zero-egress design: this runtime never downloads. ``skip_download=True`` (or
+pre-materialized data) is the supported path; requesting a download raises a
+typed error explaining how to stage the data. Strategies:
+
+- ``ravdess``: Actor_*/<code>.wav glob with filename-derived labels/speakers.
+- labels CSV (``auto_csv``): any dataset with a (path,label[,speaker,...]) CSV.
+- existing manifest: validate + register as-is.
+"""
+
+from __future__ import annotations
+
+import csv
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Literal
+
+from ser_tpu._internal.config.bootstrap import reload_settings
+from ser_tpu._internal.config.schema import AppConfig
+from ser_tpu._internal.data import consents as consents_module
+from ser_tpu._internal.data import registry as registry_module
+from ser_tpu._internal.data.catalog import get_dataset_spec
+from ser_tpu._internal.data.loader import (
+    extract_ravdess_emotion_code,
+    extract_ravdess_speaker_id_from_path,
+)
+from ser_tpu._internal.data.manifest import (
+    PRIMARY_EMOTIONS,
+    Utterance,
+    read_manifest_jsonl,
+    write_manifest_jsonl,
+)
+type ComplianceMode = Literal["advisory", "enforced"]
+
+
+class DatasetDownloadUnavailableError(RuntimeError):
+    """Raised when a network download would be required."""
+
+
+@dataclass(frozen=True)
+class DatasetPrepareResult:
+    """Outcome of one dataset preparation run."""
+
+    dataset_id: str
+    dataset_root: str
+    manifest_path: str
+    utterance_count: int
+    registered: bool
+    warnings: tuple[str, ...] = ()
+
+
+def _resolve(settings: AppConfig | None) -> AppConfig:
+    return settings if settings is not None else reload_settings()
+
+
+def _build_ravdess_manifest(root: Path, settings: AppConfig) -> list[Utterance]:
+    emotion_map = dict(settings.emotions)
+    utterances = []
+    for path in sorted(root.glob("Actor_*/*.wav")):
+        code = extract_ravdess_emotion_code(path.name)
+        label = emotion_map.get(code or "")
+        if label is None:
+            continue
+        utterances.append(
+            Utterance(
+                sample_id=path.stem,
+                corpus="ravdess",
+                audio_path=str(path),
+                label=label,
+                raw_label=code or "",
+                speaker_id=extract_ravdess_speaker_id_from_path(str(path)),
+                language="en",
+            )
+        )
+    return utterances
+
+
+def _build_csv_manifest(
+    dataset_id: str,
+    labels_csv_path: Path,
+    audio_base_dir: Path | None,
+    default_language: str,
+) -> list[Utterance]:
+    utterances = []
+    with labels_csv_path.open("r", encoding="utf-8") as handle:
+        reader = csv.DictReader(handle)
+        if reader.fieldnames is None or "path" not in reader.fieldnames or "label" not in reader.fieldnames:
+            raise ValueError(
+                f"Labels CSV {labels_csv_path} must have at least 'path' and 'label' columns."
+            )
+        for row_no, row in enumerate(reader, start=2):
+            label = str(row["label"]).strip().lower()
+            if label not in PRIMARY_EMOTIONS:
+                raise ValueError(
+                    f"{labels_csv_path}:{row_no}: label {label!r} not in primary ontology."
+                )
+            rel = Path(str(row["path"]).strip())
+            audio_path = (audio_base_dir / rel) if audio_base_dir is not None else rel
+            utterances.append(
+                Utterance(
+                    sample_id=str(row.get("sample_id") or rel.stem),
+                    corpus=dataset_id,
+                    audio_path=str(audio_path),
+                    label=label,
+                    raw_label=str(row.get("raw_label", label)),
+                    speaker_id=(str(row["speaker"]).strip() or None) if row.get("speaker") else None,
+                    language=str(row.get("language") or default_language),
+                )
+            )
+    return utterances
+
+
+def prepare_dataset(
+    *,
+    dataset_id: str,
+    dataset_root: Path | None = None,
+    manifest_path: Path | None = None,
+    labels_csv_path: Path | None = None,
+    audio_base_dir: Path | None = None,
+    source_repo_id: str | None = None,
+    source_revision: str | None = None,
+    default_language: str | None = None,
+    skip_download: bool = False,
+    accept_license: bool = False,
+    compliance_mode: ComplianceMode = "advisory",
+    settings: AppConfig | None = None,
+) -> DatasetPrepareResult:
+    """Prepares one dataset from local materials and registers it."""
+    settings = _resolve(settings)
+    spec = get_dataset_spec(dataset_id)
+    warnings: list[str] = []
+
+    if compliance_mode == "enforced" or accept_license:
+        consents_module.ensure_dataset_consent(
+            dataset_id, settings=settings, accept_license=accept_license
+        )
+    elif spec.requires_consent:
+        warnings.append(
+            f"Dataset {dataset_id} has policy {spec.policy_id} / license {spec.license_id}; "
+            "compliance_mode='advisory' does not enforce consent."
+        )
+
+    root = dataset_root if dataset_root is not None else settings.dataset.folder
+    if not skip_download and not root.exists():
+        raise DatasetDownloadUnavailableError(
+            f"Dataset {dataset_id!r} is not materialized at {root} and this runtime "
+            "performs no network downloads. Stage the audio locally (provider: "
+            f"{spec.provider}) and re-run with skip_download=True."
+        )
+
+    if manifest_path is not None and manifest_path.exists() and labels_csv_path is None:
+        utterances = read_manifest_jsonl(manifest_path)
+        final_manifest = str(manifest_path)
+    else:
+        if labels_csv_path is not None:
+            utterances = _build_csv_manifest(
+                dataset_id,
+                labels_csv_path,
+                audio_base_dir or root,
+                default_language or settings.default_language,
+            )
+        elif dataset_id == "ravdess":
+            utterances = _build_ravdess_manifest(root, settings)
+        else:
+            raise ValueError(
+                f"Dataset {dataset_id!r} needs either an existing manifest_path or a "
+                "labels_csv_path; only 'ravdess' supports filename-derived labels."
+            )
+        if not utterances:
+            raise RuntimeError(f"No labeled utterances found for {dataset_id} under {root}.")
+        target = (
+            manifest_path
+            if manifest_path is not None
+            else root / f"{dataset_id}.manifest.jsonl"
+        )
+        final_manifest = write_manifest_jsonl(utterances, target)
+
+    missing = [u.audio_path for u in utterances if not Path(u.audio_path).exists()]
+    if missing:
+        warnings.append(f"{len(missing)} manifest audio paths are missing on disk.")
+
+    registry_module.register_dataset(
+        registry_module.DatasetRegistryRecord(
+            dataset_id=dataset_id,
+            dataset_root=str(root),
+            manifest_path=final_manifest,
+            utterance_count=len(utterances),
+            revision=source_revision,
+            prepared_at_unix=registry_module.now_unix(),
+        ),
+        settings=settings,
+    )
+    return DatasetPrepareResult(
+        dataset_id=dataset_id,
+        dataset_root=str(root),
+        manifest_path=final_manifest,
+        utterance_count=len(utterances),
+        registered=True,
+        warnings=tuple(warnings),
+    )
+
+
+__all__ = [
+    "ComplianceMode",
+    "DatasetDownloadUnavailableError",
+    "DatasetPrepareResult",
+    "prepare_dataset",
+]

@@ -1,0 +1,154 @@
+"""Persisted dataset registry with health auditing.
+
+Parity surface: reference ``ser/_internal/data/dataset_registry.py`` +
+``dataset_audit.py`` — prepared datasets are recorded (root, manifest,
+utterance count, revision, timestamps) and the registry is auditable for
+missing paths and unreadable manifests.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import asdict, dataclass
+from pathlib import Path
+
+from ser_tpu._internal.config.schema import AppConfig, default_data_root
+from ser_tpu._internal.utils.logger import get_logger
+
+logger = get_logger(__name__)
+
+
+@dataclass(frozen=True)
+class DatasetRegistryRecord:
+    """One registered prepared dataset."""
+
+    dataset_id: str
+    dataset_root: str
+    manifest_path: str
+    utterance_count: int
+    revision: str | None = None
+    prepared_at_unix: float = 0.0
+
+
+@dataclass(frozen=True)
+class DatasetRegistryHealthIssueRecord:
+    """One registry health problem."""
+
+    dataset_id: str
+    issue_kind: str
+    message: str
+
+
+def _registry_path(settings: AppConfig | None = None) -> Path:
+    return default_data_root() / "registry" / "datasets.json"
+
+
+def _read_raw(settings: AppConfig | None = None) -> dict[str, dict]:
+    path = _registry_path(settings)
+    if not path.exists():
+        return {}
+    try:
+        data = json.loads(path.read_text(encoding="utf-8"))
+        return data if isinstance(data, dict) else {}
+    except (OSError, json.JSONDecodeError):
+        logger.warning("Unreadable dataset registry at %s", path)
+        return {}
+
+
+def list_registered_datasets(
+    *, settings: AppConfig | None = None
+) -> tuple[DatasetRegistryRecord, ...]:
+    """All registered datasets in deterministic order."""
+    raw = _read_raw(settings)
+    records = []
+    for dataset_id in sorted(raw):
+        entry = raw[dataset_id]
+        records.append(
+            DatasetRegistryRecord(
+                dataset_id=dataset_id,
+                dataset_root=str(entry.get("dataset_root", "")),
+                manifest_path=str(entry.get("manifest_path", "")),
+                utterance_count=int(entry.get("utterance_count", 0)),
+                revision=entry.get("revision"),
+                prepared_at_unix=float(entry.get("prepared_at_unix", 0.0)),
+            )
+        )
+    return tuple(records)
+
+
+def register_dataset(record: DatasetRegistryRecord, *, settings: AppConfig | None = None) -> None:
+    """Upserts one dataset record (atomic write)."""
+    raw = _read_raw(settings)
+    entry = asdict(record)
+    entry.pop("dataset_id")
+    raw[record.dataset_id] = entry
+    path = _registry_path(settings)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(".tmp")
+    tmp.write_text(json.dumps(raw, indent=2), encoding="utf-8")
+    tmp.replace(path)
+
+
+def audit_registry_health(
+    *, settings: AppConfig | None = None
+) -> tuple[DatasetRegistryHealthIssueRecord, ...]:
+    """Checks registered datasets for missing roots/manifests and bad counts."""
+    issues: list[DatasetRegistryHealthIssueRecord] = []
+    for record in list_registered_datasets(settings=settings):
+        if not Path(record.dataset_root).exists():
+            issues.append(
+                DatasetRegistryHealthIssueRecord(
+                    dataset_id=record.dataset_id,
+                    issue_kind="missing_root",
+                    message=f"Dataset root missing: {record.dataset_root}",
+                )
+            )
+        manifest = Path(record.manifest_path)
+        if not manifest.exists():
+            issues.append(
+                DatasetRegistryHealthIssueRecord(
+                    dataset_id=record.dataset_id,
+                    issue_kind="missing_manifest",
+                    message=f"Manifest missing: {record.manifest_path}",
+                )
+            )
+            continue
+        try:
+            from ser_tpu._internal.data.manifest import read_manifest_jsonl
+
+            utterances = read_manifest_jsonl(manifest)
+            if len(utterances) != record.utterance_count:
+                issues.append(
+                    DatasetRegistryHealthIssueRecord(
+                        dataset_id=record.dataset_id,
+                        issue_kind="count_mismatch",
+                        message=(
+                            f"Manifest has {len(utterances)} utterances, registry "
+                            f"records {record.utterance_count}."
+                        ),
+                    )
+                )
+        except Exception as err:  # noqa: BLE001 - any manifest defect is an issue
+            issues.append(
+                DatasetRegistryHealthIssueRecord(
+                    dataset_id=record.dataset_id,
+                    issue_kind="unreadable_manifest",
+                    message=f"Manifest unreadable: {err}",
+                )
+            )
+    return tuple(issues)
+
+
+def now_unix() -> float:
+    return time.time()
+
+
+__all__ = [
+    "DatasetRegistryHealthIssueRecord",
+    "DatasetRegistryRecord",
+    "audit_registry_health",
+    "list_registered_datasets",
+    "now_unix",
+    "register_dataset",
+]

@@ -107,4 +107,48 @@ def train_fast_model(*, settings: AppConfig | None = None) -> dict[str, Any]:
     return report
 
 
-__all__ = ["TrainingDataError", "train_fast_model"]
+def train_from_prepared(
+    *, plan_path, settings: AppConfig, profile: str = "fast"
+) -> dict[str, Any]:
+    """Trains the head from a digest-validated prepared plan (resume path)."""
+    from sklearn.model_selection import train_test_split
+
+    from ser_tpu._internal.models.training_readiness import load_prepared_plan
+
+    features, labels = load_prepared_plan(plan_path, settings=settings, profile=profile)
+    x_train, x_test, y_train, y_test = train_test_split(
+        features,
+        labels,
+        test_size=settings.training.test_size,
+        random_state=settings.training.random_state,
+        stratify=labels if settings.training.stratify_split else None,
+    )
+    model = JaxMLPClassifier.from_config(settings.nn)
+    model.fit(x_train, y_train)
+    y_pred = [str(item) for item in model.predict(x_test)]
+    metrics = compute_ser_metrics(y_true=y_test, y_pred=y_pred)
+    report = {
+        "profile": profile,
+        "backend_id": "handcrafted",
+        "accuracy": accuracy(y_test, y_pred),
+        "uar": metrics["uar"],
+        "macro_f1": metrics["macro_f1"],
+        "training_samples": len(y_train),
+        "from_prepared_plan": str(plan_path),
+    }
+    metadata = artifacts.build_artifact_metadata(
+        feature_vector_size=int(x_train.shape[1]),
+        training_samples=len(y_train),
+        labels=sorted(set(y_train)),
+        backend_id="handcrafted",
+        profile=profile,
+        seed=settings.nn.random_state,
+        provenance={"framework": "ser_tpu", "trainer": "prepared_plan"},
+    )
+    report["model_path"] = artifacts.save_model_artifact(
+        artifacts.build_model_artifact(model, metadata), settings.models.model_file
+    )
+    return report
+
+
+__all__ = ["TrainingDataError", "train_fast_model", "train_from_prepared"]

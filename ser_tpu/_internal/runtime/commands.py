@@ -10,7 +10,10 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import TypeVar
 
-from ser_tpu._internal.runtime.errors import InferenceTimeoutError
+from ser_tpu._internal.runtime.errors import (
+    InferenceTimeoutError,
+    ModelUnavailableError,
+)
 from ser_tpu._internal.runtime.registry import UnsupportedProfileError
 from ser_tpu._internal.runtime.restricted_backends import RestrictedBackendError
 from ser_tpu._internal.utils.logger import get_logger
@@ -29,6 +32,7 @@ _VALIDATION_ERRORS = (
     FileNotFoundError,
     UnsupportedProfileError,
     RestrictedBackendError,
+    ModelUnavailableError,  # user-actionable precondition: train first
 )
 
 

@@ -49,8 +49,8 @@ def run_fast_inference(
                     timeout_seconds=runtime.timeout_seconds,
                     profile="fast",
                 )
-            except InferenceError:
-                raise
+            except (InferenceError, FileNotFoundError, ValueError):
+                raise  # typed / validation errors keep their classification
             except Exception as err:
                 raise InferenceExecutionError(
                     f"{type(err).__name__}: {err}", profile="fast"

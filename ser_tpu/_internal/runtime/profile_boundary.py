@@ -130,8 +130,8 @@ def run_profile_inference(
                         timeout_seconds=runtime.timeout_seconds,
                         profile=spec.profile,
                     )
-                except InferenceError:
-                    raise
+                except (InferenceError, FileNotFoundError, ValueError):
+                    raise  # typed / validation errors keep their classification
                 except Exception as err:
                     raise InferenceExecutionError(
                         f"{type(err).__name__}: {err}", profile=spec.profile

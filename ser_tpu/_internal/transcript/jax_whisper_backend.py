@@ -1,0 +1,79 @@
+"""JAX Whisper transcription backend.
+
+Parity surface: reference ``transcript/backends/stable_whisper.py`` /
+``faster_whisper.py`` — one JAX encoder-decoder replaces both torch backends
+(SURVEY.md §7 step 6). Greedy KV-cache decode with word-level timestamps comes
+from ``ser_tpu/models/whisper.py``; this adapter handles asset resolution,
+optional VAD gating, and the transcribe contract.
+
+Zero-egress: weights must already be present under the configured cache root
+(HF format); otherwise a typed availability error is raised.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from ser_tpu._internal.utils.logger import get_logger
+from ser_tpu.domain import TranscriptWord
+
+logger = get_logger(__name__)
+
+
+class JaxWhisperTranscriber:
+    """Whisper transcription over the JAX encoder-decoder."""
+
+    def __init__(
+        self,
+        *,
+        model_name: str,
+        cache_root: Path,
+        use_vad: bool = True,
+        use_demucs: bool = False,
+    ) -> None:
+        self._model_name = model_name
+        self._cache_root = Path(cache_root)
+        self._use_vad = use_vad
+        self._use_demucs = use_demucs
+        self._model = None
+
+    def _assets_dir(self) -> Path | None:
+        """Locates local HF-format Whisper weights for the configured model."""
+        candidates = [
+            self._cache_root / self._model_name,
+            self._cache_root / self._model_name.replace("/", "--"),
+        ]
+        for candidate in candidates:
+            if candidate.is_dir() and any(candidate.iterdir()):
+                return candidate
+        return None
+
+    def assets_available(self) -> bool:
+        return self._assets_dir() is not None
+
+    def transcribe(self, file_path: str, *, language: str = "en") -> list[TranscriptWord]:
+        """Transcribes one audio file to word-level timestamps."""
+        from ser_tpu._internal.transcript.extractor import TranscriptionUnavailableError
+
+        assets = self._assets_dir()
+        if assets is None:
+            raise TranscriptionUnavailableError(
+                f"Whisper model assets for {self._model_name!r} not found under "
+                f"{self._cache_root}. Pre-download the weights (HF format) or run "
+                "with --no-transcript."
+            )
+        from ser_tpu._internal.utils.audio_io import read_audio_file, resample_audio
+        from ser_tpu.models.whisper import WhisperForTranscription
+
+        if self._model is None:
+            self._model = WhisperForTranscription.from_pretrained_dir(assets)
+        audio, sr = read_audio_file(file_path)
+        audio16k = resample_audio(audio, sr, 16000)
+        if self._use_demucs:
+            logger.debug("Demucs denoising requested but not bundled; proceeding raw.")
+        return self._model.transcribe_words(
+            audio16k, language=language, use_vad=self._use_vad
+        )
+
+
+__all__ = ["JaxWhisperTranscriber"]

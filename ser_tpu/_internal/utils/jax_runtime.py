@@ -29,6 +29,17 @@ def ensure_compilation_cache() -> None:
     try:
         import jax
 
+        honor_platform_env()
+        # Remote-compile plugins (PALLAS_AXON_REMOTE_COMPILE) produce host
+        # executables built for the *remote* machine's CPU; caching those
+        # locally risks SIGILL on replay. Cache only local-compile configs.
+        if (
+            os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1"
+            and "axon" in (jax.config.jax_platforms or "")
+        ):
+            logger.debug("Remote-compile platform active; skipping local XLA cache.")
+            return
+
         from ser_tpu._internal.config.schema import default_cache_root
 
         cache_dir = os.environ.get("SER_JAX_CACHE_DIR") or str(default_cache_root() / "jax-cache")
@@ -39,4 +50,24 @@ def ensure_compilation_cache() -> None:
         logger.warning("Could not enable JAX compilation cache: %s", err)
 
 
-__all__ = ["ensure_compilation_cache"]
+def honor_platform_env() -> None:
+    """Re-applies ``JAX_PLATFORMS`` from the environment to the live config.
+
+    Some TPU plugins pin ``jax_platforms`` at interpreter start (before user
+    code runs), which silently overrides the conventional env-var contract.
+    Calling this before the first backend initialization restores env-var
+    control (e.g. ``JAX_PLATFORMS=cpu`` for CPU-only test subprocesses).
+    """
+    requested = os.environ.get("JAX_PLATFORMS", "").strip()
+    if not requested:
+        return
+    try:
+        import jax
+
+        if jax.config.jax_platforms != requested:
+            jax.config.update("jax_platforms", requested)
+    except Exception as err:  # pragma: no cover
+        logger.warning("Could not honor JAX_PLATFORMS=%s: %s", requested, err)
+
+
+__all__ = ["ensure_compilation_cache", "honor_platform_env"]
