@@ -1,0 +1,132 @@
+"""Shared machinery for transformer encoder backends: chunking + batching.
+
+Parity surface: reference ``ser/_internal/repr/hf_xlsr.py`` (30 s max chunks at
+``:92,185-227``, even per-chunk timestamp interpolation, non-finite → float32
+retry at ``:262-300``). TPU-first difference: the reference encodes chunks
+*sequentially* through torch; here all chunks of a clip form ONE batched
+fixed-shape jitted call (chunk lengths bucketed, padded frames masked out of
+attention), so long audio parallelizes instead of serializing (SURVEY §2.10
+item 6).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from pathlib import Path
+
+import numpy as np
+
+from ser_tpu._internal.repr.backend import EncodedSequence
+from ser_tpu._internal.utils.audio_io import resample_audio
+from ser_tpu._internal.utils.jax_runtime import ensure_compilation_cache
+from ser_tpu._internal.utils.logger import get_logger
+
+logger = get_logger(__name__)
+
+ENCODER_SAMPLE_RATE = 16000
+MAX_CHUNK_SECONDS = 30.0
+#: Chunk-length buckets (seconds) to bound jit recompilation.
+_CHUNK_BUCKETS_SECONDS = (1, 2, 4, 8, 15, 30)
+
+ensure_compilation_cache()
+
+
+def resolve_local_model_dir(cache_root: Path, model_id: str) -> Path | None:
+    """Finds a local HF-format weights dir for one model id (no network)."""
+    cache_root = Path(cache_root)
+    candidates = [
+        cache_root / model_id,
+        cache_root / model_id.replace("/", "--"),
+        cache_root / "hub" / f"models--{model_id.replace('/', '--')}",
+    ]
+    for candidate in candidates:
+        if (candidate / "config.json").exists():
+            return candidate
+        snapshots = candidate / "snapshots"
+        if snapshots.is_dir():
+            for snap in sorted(snapshots.iterdir(), reverse=True):
+                if (snap / "config.json").exists():
+                    return snap
+    return None
+
+
+def plan_chunks(n_samples: int, sample_rate: int = ENCODER_SAMPLE_RATE):
+    """Splits a clip into <=30 s chunks; returns [(start, length), ...]."""
+    max_len = int(MAX_CHUNK_SECONDS * sample_rate)
+    starts = list(range(0, n_samples, max_len))
+    return [(s, min(max_len, n_samples - s)) for s in starts if n_samples - s > 0]
+
+
+def bucket_samples(length: int, sample_rate: int = ENCODER_SAMPLE_RATE) -> int:
+    """Smallest bucket (in samples) holding ``length``."""
+    for seconds in _CHUNK_BUCKETS_SECONDS:
+        if length <= seconds * sample_rate:
+            return int(seconds * sample_rate)
+    return int(_CHUNK_BUCKETS_SECONDS[-1] * sample_rate)
+
+
+def chunked_encode(
+    audio: np.ndarray,
+    sample_rate: int,
+    *,
+    encode_batch: Callable[[np.ndarray, np.ndarray], np.ndarray],
+    frames_for_length: Callable[[int], int],
+    backend_id: str,
+) -> EncodedSequence:
+    """Runs one clip through the batched chunk encoder with exact timestamps.
+
+    ``encode_batch(chunks (B, L), lengths (B,)) -> (B, F_max, D)`` embeddings
+    (padded frames arbitrary); ``frames_for_length(samples) -> n_valid``.
+    Timestamps are evenly interpolated across each chunk's true duration
+    (reference hf_xlsr.py:185-227 semantics).
+    """
+    if audio.ndim != 1 or audio.size == 0:
+        raise ValueError("audio must be non-empty mono.")
+    audio16k = resample_audio(np.asarray(audio, dtype=np.float32), sample_rate, ENCODER_SAMPLE_RATE)
+    chunks = plan_chunks(audio16k.size)
+    bucket = max(bucket_samples(length) for _, length in chunks)
+
+    batch = np.zeros((len(chunks), bucket), dtype=np.float32)
+    lengths = np.zeros(len(chunks), dtype=np.int32)
+    for row, (start, length) in enumerate(chunks):
+        batch[row, :length] = audio16k[start : start + length]
+        lengths[row] = length
+
+    embeddings_batch = np.asarray(encode_batch(batch, lengths))
+    if not np.all(np.isfinite(embeddings_batch)):
+        # Reference behavior: retry in float32 after a non-finite result.
+        logger.warning("Non-finite embeddings from %s; retrying in float32.", backend_id)
+        embeddings_batch = np.asarray(
+            encode_batch(batch.astype(np.float32), lengths)
+        ).astype(np.float64)
+        if not np.all(np.isfinite(embeddings_batch)):
+            raise ValueError(f"Backend {backend_id} produced non-finite embeddings.")
+
+    all_embeddings, starts_s, ends_s = [], [], []
+    for row, (start, length) in enumerate(chunks):
+        n_valid = max(1, frames_for_length(length))
+        valid = embeddings_batch[row, :n_valid]
+        chunk_start = start / ENCODER_SAMPLE_RATE
+        chunk_duration = length / ENCODER_SAMPLE_RATE
+        frame_duration = chunk_duration / n_valid
+        frame_starts = chunk_start + frame_duration * np.arange(n_valid)
+        all_embeddings.append(valid)
+        starts_s.append(frame_starts)
+        ends_s.append(frame_starts + frame_duration)
+
+    return EncodedSequence(
+        embeddings=np.concatenate(all_embeddings).astype(np.float32),
+        frame_start_seconds=np.concatenate(starts_s).astype(np.float64),
+        frame_end_seconds=np.concatenate(ends_s).astype(np.float64),
+        backend_id=backend_id,
+    )
+
+
+__all__ = [
+    "ENCODER_SAMPLE_RATE",
+    "MAX_CHUNK_SECONDS",
+    "bucket_samples",
+    "chunked_encode",
+    "plan_chunks",
+    "resolve_local_model_dir",
+]

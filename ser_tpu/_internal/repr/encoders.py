@@ -10,16 +10,50 @@ runtime-dependency error (reference analogue: ``hf_xlsr.py`` model resolution
 
 from __future__ import annotations
 
+import threading
+
 from ser_tpu._internal.config.schema import AppConfig
 from ser_tpu._internal.repr.runtime_policy import resolve_feature_runtime
 from ser_tpu._internal.runtime.errors import RuntimeDependencyError
 from ser_tpu.profiles import ProfileName, get_profile_catalog
 
+#: Backend instances are expensive (weights in HBM, warmed jit caches) — reuse
+#: them per (backend_id, model_id, dtype) across attempts.
+_BACKEND_CACHE: dict[tuple[str, str, str], object] = {}
+_BACKEND_CACHE_LOCK = threading.Lock()
+
 
 def build_encoder_backend(
     profile: ProfileName, *, settings: AppConfig, device_kind: str = "auto"
 ):
-    """Builds the encoder FeatureBackend for one transformer profile."""
+    """Builds (or reuses) the encoder FeatureBackend for one transformer profile."""
+    spec = get_profile_catalog()[profile]
+    model_id = {
+        "medium": settings.models.medium_model_id,
+        "accurate": settings.models.accurate_model_id,
+        "accurate-research": settings.models.accurate_research_model_id,
+    }.get(profile, "")
+    runtime_probe = resolve_feature_runtime(
+        spec.backend_id,
+        torch_runtime=settings.torch_runtime,
+        policy=settings.feature_runtime_policy,
+    )
+    dtype_probe = runtime_probe.dtype if device_kind != "cpu" else "float32"
+    cache_key = (spec.backend_id, model_id, dtype_probe)
+    with _BACKEND_CACHE_LOCK:
+        cached = _BACKEND_CACHE.get(cache_key)
+        if cached is not None:
+            return cached
+        backend = _build_encoder_backend_uncached(
+            profile, settings=settings, device_kind=device_kind
+        )
+        _BACKEND_CACHE[cache_key] = backend
+        return backend
+
+
+def _build_encoder_backend_uncached(
+    profile: ProfileName, *, settings: AppConfig, device_kind: str = "auto"
+):
     spec = get_profile_catalog()[profile]
     runtime = resolve_feature_runtime(
         spec.backend_id,
