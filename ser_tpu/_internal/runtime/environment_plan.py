@@ -1,0 +1,62 @@
+"""Typed runtime-environment deltas applied around workflows.
+
+Parity surface: reference ``ser/_internal/runtime/environment_plan.py:72-101``
++ ``process_env.py:12-30`` — a typed plan of env-var deltas (model cache
+roots, runtime knobs) applied for the workflow scope and restored afterwards.
+The torch/MPS-specific entries become JAX/HF cache entries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from contextlib import contextmanager
+from dataclasses import dataclass, field
+import os
+
+from ser_tpu._internal.config.schema import AppConfig
+
+
+@dataclass(frozen=True)
+class RuntimeEnvironmentPlan:
+    """Environment variable deltas for one workflow execution."""
+
+    set_vars: dict[str, str] = field(default_factory=dict)
+    unset_vars: tuple[str, ...] = ()
+
+
+def build_runtime_environment_plan(settings: AppConfig) -> RuntimeEnvironmentPlan:
+    """Builds the cache-root env plan for the active settings snapshot."""
+    return RuntimeEnvironmentPlan(
+        set_vars={
+            "HF_HOME": str(settings.models.huggingface_cache_root),
+            "HF_HUB_OFFLINE": "1",  # this runtime never downloads at inference time
+            "SER_TMP_ACTIVE": str(settings.tmp_folder),
+        }
+    )
+
+
+@contextmanager
+def temporary_process_env(plan: RuntimeEnvironmentPlan) -> Iterator[None]:
+    """Applies one env plan for the scope, restoring previous values after."""
+    saved: dict[str, str | None] = {}
+    try:
+        for key, value in plan.set_vars.items():
+            saved[key] = os.environ.get(key)
+            os.environ[key] = value
+        for key in plan.unset_vars:
+            saved[key] = os.environ.get(key)
+            os.environ.pop(key, None)
+        yield
+    finally:
+        for key, previous in saved.items():
+            if previous is None:
+                os.environ.pop(key, None)
+            else:
+                os.environ[key] = previous
+
+
+__all__ = [
+    "RuntimeEnvironmentPlan",
+    "build_runtime_environment_plan",
+    "temporary_process_env",
+]

