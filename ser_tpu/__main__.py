@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--prepare-only", action="store_true")
     parser.add_argument("--prepared-plan", type=str, default=None)
     parser.add_argument("--dataset-recipe", type=str, default=None)
+    parser.add_argument(
+        "--calibrate-transcription-runtime",
+        action="store_true",
+        help="Profile transcription candidates (WER + latency) and persist a recommendation.",
+    )
     parser.add_argument("--log-level", type=str, default=None)
 
     subparsers = parser.add_subparsers(dest="command")
@@ -208,6 +213,68 @@ def _preflight_gate(args, settings) -> int | None:
     return None
 
 
+def _run_transcription_calibration(settings) -> int:
+    """Profiles transcription candidates against RAVDESS canonical sentences.
+
+    Requires locally staged Whisper assets and a dataset of labeled clips;
+    persists the recommendation consumed by admission control.
+    """
+    from ser_tpu._internal.data.loader import discover_dataset_files
+    from ser_tpu._internal.transcript.extractor import TranscriptionUnavailableError
+    from ser_tpu._internal.transcript.jax_whisper_backend import JaxWhisperTranscriber
+    from ser_tpu._internal.transcript.profiling import (
+        RAVDESS_CANONICAL_SENTENCES,
+        profile_transcription_candidate,
+        recommend_default,
+        save_calibration_report,
+    )
+
+    files = discover_dataset_files(settings)[:6]
+    if not files:
+        logger.error("Calibration needs dataset audio (SER_DATASET_FOLDER).")
+        return EXIT_VALIDATION
+    # RAVDESS statement code is field 5: 01 → sentence 0, 02 → sentence 1.
+    samples = []
+    for file in files:
+        parts = file.rsplit("/", 1)[-1].split("-")
+        sentence = RAVDESS_CANONICAL_SENTENCES[0]
+        if len(parts) >= 5 and parts[4] == "02":
+            sentence = RAVDESS_CANONICAL_SENTENCES[1]
+        samples.append((file, sentence))
+
+    candidates = []
+    for model_name in (settings.models.whisper_model.name,):
+        transcriber = JaxWhisperTranscriber(
+            model_name=model_name,
+            cache_root=settings.models.whisper_download_root,
+            use_vad=settings.transcription.use_vad,
+            use_demucs=settings.transcription.use_demucs,
+        )
+        try:
+            candidates.append(
+                profile_transcription_candidate(
+                    lambda path, t=transcriber: t.transcribe(path),
+                    samples,
+                    backend_id="jax_whisper",
+                    model_name=model_name,
+                )
+            )
+        except TranscriptionUnavailableError as err:
+            logger.error("%s", err)
+            return EXIT_VALIDATION
+    recommendation = recommend_default(candidates)
+    report_path = settings.transcription.calibration_report_path or (
+        settings.tmp_folder / "transcription_calibration.json"
+    )
+    path = save_calibration_report(recommendation, candidates, report_path)
+    print(
+        f"Recommended: {recommendation.model_name} "
+        f"(WER {recommendation.mean_wer:.2f}, p50 {recommendation.p50_latency_seconds:.1f}s, "
+        f"confidence {recommendation.confidence}) → {path}"
+    )
+    return EXIT_OK
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
@@ -225,6 +292,9 @@ def main(argv: list[str] | None = None) -> int:
         return _run_doctor(args, settings)
     if args.command == "data":
         return _run_data(args, settings)
+
+    if args.calibrate_transcription_runtime:
+        return _run_transcription_calibration(settings)
 
     if args.disable_timeouts:
         settings = _disable_timeouts(settings)

@@ -192,6 +192,47 @@ def load_data(
     return x_train, x_test, [str(l) for l in split[2]], [str(l) for l in split[3]]
 
 
+def load_utterances(
+    *,
+    settings: AppConfig | None = None,
+    allow_prepare: bool = True,
+):
+    """Loads manifest utterances when configured, else RAVDESS glob discovery.
+
+    Reference ``data_loader.py:199-208`` semantics: configured manifests win;
+    otherwise the dataset folder is scanned and utterances synthesized from
+    RAVDESS filenames. Returns ``list[Utterance] | None``.
+    """
+    from ser_tpu._internal.data.manifest import Utterance, read_manifest_jsonl
+
+    settings = _resolve_settings(settings)
+    if settings.dataset.manifest_paths:
+        utterances = []
+        for manifest in settings.dataset.manifest_paths:
+            utterances.extend(read_manifest_jsonl(manifest))
+        return utterances or None
+
+    emotion_map = dict(settings.emotions)
+    utterances = []
+    for file in discover_dataset_files(settings):
+        code = extract_ravdess_emotion_code(os.path.basename(file))
+        label = emotion_map.get(code or "")
+        if label is None:
+            continue
+        utterances.append(
+            Utterance(
+                sample_id=os.path.splitext(os.path.basename(file))[0],
+                corpus="ravdess",
+                audio_path=file,
+                label=label,
+                raw_label=code or "",
+                speaker_id=extract_ravdess_speaker_id_from_path(file),
+                language=settings.default_language,
+            )
+        )
+    return utterances or None
+
+
 __all__ = [
     "LoadedClip",
     "discover_dataset_files",
@@ -199,4 +240,5 @@ __all__ = [
     "extract_ravdess_speaker_id_from_path",
     "load_data",
     "load_labeled_clips",
+    "load_utterances",
 ]

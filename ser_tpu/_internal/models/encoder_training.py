@@ -49,16 +49,35 @@ def _windowed_dataset(
     """Per-window mean+std features with labels and sample ids."""
     min_std = settings.medium_training.min_window_std
     max_windows = settings.medium_training.max_windows_per_clip
+
+    # Decode + cache-probe everything first, then batch-encode the misses in
+    # large cross-clip chunk batches (TPU path) instead of per-utterance calls.
+    decoded: dict[str, tuple[np.ndarray, int]] = {}
+    encoded_by_path: dict[str, object] = {}
+    for path, _label, _speaker in files:
+        audio, sr = read_audio_file(path, audio_read_config=settings.audio_read)
+        decoded[path] = (audio, sr)
+        if cache is not None:
+            hit = cache.load(path, audio=audio)
+            if hit is not None:
+                encoded_by_path[path] = hit
+    misses = [path for path, _, _ in files if path not in encoded_by_path]
+    if misses:
+        encode_many = getattr(backend, "encode_sequences", None)
+        if callable(encode_many):
+            for path, encoded in zip(misses, encode_many([decoded[p] for p in misses])):
+                encoded_by_path[path] = encoded
+        else:
+            for path in misses:
+                audio, sr = decoded[path]
+                encoded_by_path[path] = backend.encode_sequence(audio, sr)
+        if cache is not None:
+            for path in misses:
+                cache.store(path, encoded_by_path[path], audio=decoded[path][0])
+
     rows, labels, sample_ids = [], [], []
     for path, label, _speaker in files:
-        audio, sr = read_audio_file(path, audio_read_config=settings.audio_read)
-        encoded = None
-        if cache is not None:
-            encoded = cache.load(path, audio=audio)
-        if encoded is None:
-            encoded = backend.encode_sequence(audio, sr)
-            if cache is not None:
-                cache.store(path, encoded, audio=audio)
+        encoded = encoded_by_path[path]
         windows = temporal_pooling_windows(
             encoded, window_size_seconds=window_size, window_stride_seconds=window_stride
         )
@@ -94,6 +113,27 @@ def train_encoder_profile_model(
     spec = get_profile_catalog()[profile]
     started = time.time()
 
+    from ser_tpu._internal.models.training_orchestration import (
+        current_training_run,
+        ensure_entrypoint_readiness,
+        training_operation_scope,
+    )
+    from contextlib import nullcontext
+
+    scope = (
+        nullcontext() if current_training_run() is not None
+        else training_operation_scope(profile)
+    )
+    with scope:
+        ensure_entrypoint_readiness(settings=settings, profile=profile)
+        return _train_encoder_profile_model_ready(
+            profile=profile, settings=settings, backend=backend, spec=spec, started=started
+        )
+
+
+def _train_encoder_profile_model_ready(
+    *, profile, settings, backend, spec, started
+) -> dict[str, Any]:
     if backend is None:
         from ser_tpu._internal.repr.encoders import build_encoder_backend
 

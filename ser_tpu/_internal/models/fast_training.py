@@ -35,6 +35,25 @@ def train_fast_model(*, settings: AppConfig | None = None) -> dict[str, Any]:
     settings = settings if settings is not None else reload_settings()
     started = time.time()
 
+    from contextlib import nullcontext
+
+    from ser_tpu._internal.models.training_orchestration import (
+        current_training_run,
+        ensure_entrypoint_readiness,
+        training_operation_scope,
+    )
+
+    scope = (
+        nullcontext()
+        if current_training_run() is not None
+        else training_operation_scope("fast")
+    )
+    with scope:
+        ensure_entrypoint_readiness(settings=settings, profile="fast")
+        return _train_fast_model_ready(settings, started)
+
+
+def _train_fast_model_ready(settings: AppConfig, started: float) -> dict[str, Any]:
     split = loader.load_data(settings=settings)
     if split is None:
         raise TrainingDataError(

@@ -122,11 +122,88 @@ def chunked_encode(
     )
 
 
+def chunked_encode_many(
+    clips: list[tuple[np.ndarray, int]],
+    *,
+    encode_batch: Callable[[np.ndarray, np.ndarray], np.ndarray],
+    frames_for_length: Callable[[int], int],
+    backend_id: str,
+    max_batch_chunks: int = 32,
+    attention_score_budget: float = 5e7,
+) -> list[EncodedSequence]:
+    """Encodes MANY clips with chunks pooled into large cross-clip batches.
+
+    The training-path replacement for per-utterance sequential encoding
+    (reference ``medium_feature_dataset.py:48-113`` iterates per utterance):
+    all clips' 30 s chunks are flattened, grouped into one bucket shape, and
+    fed through the encoder in ``max_batch_chunks``-sized device batches, then
+    scattered back into per-clip ``EncodedSequence``s.
+    """
+    # Flatten chunk work items: (clip_index, start_sample, length, audio16k ref)
+    resampled: list[np.ndarray] = []
+    work: list[tuple[int, int, int]] = []
+    for clip_index, (audio, sr) in enumerate(clips):
+        if audio.ndim != 1 or audio.size == 0:
+            raise ValueError("Every clip must be non-empty mono audio.")
+        audio16k = resample_audio(
+            np.asarray(audio, dtype=np.float32), sr, ENCODER_SAMPLE_RATE
+        )
+        resampled.append(audio16k)
+        for start, length in plan_chunks(audio16k.size):
+            work.append((clip_index, start, length))
+
+    bucket = max(bucket_samples(length) for _, _, length in work)
+    # Bound B so B * F^2 attention scores stay within budget (tiny test
+    # configs have very short conv strides → huge frame counts per chunk).
+    frames_per_chunk = max(1, frames_for_length(bucket))
+    batch_cap = max(1, min(max_batch_chunks, int(attention_score_budget // (frames_per_chunk**2))))
+    chunk_embeddings: dict[int, np.ndarray] = {}
+    for batch_start in range(0, len(work), batch_cap):
+        batch_work = work[batch_start : batch_start + batch_cap]
+        batch = np.zeros((len(batch_work), bucket), dtype=np.float32)
+        lengths = np.zeros(len(batch_work), dtype=np.int32)
+        for row, (clip_index, start, length) in enumerate(batch_work):
+            batch[row, :length] = resampled[clip_index][start : start + length]
+            lengths[row] = length
+        out = np.asarray(encode_batch(batch, lengths))
+        for row in range(len(batch_work)):
+            chunk_embeddings[batch_start + row] = out[row]
+
+    # Reassemble per clip with even per-chunk timestamp interpolation.
+    sequences: list[EncodedSequence] = []
+    work_index = 0
+    for clip_index, audio16k in enumerate(resampled):
+        embeddings, starts_s, ends_s = [], [], []
+        for start, length in plan_chunks(audio16k.size):
+            n_valid = max(1, frames_for_length(length))
+            valid = chunk_embeddings[work_index][:n_valid]
+            work_index += 1
+            chunk_start = start / ENCODER_SAMPLE_RATE
+            frame_duration = (length / ENCODER_SAMPLE_RATE) / n_valid
+            frame_starts = chunk_start + frame_duration * np.arange(n_valid)
+            embeddings.append(valid)
+            starts_s.append(frame_starts)
+            ends_s.append(frame_starts + frame_duration)
+        stacked = np.concatenate(embeddings).astype(np.float32)
+        if not np.all(np.isfinite(stacked)):
+            raise ValueError(f"Backend {backend_id} produced non-finite embeddings.")
+        sequences.append(
+            EncodedSequence(
+                embeddings=stacked,
+                frame_start_seconds=np.concatenate(starts_s).astype(np.float64),
+                frame_end_seconds=np.concatenate(ends_s).astype(np.float64),
+                backend_id=backend_id,
+            )
+        )
+    return sequences
+
+
 __all__ = [
     "ENCODER_SAMPLE_RATE",
     "MAX_CHUNK_SECONDS",
     "bucket_samples",
     "chunked_encode",
+    "chunked_encode_many",
     "plan_chunks",
     "resolve_local_model_dir",
 ]

@@ -119,6 +119,21 @@ class XlsrBackend:
             backend_id=self.backend_id,
         )
 
+    def encode_sequences(
+        self, clips: list[tuple[np.ndarray, int]]
+    ) -> list[EncodedSequence]:
+        """Encodes many clips with cross-clip chunk batching (training path)."""
+        from ser_tpu._internal.repr.encoder_backend import chunked_encode_many
+
+        return chunked_encode_many(
+            clips,
+            encode_batch=lambda batch, lengths: _encode_chunks(
+                self._model, self._params, jnp.asarray(batch), jnp.asarray(lengths)
+            ),
+            frames_for_length=self._frames_for_length,
+            backend_id=self.backend_id,
+        )
+
     def pool(
         self, encoded: EncodedSequence, windows: Sequence[PoolingWindow]
     ) -> FeatureMatrix:

@@ -133,6 +133,21 @@ def run_profile_inference(
                 except (InferenceError, FileNotFoundError, ValueError):
                     raise  # typed / validation errors keep their classification
                 except Exception as err:
+                    from ser_tpu._internal.runtime.oom import is_device_oom, parse_device_oom
+
+                    if is_device_oom(err):
+                        info = parse_device_oom(err)
+                        detail = (
+                            f" (requested {info.requested_bytes} B)"
+                            if info.requested_bytes
+                            else ""
+                        )
+                        from ser_tpu._internal.runtime.errors import TransientInferenceError
+
+                        raise TransientInferenceError(
+                            f"Device OOM during inference{detail}; retry/fallback eligible.",
+                            profile=spec.profile,
+                        ) from err
                     raise InferenceExecutionError(
                         f"{type(err).__name__}: {err}", profile=spec.profile
                     ) from err

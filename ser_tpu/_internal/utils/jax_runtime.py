@@ -42,7 +42,13 @@ def ensure_compilation_cache() -> None:
 
         from ser_tpu._internal.config.schema import default_cache_root
 
-        cache_dir = os.environ.get("SER_JAX_CACHE_DIR") or str(default_cache_root() / "jax-cache")
+        # Per-platform cache dirs: remote-compile plugins can deposit foreign-
+        # machine host executables, so cpu-only processes must not share a dir
+        # with accelerator-enabled ones.
+        platform_tag = (jax.config.jax_platforms or "default").replace(",", "-")
+        cache_dir = os.environ.get("SER_JAX_CACHE_DIR") or str(
+            default_cache_root() / f"jax-cache-{platform_tag}"
+        )
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         logger.debug("JAX compilation cache enabled at %s", cache_dir)

@@ -501,10 +501,10 @@ def _trim_silence(
     energy = (audio[: n * frame].reshape(n, frame) ** 2).mean(axis=1)
     ref = float(energy.max())
     if ref <= 0:
-        return audio
+        return audio[:0]  # pure silence: nothing to transcribe
     active = 10.0 * np.log10(energy / ref + 1e-12) > threshold_db
     if not active.any():
-        return audio
+        return audio[:0]
     first, last = np.flatnonzero(active)[[0, -1]]
     return audio[first * frame : (last + 1) * frame]
 

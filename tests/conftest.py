@@ -29,7 +29,7 @@ def _enable_persistent_compile_cache() -> None:
     """Caches XLA compilations on disk so reruns skip the expensive compiles."""
     import jax
 
-    cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+    cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")
     jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache_dir))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
