@@ -163,7 +163,20 @@ def read_audio_file(
     last_error: Exception | None = None
     for attempt in range(config.max_retries):
         try:
-            frames, sample_rate = _decode_wav_bytes(path.read_bytes())
+            raw_bytes = path.read_bytes()
+            # Whole-file reads take the native C++ fast path (decode + mixdown
+            # + normalize in one pass); segment reads need slice-then-normalize
+            # order and stay on the python path.
+            if start_seconds is None and duration_seconds is None:
+                from ser_tpu._internal.utils import native_audio
+
+                if native_audio.native_decoder_available():
+                    try:
+                        samples, sample_rate = native_audio.decode_wav_mono_native(raw_bytes)
+                        return samples, sample_rate
+                    except native_audio.NativeDecodeError as err:
+                        raise AudioDecodeError(str(err)) from err
+            frames, sample_rate = _decode_wav_bytes(raw_bytes)
             if start_seconds is not None or duration_seconds is not None:
                 start = int(round((start_seconds or 0.0) * sample_rate))
                 stop = (

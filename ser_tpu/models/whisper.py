@@ -73,7 +73,25 @@ def log_mel_spectrogram(waveform: jax.Array, n_mels: int) -> jax.Array:
     Matches the published preprocessing: hann window, 400-FFT/160-hop
     magnitude², slaney mel, log10 clamp at 1e-10, dynamic-range floor at
     max-8, then (x+4)/4.
+
+    On TPU this dispatches to the conv-STFT + fused Pallas power→mel→log
+    kernel (``ser_tpu/ops/pallas_kernels.py``); on CPU it stays on the rfft
+    reference path (identical numerics, verified to ~1e-6).
     """
+    if jax.default_backend() != "cpu":
+        from ser_tpu.ops.pallas_kernels import fused_log_mel_raw
+
+        log_spec = fused_log_mel_raw(
+            waveform,
+            sr=SAMPLE_RATE,
+            n_fft=N_FFT,
+            hop_length=HOP_LENGTH,
+            n_mels=n_mels,
+            n_frames_out=CHUNK_FRAMES,
+        )
+        floor = jnp.max(log_spec, axis=(1, 2), keepdims=True) - 8.0
+        return (jnp.maximum(log_spec, floor) + 4.0) / 4.0
+
     window = jnp.asarray(ops_filters.hann_window(N_FFT))
     pad = N_FFT // 2
     padded = jnp.pad(waveform, ((0, 0), (pad, pad)), mode="reflect")
