@@ -1,0 +1,69 @@
+"""Orbax checkpointing for JAX model state (encoders + heads).
+
+Parity surface: the reference's artifact-level checkpoint/resume story
+(SURVEY §5 "Checkpoint / resume") plus the TPU-native addition it anticipates:
+orbax checkpoints for trained JAX parameters. The pickle envelope in
+``artifacts.py`` remains the interop format for classifier heads; orbax is the
+sharding-aware format for encoder fine-tunes and large parameter trees.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+from ser_tpu._internal.utils.logger import get_logger
+
+logger = get_logger(__name__)
+
+
+def save_checkpoint(state: Any, path: str | Path, *, force: bool = True) -> str:
+    """Persists one pytree checkpoint (atomic, sharding-aware) via orbax."""
+    import orbax.checkpoint as ocp
+
+    target = Path(path).absolute()
+    target.parent.mkdir(parents=True, exist_ok=True)
+    with ocp.StandardCheckpointer() as checkpointer:
+        checkpointer.save(target, state, force=force)
+    return str(target)
+
+
+def load_checkpoint(path: str | Path, *, template: Any | None = None) -> Any:
+    """Restores one pytree checkpoint; ``template`` guides sharding/dtypes."""
+    import orbax.checkpoint as ocp
+
+    target = Path(path).absolute()
+    if not target.exists():
+        raise FileNotFoundError(f"Checkpoint not found: {target}")
+    with ocp.StandardCheckpointer() as checkpointer:
+        if template is not None:
+            return checkpointer.restore(target, template)
+        return checkpointer.restore(target)
+
+
+def checkpoint_encoder_params(
+    params: Any, *, model_id: str, settings, tag: str = "latest"
+) -> str:
+    """Saves encoder parameters under the orbax root, keyed by model id."""
+    from ser_tpu._internal.config.artifact_naming import artifact_model_id_suffix
+
+    root = settings.models.orbax_checkpoint_root
+    return save_checkpoint(
+        params, root / artifact_model_id_suffix(model_id) / tag
+    )
+
+
+def restore_encoder_params(*, model_id: str, settings, tag: str = "latest") -> Any:
+    """Restores encoder parameters saved by :func:`checkpoint_encoder_params`."""
+    from ser_tpu._internal.config.artifact_naming import artifact_model_id_suffix
+
+    root = settings.models.orbax_checkpoint_root
+    return load_checkpoint(root / artifact_model_id_suffix(model_id) / tag)
+
+
+__all__ = [
+    "checkpoint_encoder_params",
+    "load_checkpoint",
+    "restore_encoder_params",
+    "save_checkpoint",
+]

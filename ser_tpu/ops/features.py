@@ -73,15 +73,39 @@ def _flag_kwargs(flags: FeatureFlags) -> dict[str, bool]:
 def _batched_features(
     frames: np.ndarray, lengths: np.ndarray, sample_rate: int, flags: FeatureFlags
 ) -> np.ndarray:
-    """Runs the jitted batch program with batch-size bucketing."""
+    """Runs the jitted batch program with batch-size bucketing.
+
+    Multi-chip: when several accelerator devices are visible, the batch is
+    sharded over the mesh's data axis and GSPMD splits the program — the
+    TPU-native replacement for the reference's ``mp.Pool`` file parallelism
+    (SURVEY §2.10 item 1).
+    """
+    import jax
+
     true_batch = frames.shape[0]
     bucket = _next_pow2(true_batch)
+    n_devices = len(jax.devices())
+    if n_devices > 1:
+        bucket = max(bucket, n_devices)
+        if bucket % n_devices:
+            bucket = ((bucket // n_devices) + 1) * n_devices
     if bucket != true_batch:
         frames = np.pad(frames, ((0, bucket - true_batch), (0, 0)))
         lengths = np.pad(lengths, (0, bucket - true_batch), constant_values=frames.shape[1])
+
+    frames_dev = jnp.asarray(frames, dtype=jnp.float32)
+    lengths_dev = jnp.asarray(lengths, dtype=jnp.int32)
+    if n_devices > 1:
+        from ser_tpu.parallel.mesh import build_mesh
+        from ser_tpu.parallel.sharding import batch_sharding
+
+        mesh = build_mesh()
+        frames_dev = jax.device_put(frames_dev, batch_sharding(mesh, 2))
+        lengths_dev = jax.device_put(lengths_dev, batch_sharding(mesh, 1))
+
     out = dsp.handcrafted_features_batch(
-        jnp.asarray(frames, dtype=jnp.float32),
-        jnp.asarray(lengths, dtype=jnp.int32),
+        frames_dev,
+        lengths_dev,
         sr=sample_rate,
         **_flag_kwargs(flags),
     )
