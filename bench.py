@@ -46,24 +46,30 @@ def _bench_accurate() -> tuple[float, str]:
     seconds = float(os.environ.get("SER_BENCH_SECONDS", "240"))
     n_chunks = max(1, int(round(seconds / 30.0)))
 
+    repeats = int(os.environ.get("SER_BENCH_REPEATS", "3"))
+
     @jax.jit
-    def encode(params, chunks):
-        mel = log_mel_spectrogram(chunks, config.n_mels)
-        states = encoder.apply({"params": params}, mel)
-        # Reduce to a scalar so completion can be forced with a host fetch
-        # (block_until_ready alone is unreliable over remote-execution tunnels).
-        return states, jnp.sum(states)
+    def encode_repeated(params, chunks):
+        # The repeat loop lives INSIDE the program: one dispatch + one input
+        # transfer measures R× on-chip encodes. The per-iteration input nudge
+        # defeats loop-invariant hoisting; the checksum forces completion via
+        # a 4-byte host fetch (block_until_ready alone is unreliable over
+        # remote-execution tunnels).
+        def body(i, acc):
+            mel = log_mel_spectrogram(chunks + i * 1e-6, config.n_mels)
+            states = encoder.apply({"params": params}, mel)
+            return acc + jnp.sum(states.astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, repeats, body, jnp.float32(0.0))
 
     rng = np.random.default_rng(0)
     batch = jnp.asarray(
         rng.standard_normal((n_chunks, CHUNK_SAMPLES)) * 0.1, dtype=jnp.float32
     )
-    float(encode(params, batch)[1])  # compile + warm + forced completion
+    float(encode_repeated(params, batch))  # compile + warm
 
-    repeats = int(os.environ.get("SER_BENCH_REPEATS", "3"))
     start = time.perf_counter()
-    for _ in range(repeats):
-        checksum = float(encode(params, batch)[1])
+    checksum = float(encode_repeated(params, batch))
     elapsed = time.perf_counter() - start
     assert np.isfinite(checksum)
     audio_seconds = repeats * n_chunks * 30.0

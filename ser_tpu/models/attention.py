@@ -1,0 +1,116 @@
+"""Attention dispatch: Pallas flash attention on TPU, einsum elsewhere.
+
+Unfused attention materializes (B, H, T, T) score tensors — at the accurate
+profile's T=1500 that is gigabytes of HBM traffic per batch and the dominant
+cost of the encode (SURVEY §6 headline metric). On TPU this module routes to
+the canonical Pallas flash-attention kernel
+(``jax.experimental.pallas.ops.tpu.flash_attention``) with:
+
+- sequence padding to the kernel's block granularity, and
+- padding masked via segment ids (valid=0, pad=1 so cross-segment attention is
+  cut), which also carries the encoders' variable-length frame masks.
+
+The einsum path remains the reference implementation (CPU tests, decoders) and
+the numerical ground truth the flash path is verified against.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+_FLASH_BLOCK = 512
+
+
+def _flash_enabled() -> bool:
+    # Default OFF: on the current v5e target, XLA's fused einsum attention
+    # measured FASTER than the Pallas flash kernel at the encode shapes
+    # (T=1500: 764 vs 415 audio-s/s/chip) — the kernel pays sequence padding,
+    # layout transposes, and the masked-kernel path. Re-measure per hardware
+    # generation; enable with SER_FLASH_ATTENTION=1.
+    if os.environ.get("SER_FLASH_ATTENTION", "0").strip().lower() not in ("1", "true", "on"):
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
+def _pad_len(length: int) -> int:
+    # The kernel requires divisibility by its major block sizes (up to 512).
+    block = _FLASH_BLOCK if length >= _FLASH_BLOCK else 128
+    return ((length + block - 1) // block) * block
+
+
+def multi_head_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    frame_mask: jax.Array | None = None,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """Bidirectional MHA. q/k/v: (B, T, H, D) → (B, T, H, D).
+
+    ``frame_mask`` (B, T) excludes padded frames from keys/queries.
+    """
+    if _flash_enabled():
+        return _flash_path(q, k, v, frame_mask=frame_mask)
+    return _einsum_path(q, k, v, frame_mask=frame_mask, compute_dtype=compute_dtype)
+
+
+def _einsum_path(q, k, v, *, frame_mask, compute_dtype):
+    head_dim = q.shape[-1]
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+        jnp.asarray(head_dim, dtype=compute_dtype)
+    )
+    if frame_mask is not None:
+        bias = jnp.where(frame_mask[:, None, None, :], 0.0, -1e30)
+        scores = scores + bias.astype(scores.dtype)
+    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+
+
+def _flash_path(q, k, v, *, frame_mask):
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention,
+    )
+
+    batch, seq_len, heads, head_dim = q.shape
+    padded = _pad_len(seq_len)
+    pad = padded - seq_len
+
+    def to_bhts(t):
+        t = jnp.pad(t, ((0, 0), (0, pad), (0, 0), (0, 0))) if pad else t
+        return t.transpose(0, 2, 1, 3)  # (B, H, T, D)
+
+    qf, kf, vf = to_bhts(q), to_bhts(k), to_bhts(v)
+
+    if frame_mask is None and pad == 0:
+        segment_ids = None
+    else:
+        valid = (
+            frame_mask
+            if frame_mask is not None
+            else jnp.ones((batch, seq_len), dtype=bool)
+        )
+        ids = jnp.pad(
+            valid.astype(jnp.int32), ((0, 0), (0, pad)), constant_values=0
+        )
+        # valid positions → segment 1, padding → segment 0: flash masks
+        # cross-segment pairs, which is exactly the frame-mask semantics.
+        segment_ids = SegmentIds(q=ids, kv=ids)
+
+    out = flash_attention(
+        qf,
+        kf,
+        vf,
+        segment_ids=segment_ids,
+        causal=False,
+        sm_scale=1.0 / (head_dim**0.5),
+    )
+    out = out.transpose(0, 2, 1, 3)
+    return out[:, :seq_len].astype(q.dtype)
+
+
+__all__ = ["multi_head_attention"]

@@ -135,34 +135,33 @@ class TransformerLayer(nn.Module):
 
         residual = hidden
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="attn_ln")(hidden)
-        x = x.astype(self.compute_dtype)
-        q = nn.Dense(cfg.hidden_size, name="q")(x)
-        k = nn.Dense(cfg.hidden_size, name="k")(x)
-        v = nn.Dense(cfg.hidden_size, name="v")(x)
+        # dtype=compute_dtype keeps matmuls on the bf16 MXU path; softmax and
+        # residual stream stay f32.
+        q = nn.Dense(cfg.hidden_size, dtype=self.compute_dtype, name="q")(x)
+        k = nn.Dense(cfg.hidden_size, dtype=self.compute_dtype, name="k")(x)
+        v = nn.Dense(cfg.hidden_size, dtype=self.compute_dtype, name="v")(x)
 
         def split(t):
             return t.reshape(t.shape[0], t.shape[1], heads, head_dim)
 
-        scores = jnp.einsum("bqhd,bkhd->bhqk", split(q), split(k)) / jnp.sqrt(
-            jnp.asarray(head_dim, dtype=self.compute_dtype)
+        from ser_tpu.models.attention import multi_head_attention
+
+        attended = multi_head_attention(
+            split(q),
+            split(k),
+            split(v),
+            frame_mask=frame_mask,
+            compute_dtype=self.compute_dtype,
         )
-        if frame_mask is not None:
-            bias = jnp.where(frame_mask[:, None, None, :], 0.0, -1e30)
-            scores = scores + bias.astype(scores.dtype)
-        weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
-            self.compute_dtype
-        )
-        attended = jnp.einsum("bhqk,bkhd->bqhd", weights, split(v))
         attended = attended.reshape(hidden.shape[0], hidden.shape[1], cfg.hidden_size)
-        x = nn.Dense(cfg.hidden_size, name="attn_out")(attended)
+        x = nn.Dense(cfg.hidden_size, dtype=self.compute_dtype, name="attn_out")(attended)
         hidden = residual + x.astype(residual.dtype)
 
         residual = hidden
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ffn_ln")(hidden)
-        x = x.astype(self.compute_dtype)
-        x = nn.Dense(cfg.intermediate_size, name="ffn_in")(x)
+        x = nn.Dense(cfg.intermediate_size, dtype=self.compute_dtype, name="ffn_in")(x)
         x = nn.gelu(x)
-        x = nn.Dense(cfg.hidden_size, name="ffn_out")(x)
+        x = nn.Dense(cfg.hidden_size, dtype=self.compute_dtype, name="ffn_out")(x)
         return residual + x.astype(residual.dtype)
 
 

@@ -124,28 +124,41 @@ def _sinusoids(length: int, channels: int) -> np.ndarray:
 class MultiHeadAttention(nn.Module):
     config: WhisperConfig
     compute_dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False  # encoder self-attention routes to the Pallas kernel
 
     @nn.compact
     def __call__(self, x, kv, *, bias=None):
         cfg = self.config
         heads = cfg.n_heads
         head_dim = cfg.d_model // heads
-        q = nn.Dense(cfg.d_model, name="q")(x)
-        k = nn.Dense(cfg.d_model, use_bias=False, name="k")(kv)
-        v = nn.Dense(cfg.d_model, name="v")(kv)
+        # dtype=compute_dtype keeps the matmuls in bf16 on TPU (f32 params are
+        # cast per-op); softmax stays f32 for stability.
+        dense = partial(nn.Dense, dtype=self.compute_dtype)
+        q = dense(cfg.d_model, name="q")(x)
+        k = dense(cfg.d_model, use_bias=False, name="k")(kv)
+        v = dense(cfg.d_model, name="v")(kv)
 
         def split(t):
             return t.reshape(*t.shape[:-1], heads, head_dim)
 
-        scores = jnp.einsum("...qhd,...khd->...hqk", split(q), split(k)) / jnp.sqrt(
-            jnp.asarray(head_dim, dtype=x.dtype)
-        )
-        if bias is not None:
-            scores = scores + bias.astype(scores.dtype)
-        weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
-        out = jnp.einsum("...hqk,...khd->...qhd", weights, split(v))
+        if self.use_flash and bias is None:
+            from ser_tpu.models.attention import multi_head_attention
+
+            out = multi_head_attention(
+                split(q), split(k), split(v), compute_dtype=self.compute_dtype
+            )
+        else:
+            scores = jnp.einsum(
+                "...qhd,...khd->...hqk", split(q), split(k)
+            ) / jnp.sqrt(jnp.asarray(head_dim, dtype=self.compute_dtype))
+            if bias is not None:
+                scores = scores + bias.astype(scores.dtype)
+            weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
+                self.compute_dtype
+            )
+            out = jnp.einsum("...hqk,...khd->...qhd", weights, split(v))
         out = out.reshape(*x.shape[:-1], cfg.d_model)
-        return nn.Dense(cfg.d_model, name="out")(out)
+        return nn.Dense(cfg.d_model, dtype=self.compute_dtype, name="out")(out)
 
 
 class EncoderBlock(nn.Module):
@@ -156,11 +169,13 @@ class EncoderBlock(nn.Module):
     def __call__(self, x):
         cfg = self.config
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="attn_ln")(x)
-        x = x + MultiHeadAttention(cfg, name="attn")(h, h)
+        x = x + MultiHeadAttention(
+            cfg, compute_dtype=self.compute_dtype, use_flash=True, name="attn"
+        )(h, h)
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="mlp_ln")(x)
-        h = nn.Dense(4 * cfg.d_model, name="mlp_in")(h)
+        h = nn.Dense(4 * cfg.d_model, dtype=self.compute_dtype, name="mlp_in")(h)
         h = nn.gelu(h)
-        return x + nn.Dense(cfg.d_model, name="mlp_out")(h)
+        return x + nn.Dense(cfg.d_model, dtype=self.compute_dtype, name="mlp_out")(h)
 
 
 class WhisperEncoder(nn.Module):
@@ -381,6 +396,52 @@ def decoder_logits(
     return decoder.apply({"params": params}, tokens, encoder_states)
 
 
+@partial(jax.jit, static_argnames=("decoder", "prefix_len"))
+def greedy_decode_on_device(
+    decoder: WhisperDecoder,
+    params,
+    encoder_states: jax.Array,
+    prefix: jax.Array,
+    eot: int,
+    prefix_len: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Device-side greedy decode: ONE dispatch per 30 s window.
+
+    Runs a ``lax.while_loop`` over decode positions (full-prefix forward per
+    step under the causal mask — fixed shapes, one cached executable) and
+    stops at end-of-text. Returns ``(tokens (1, max_len), emitted_count)``
+    where ``tokens[0, prefix_len : prefix_len + emitted_count]`` are the
+    emitted ids. Replaces a per-token host round-trip loop (~dispatch-latency
+    × max_target_positions) with a single device program.
+    """
+    max_len = decoder.config.max_target_positions
+    tokens = jnp.full((1, max_len), eot, dtype=jnp.int32)
+    tokens = tokens.at[0, :prefix_len].set(prefix[:prefix_len])
+
+    def cond(state):
+        position, _, done = state
+        return jnp.logical_and(position < max_len, jnp.logical_not(done))
+
+    def body(state):
+        position, tokens, _ = state
+        logits = decoder.apply({"params": params}, tokens, encoder_states)
+        next_token = jnp.argmax(logits[0, position - 1]).astype(jnp.int32)
+        tokens = jax.lax.dynamic_update_index_in_dim(
+            tokens, next_token[None], position, axis=1
+        )
+        return position + 1, tokens, next_token == eot
+
+    final_position, tokens, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(prefix_len, dtype=jnp.int32), tokens, jnp.asarray(False))
+    )
+    emitted = final_position - prefix_len
+    # The loop writes EOT as its last token when it stops on EOT; exclude it.
+    last_index = jnp.clip(final_position - 1, 0, max_len - 1)
+    wrote_eot = tokens[0, last_index] == eot
+    emitted = jnp.where(wrote_eot, jnp.maximum(emitted - 1, 0), emitted)
+    return tokens, emitted
+
+
 class WhisperForTranscription:
     """Greedy transcription with word-level timestamps."""
 
@@ -429,24 +490,17 @@ class WhisperForTranscription:
         eot = self._special("<|endoftext|>")
         lang_token = self._special(f"<|{language}|>")
         task = self._special("<|transcribe|>")
-        prefix = [sot, lang_token, task]
-        max_len = self.config.max_target_positions
-        tokens = np.full((1, max_len), eot, dtype=np.int32)
-        tokens[0, : len(prefix)] = prefix
-        emitted: list[int] = []
-        position = len(prefix)
-        tokens_dev = jnp.asarray(tokens)
-        while position < max_len:
-            logits = decoder_logits(
-                self.decoder, self.decoder_params, tokens_dev, encoder_states
-            )
-            next_token = int(jnp.argmax(logits[0, position - 1]))
-            if next_token == eot:
-                break
-            emitted.append(next_token)
-            tokens_dev = tokens_dev.at[0, position].set(next_token)
-            position += 1
-        return emitted
+        prefix = jnp.asarray([sot, lang_token, task], dtype=jnp.int32)
+        tokens, emitted_count = greedy_decode_on_device(
+            self.decoder,
+            self.decoder_params,
+            encoder_states,
+            prefix,
+            eot,
+            prefix_len=3,
+        )
+        count = int(emitted_count)
+        return np.asarray(tokens[0, 3 : 3 + count]).tolist()
 
     def transcribe_words(
         self, audio16k: np.ndarray, *, language: str = "en", use_vad: bool = True
