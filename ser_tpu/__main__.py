@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--prepared-plan", type=str, default=None)
     parser.add_argument("--dataset-recipe", type=str, default=None)
     parser.add_argument(
+        "--repair",
+        action="store_true",
+        help="Purge stale training caches/plans and re-run readiness.",
+    )
+    parser.add_argument(
         "--calibrate-transcription-runtime",
         action="store_true",
         help="Profile transcription candidates (WER + latency) and persist a recommendation.",
@@ -305,10 +310,20 @@ def main(argv: list[str] | None = None) -> int:
         accurate_research_profile=settings.runtime_flags.accurate_research_profile,
     )
 
+    if args.dataset_recipe:
+        settings = dataclasses.replace(
+            settings,
+            dataset=dataclasses.replace(settings.dataset, recipe=args.dataset_recipe),
+        )
+
     if args.train:
         gate = _restricted_backend_gate(settings, active_profile)
         if gate is not None:
             return gate
+        if args.repair:
+            from ser_tpu._internal.models.training_readiness import run_training_repair
+
+            return run_training_repair(settings=settings, profile=active_profile)
         if args.dry_run or args.prepare_only or args.prepared_plan:
             from ser_tpu._internal.models.training_readiness import run_training_readiness_cli
 

@@ -232,7 +232,47 @@ def run_training_readiness(
     media, quarantined, usable = _media_findings(files, settings)
     findings.extend(media)
     findings.extend(_split_findings(usable, settings))
+    findings.extend(_recipe_findings(settings))
     return ReadinessReport(profile, tuple(findings), tuple(quarantined), tuple(usable))
+
+
+def _recipe_findings(settings: AppConfig) -> list[ReadinessFinding]:
+    """Audits the configured cross-corpus recipe when one is set."""
+    if not settings.dataset.recipe:
+        return []
+    from ser_tpu._internal.data.recipe import audit_recipe, get_recipe
+
+    try:
+        recipe = get_recipe(settings.dataset.recipe)
+    except KeyError as err:
+        return [
+            ReadinessFinding(
+                FindingScope.CONFIG,
+                FindingSeverity.BLOCKING,
+                "unknown_recipe",
+                str(err),
+            )
+        ]
+    utterances = loader.load_utterances(settings=settings)
+    if not utterances:
+        return [
+            ReadinessFinding(
+                FindingScope.CONFIG,
+                FindingSeverity.BLOCKING,
+                "recipe_no_utterances",
+                "Recipe configured but no utterances loaded.",
+            )
+        ]
+    report = audit_recipe(utterances, recipe, strict=settings.dataset.strict_audit)
+    return [
+        ReadinessFinding(
+            FindingScope.CONFIG,
+            FindingSeverity.BLOCKING if issue.blocking else FindingSeverity.WARNING,
+            f"recipe:{issue.kind}",
+            issue.message,
+        )
+        for issue in report.issues
+    ]
 
 
 # --------------------------------------------------------------------------- #
@@ -325,6 +365,35 @@ def load_prepared_plan(
     if features.shape[0] != len(plan["sample_digests"]):
         raise PreparedPlanError("Prepared payload row count does not match plan digests.")
     return features, labels
+
+
+def run_training_repair(*, settings: AppConfig, profile: ProfileName) -> int:
+    """Reduced repair flow (reference repair allowlist, ``:1893-2143``):
+    purge stale embedding caches + prepared plans, then re-run readiness.
+    Network-gated repairs (pinned-model redownload) are unavailable in this
+    zero-egress runtime and reported as such."""
+    import shutil
+
+    purged = []
+    for target in (
+        settings.tmp_folder / "embedding-cache",
+        settings.tmp_folder / "prepared",
+    ):
+        if target.exists():
+            shutil.rmtree(target, ignore_errors=True)
+            purged.append(str(target))
+    for path in purged:
+        print(f"repair: purged {path}")
+    print(
+        "repair: pinned-model redownload requires network access and is "
+        "unavailable in this runtime (stage checkpoints manually)."
+    )
+    report = run_training_readiness(settings=settings, profile=profile)
+    print(
+        f"repair: post-repair readiness usable={len(report.usable_files)} "
+        f"quarantined={len(report.quarantined_files)} blocking={report.blocking}"
+    )
+    return 2 if report.blocking else 0
 
 
 def run_training_readiness_cli(

@@ -51,6 +51,64 @@ class JaxWhisperTranscriber:
     def assets_available(self) -> bool:
         return self._assets_dir() is not None
 
+    # ------------------------------------------------------------------ #
+    # TranscriptionBackendAdapter contract (transcript/base.py)
+    # ------------------------------------------------------------------ #
+
+    @property
+    def backend_id(self) -> str:
+        return "jax_whisper"
+
+    def check_compatibility(self):
+        from ser_tpu._internal.transcript.base import (
+            CompatibilityIssue,
+            CompatibilityReport,
+        )
+
+        issues = []
+        if not self.assets_available():
+            issues.append(
+                CompatibilityIssue(
+                    kind="functional",
+                    message=(
+                        f"Whisper assets for {self._model_name!r} missing under "
+                        f"{self._cache_root}."
+                    ),
+                    blocking=True,
+                )
+            )
+        if self._use_demucs:
+            issues.append(
+                CompatibilityIssue(
+                    kind="noise",
+                    message="Demucs denoising requested but not bundled; audio used raw.",
+                )
+            )
+        return CompatibilityReport(issues=tuple(issues))
+
+    def setup_required(self) -> bool:
+        return self._model is None
+
+    def prepare_assets(self) -> None:
+        if not self.assets_available():
+            from ser_tpu._internal.transcript.extractor import TranscriptionUnavailableError
+
+            raise TranscriptionUnavailableError(
+                f"Whisper assets for {self._model_name!r} must be staged locally."
+            )
+
+    def load_model(self, request=None) -> None:
+        assets = self._assets_dir()
+        if assets is None:
+            self.prepare_assets()
+        if self._model is None:
+            from ser_tpu.models.whisper import WhisperForTranscription
+
+            dtype = "bfloat16" if request is None else request.precision_candidates[0]
+            self._model = WhisperForTranscription.from_pretrained_dir(
+                assets, compute_dtype=dtype if dtype in ("bfloat16", "float32") else "float32"
+            )
+
     def transcribe(self, file_path: str, *, language: str = "en") -> list[TranscriptWord]:
         """Transcribes one audio file to word-level timestamps."""
         from ser_tpu._internal.transcript.extractor import TranscriptionUnavailableError
