@@ -30,14 +30,12 @@ def ensure_compilation_cache() -> None:
         import jax
 
         honor_platform_env()
-        # Remote-compile plugins (PALLAS_AXON_REMOTE_COMPILE) produce host
-        # executables built for the *remote* machine's CPU; caching those
-        # locally risks SIGILL on replay. Cache only local-compile configs.
-        if (
-            os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1"
-            and "axon" in (jax.config.jax_platforms or "")
-        ):
-            logger.debug("Remote-compile platform active; skipping local XLA cache.")
+        # Remote-compile plugins (PALLAS_AXON_REMOTE_COMPILE) route ALL
+        # compiles — including CPU executables — through the remote machine,
+        # whose CPU features differ from the host; caching those locally risks
+        # SIGILL on replay. Disable the persistent cache entirely there.
+        if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1":
+            logger.debug("Remote-compile plugin active; skipping local XLA cache.")
             return
 
         from ser_tpu._internal.config.schema import default_cache_root

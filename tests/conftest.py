@@ -26,7 +26,13 @@ import pytest  # noqa: E402
 
 
 def _enable_persistent_compile_cache() -> None:
-    """Caches XLA compilations on disk so reruns skip the expensive compiles."""
+    """Caches XLA compilations on disk so reruns skip the expensive compiles.
+
+    Skipped under remote-compile plugins: they compile even CPU executables on
+    a foreign machine, and caching those locally risks SIGILL on replay.
+    """
+    if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1":
+        return
     import jax
 
     cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")

@@ -1,0 +1,69 @@
+"""Batch inference API through an injected tiny backend + trained artifact."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[4] / "scripts"))
+from build_synthetic_ravdess_dataset import build_dataset  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def trained_medium(tmp_path_factory, monkeypatch_module=None):
+    import dataclasses
+
+    from ser_tpu._internal.config.settings_builder import build_settings_from_inputs
+    from ser_tpu._internal.config.settings_inputs import capture_settings_inputs
+    from ser_tpu._internal.models.encoder_training import train_encoder_profile_model
+    from tests.suites.integration.models.test_encoder_training_with_fakes import (
+        TinyDspBackend,
+    )
+
+    root = tmp_path_factory.mktemp("batch_infer")
+    build_dataset(root / "ds", actors=2, repetitions=2, seconds=2.2)
+    settings = build_settings_from_inputs(
+        capture_settings_inputs(
+            env={
+                "SER_DATASET_FOLDER": str(root / "ds"),
+                "SER_MODELS_FOLDER": str(root / "models"),
+                "SER_TMP_FOLDER": str(root / "tmp"),
+                "SER_ENABLE_MEDIUM_PROFILE": "1",
+            }
+        )
+    )
+    settings = dataclasses.replace(
+        settings, nn=dataclasses.replace(settings.nn, hidden_layer_sizes=(32,), max_iter=120)
+    )
+    backend = TinyDspBackend()
+    train_encoder_profile_model(profile="medium", settings=settings, backend=backend)
+    return settings, backend, sorted((root / "ds").rglob("*.wav"))
+
+
+def test_infer_many_with_injected_backend(trained_medium, monkeypatch):
+    settings, backend, files = trained_medium
+    import ser_tpu._internal.repr.encoders as encoders
+
+    monkeypatch.setattr(encoders, "build_encoder_backend", lambda *a, **k: backend)
+    from ser_tpu.parallel.batch_inference import infer_many
+
+    paths = [str(f) for f in files[:5]] + ["/missing.wav"]
+    rows = infer_many(paths, profile="medium", settings=settings)
+    assert len(rows) == 6
+    ok = [row for row in rows if row.result is not None]
+    assert len(ok) == 5
+    for row in ok:
+        assert row.result.schema_version == "v1"
+        assert row.result.segments
+        assert all(np.isfinite(f.confidence) for f in row.result.frames)
+    failed = rows[-1]
+    assert failed.result is None and "FileNotFoundError" in failed.error
+
+
+def test_infer_many_rejects_fast_profile(trained_medium):
+    settings, _, _ = trained_medium
+    from ser_tpu.parallel.batch_inference import infer_many
+
+    with pytest.raises(ValueError, match="fast"):
+        infer_many(["x.wav"], profile="fast", settings=settings)
