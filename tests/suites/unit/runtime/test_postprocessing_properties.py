@@ -71,9 +71,10 @@ def test_canonicalization_invariants(segments):
         assert segment.end_seconds > segment.start_seconds
         assert segment.emotion
     for left, right in zip(canonical, canonical[1:]):
-        assert left.end_seconds <= right.start_seconds + 1e-12
-        # No mergeable adjacency survives.
-        if abs(left.end_seconds - right.start_seconds) < 1e-12:
+        assert left.end_seconds <= right.start_seconds
+        # No mergeable adjacency survives (merge rule is EXACT touching —
+        # same-label segments separated by any positive gap stay distinct).
+        if left.end_seconds == right.start_seconds:
             assert left.emotion != right.emotion
     # Idempotence: canonicalizing canonical output is a no-op.
     assert canonicalize_segments(canonical) == canonical
