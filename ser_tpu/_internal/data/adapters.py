@@ -1,0 +1,130 @@
+"""Per-dataset manifest adapters: filename conventions → utterances.
+
+Parity surface: reference ``ser/_internal/data/adapters/`` +
+``strategies/default.py`` — each supported corpus with a parseable filename
+convention gets a strategy that derives (label, speaker, extras) without a
+labels CSV. CSV-labeled corpora go through the ``auto_csv`` path in
+``prepare.py``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from pathlib import Path
+
+from ser_tpu._internal.data.manifest import Utterance
+
+# CREMA-D: 1001_DFA_ANG_XX.wav → actor_sentence_emotion_level
+_CREMA_EMOTIONS = {
+    "ANG": "angry",
+    "DIS": "disgust",
+    "FEA": "fearful",
+    "HAP": "happy",
+    "NEU": "neutral",
+    "SAD": "sad",
+}
+
+# EmoDB: 03a01Fa.wav → speaker(2) text(3) emotion(1) version(1)
+_EMODB_EMOTIONS = {
+    "W": "angry",       # Wut
+    "L": "calm",        # Langeweile (boredom → closest primary class)
+    "E": "disgust",     # Ekel
+    "A": "fearful",     # Angst
+    "F": "happy",       # Freude
+    "T": "sad",         # Trauer
+    "N": "neutral",
+}
+
+# JL-Corpus: female1_angry_1a_1.wav → speaker_emotion_sentence_session
+_JL_EMOTIONS = {
+    "angry": "angry",
+    "sad": "sad",
+    "neutral": "neutral",
+    "happy": "happy",
+    "excited": "surprised",  # secondary → nearest primary class
+    "anxious": "fearful",
+}
+
+
+def parse_crema_d(path: Path) -> Utterance | None:
+    parts = path.stem.split("_")
+    if len(parts) < 4:
+        return None
+    label = _CREMA_EMOTIONS.get(parts[2].upper())
+    if label is None:
+        return None
+    return Utterance(
+        sample_id=path.stem,
+        corpus="crema-d",
+        audio_path=str(path),
+        label=label,
+        raw_label=parts[2].upper(),
+        speaker_id=parts[0],
+        language="en",
+    )
+
+
+def parse_emodb(path: Path) -> Utterance | None:
+    stem = path.stem
+    if len(stem) < 6:
+        return None
+    label = _EMODB_EMOTIONS.get(stem[5].upper())
+    if label is None:
+        return None
+    return Utterance(
+        sample_id=stem,
+        corpus="emodb-2.0",
+        audio_path=str(path),
+        label=label,
+        raw_label=stem[5].upper(),
+        speaker_id=stem[:2],
+        language="de",
+    )
+
+
+def parse_jl_corpus(path: Path) -> Utterance | None:
+    parts = path.stem.split("_")
+    if len(parts) < 2:
+        return None
+    label = _JL_EMOTIONS.get(parts[1].lower())
+    if label is None:
+        return None
+    return Utterance(
+        sample_id=path.stem,
+        corpus="jl-corpus",
+        audio_path=str(path),
+        label=label,
+        raw_label=parts[1].lower(),
+        speaker_id=parts[0],
+        language="en",
+    )
+
+
+#: Filename-strategy registry; datasets not listed need a labels CSV/manifest.
+FILENAME_ADAPTERS: dict[str, Callable[[Path], Utterance | None]] = {
+    "crema-d": parse_crema_d,
+    "emodb-2.0": parse_emodb,
+    "jl-corpus": parse_jl_corpus,
+}
+
+
+def build_manifest_from_filenames(
+    dataset_id: str, root: Path, *, glob: str = "**/*.wav"
+) -> list[Utterance]:
+    """Walks a corpus root and parses every file the adapter recognizes."""
+    adapter = FILENAME_ADAPTERS.get(dataset_id)
+    if adapter is None:
+        raise KeyError(
+            f"No filename adapter for {dataset_id!r}; provide labels_csv_path. "
+            f"Adapters exist for: {', '.join(sorted(FILENAME_ADAPTERS))}."
+        )
+    utterances = []
+    for path in sorted(root.glob(glob)):
+        utterance = adapter(path)
+        if utterance is not None:
+            utterances.append(utterance)
+    return utterances
+
+
+__all__ = ["FILENAME_ADAPTERS", "build_manifest_from_filenames",
+           "parse_crema_d", "parse_emodb", "parse_jl_corpus"]

@@ -167,10 +167,18 @@ def prepare_dataset(
         elif dataset_id == "ravdess":
             utterances = _build_ravdess_manifest(root, settings)
         else:
-            raise ValueError(
-                f"Dataset {dataset_id!r} needs either an existing manifest_path or a "
-                "labels_csv_path; only 'ravdess' supports filename-derived labels."
+            from ser_tpu._internal.data.adapters import (
+                FILENAME_ADAPTERS,
+                build_manifest_from_filenames,
             )
+
+            if dataset_id not in FILENAME_ADAPTERS:
+                raise ValueError(
+                    f"Dataset {dataset_id!r} needs either an existing manifest_path or "
+                    "a labels_csv_path; filename-derived labels exist for: ravdess, "
+                    + ", ".join(sorted(FILENAME_ADAPTERS)) + "."
+                )
+            utterances = build_manifest_from_filenames(dataset_id, root)
         if not utterances:
             raise RuntimeError(f"No labeled utterances found for {dataset_id} under {root}.")
         target = (

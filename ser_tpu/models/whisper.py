@@ -164,15 +164,17 @@ class MultiHeadAttention(nn.Module):
 class EncoderBlock(nn.Module):
     config: WhisperConfig
     compute_dtype: jnp.dtype = jnp.float32
+    ln_dtype: jnp.dtype = jnp.float32  # bf16 halves residual/LN HBM traffic
 
     @nn.compact
     def __call__(self, x):
         cfg = self.config
-        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="attn_ln")(x)
+        norm = partial(nn.LayerNorm, epsilon=cfg.layer_norm_eps, dtype=self.ln_dtype)
+        h = norm(name="attn_ln")(x)
         x = x + MultiHeadAttention(
             cfg, compute_dtype=self.compute_dtype, use_flash=True, name="attn"
         )(h, h)
-        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="mlp_ln")(x)
+        h = norm(name="mlp_ln")(x)
         h = nn.Dense(4 * cfg.d_model, dtype=self.compute_dtype, name="mlp_in")(h)
         h = nn.gelu(h)
         return x + nn.Dense(cfg.d_model, dtype=self.compute_dtype, name="mlp_out")(h)
@@ -183,19 +185,25 @@ class WhisperEncoder(nn.Module):
 
     config: WhisperConfig
     compute_dtype: jnp.dtype = jnp.float32
+    ln_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, mel: jax.Array) -> jax.Array:
         cfg = self.config
-        x = nn.Conv(cfg.d_model, kernel_size=(3,), padding=1, name="conv1")(mel)
+        x = nn.Conv(cfg.d_model, kernel_size=(3,), padding=1, dtype=self.compute_dtype, name="conv1")(mel)
         x = nn.gelu(x)
-        x = nn.Conv(cfg.d_model, kernel_size=(3,), strides=(2,), padding=1, name="conv2")(x)
+        x = nn.Conv(cfg.d_model, kernel_size=(3,), strides=(2,), padding=1, dtype=self.compute_dtype, name="conv2")(x)
         x = nn.gelu(x)
         x = x.astype(self.compute_dtype)
         positions = jnp.asarray(_sinusoids(x.shape[1], cfg.d_model))
         x = x + positions[None].astype(x.dtype)
         for i in range(cfg.encoder_layers):
-            x = EncoderBlock(cfg, name=f"layer_{i}")(x)
+            x = EncoderBlock(
+                cfg,
+                compute_dtype=self.compute_dtype,
+                ln_dtype=self.ln_dtype,
+                name=f"layer_{i}",
+            )(x)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="final_ln")(x).astype(
             jnp.float32
         )
