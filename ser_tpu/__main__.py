@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
     doctor = subparsers.add_parser("doctor", help="Run environment diagnostics.")
     doctor.add_argument("--style", choices=("text", "brief", "json"), default="text")
     doctor.add_argument("--no-transcription-checks", action="store_true")
+    doctor.add_argument(
+        "--training-readiness", action="store_true",
+        help="Also run the full training-readiness contract.",
+    )
 
     data = subparsers.add_parser("data", help="Dataset operations.")
     data_sub = data.add_subparsers(dest="data_command")
@@ -111,6 +115,7 @@ def _run_doctor(args, settings) -> int:
     report = service.run_doctor_diagnostics(
         settings=settings,
         include_transcription_checks=not args.no_transcription_checks,
+        include_training_readiness=args.training_readiness,
     )
     print(service.render_report(report, style=args.style))
     return EXIT_OK if not report.has_errors else 1

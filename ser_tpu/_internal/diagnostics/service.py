@@ -148,8 +148,9 @@ def run_doctor_diagnostics(
     *,
     settings: AppConfig,
     include_transcription_checks: bool = True,
+    include_training_readiness: bool = False,
 ) -> DiagnosticReport:
-    """Runs the full doctor check suite."""
+    """Runs the full doctor check suite (optionally + training readiness)."""
     findings: list[DiagnosticFinding] = [_check_accelerator()]
     findings.extend(_check_profiles(settings))
     findings.append(_check_media_tooling())
@@ -157,7 +158,42 @@ def run_doctor_diagnostics(
         findings.append(_check_transcription_assets(settings))
     findings.append(_check_model_artifacts(settings))
     findings.append(_check_dataset_registry(settings))
+    if include_training_readiness:
+        findings.extend(_check_training_readiness(settings))
     return DiagnosticReport(findings=tuple(findings))
+
+
+def _check_training_readiness(settings: AppConfig) -> list[DiagnosticFinding]:
+    """Full readiness run surfaced as doctor findings (reference service.py:133-182)."""
+    from ser_tpu._internal.models.training_readiness import run_training_readiness
+
+    try:
+        report = run_training_readiness(settings=settings, profile="fast")
+    except Exception as err:  # noqa: BLE001 - readiness crash is itself a finding
+        return [
+            DiagnosticFinding(
+                check_id="training.readiness",
+                severity=DiagnosticSeverity.ERROR,
+                summary="Training readiness crashed.",
+                detail=str(err),
+            )
+        ]
+    severity = (
+        DiagnosticSeverity.ERROR
+        if report.blocking
+        else (DiagnosticSeverity.WARNING if report.findings else DiagnosticSeverity.INFO)
+    )
+    return [
+        DiagnosticFinding(
+            check_id="training.readiness",
+            severity=severity,
+            summary=(
+                f"Readiness: usable={len(report.usable_files)} "
+                f"quarantined={len(report.quarantined_files)} blocking={report.blocking}."
+            ),
+            detail="; ".join(f.message for f in report.findings[:5]),
+        )
+    ]
 
 
 def run_startup_preflight(

@@ -27,9 +27,9 @@ _FLASH_BLOCK = 512
 def _flash_enabled() -> bool:
     # Default OFF: on the current v5e target, XLA's fused einsum attention
     # measured FASTER than the Pallas flash kernel at the encode shapes
-    # (T=1500: 764 vs 415 audio-s/s/chip) — the kernel pays sequence padding,
-    # layout transposes, and the masked-kernel path. Re-measure per hardware
-    # generation; enable with SER_FLASH_ATTENTION=1.
+    # (T=1500, bf16 blocks: 1125 vs 464 audio-s/s/chip) — the kernel pays
+    # sequence padding, layout transposes, and the masked-kernel path.
+    # Re-measure per hardware generation; enable with SER_FLASH_ATTENTION=1.
     if os.environ.get("SER_FLASH_ATTENTION", "0").strip().lower() not in ("1", "true", "on"):
         return False
     return jax.default_backend() not in ("cpu",)

@@ -1,0 +1,95 @@
+"""Backend-hook construction + restricted-license gate integration tests
+(reference test_backend_hooks.py / test_license_gates.py pattern)."""
+
+import pytest
+
+from ser_tpu._internal.config.settings_builder import build_settings_from_inputs
+from ser_tpu._internal.config.settings_inputs import capture_settings_inputs
+from ser_tpu._internal.runtime.backend_hooks import build_backend_hooks
+from ser_tpu._internal.runtime import restricted_backends
+
+
+def _settings(**env):
+    return build_settings_from_inputs(capture_settings_inputs(env=env))
+
+
+def test_default_hooks_expose_only_fast():
+    hooks = build_backend_hooks(_settings())
+    assert set(hooks) == {"handcrafted"}
+
+
+def test_enabled_profiles_add_hooks():
+    hooks = build_backend_hooks(
+        _settings(SER_ENABLE_MEDIUM_PROFILE="1", SER_ENABLE_ACCURATE_PROFILE="1")
+    )
+    assert set(hooks) == {"handcrafted", "jax_xlsr", "jax_whisper_encoder"}
+
+
+def test_restricted_backend_needs_flag_and_consent(tmp_path, monkeypatch):
+    # Point the consent store at a scratch location.
+    monkeypatch.setattr(
+        restricted_backends, "_consent_store_path", lambda: tmp_path / "consents.json"
+    )
+    # Profile enabled but restricted flag off → no emotion2vec hook.
+    hooks = build_backend_hooks(_settings(SER_ENABLE_ACCURATE_RESEARCH_PROFILE="1"))
+    assert "emotion2vec" not in hooks
+    # Flag on but no consent → still gated.
+    hooks = build_backend_hooks(
+        _settings(
+            SER_ENABLE_ACCURATE_RESEARCH_PROFILE="1",
+            SER_ENABLE_RESTRICTED_BACKENDS="1",
+        )
+    )
+    assert "emotion2vec" not in hooks
+    # Recorded consent unlocks the hook.
+    restricted_backends.record_backend_consent("emotion2vec")
+    hooks = build_backend_hooks(
+        _settings(
+            SER_ENABLE_ACCURATE_RESEARCH_PROFILE="1",
+            SER_ENABLE_RESTRICTED_BACKENDS="1",
+        )
+    )
+    assert "emotion2vec" in hooks
+
+
+def test_env_allowlist_grants_consent(monkeypatch, tmp_path):
+    monkeypatch.setattr(
+        restricted_backends, "_consent_store_path", lambda: tmp_path / "none.json"
+    )
+    settings = _settings(
+        SER_ENABLE_ACCURATE_RESEARCH_PROFILE="1",
+        SER_ENABLE_RESTRICTED_BACKENDS="1",
+    )
+    with pytest.raises(restricted_backends.RestrictedBackendError):
+        restricted_backends.ensure_backend_access("emotion2vec", settings=settings)
+    restricted_backends.ensure_backend_access(
+        "emotion2vec", settings=settings, allowed_env=("emotion2vec",)
+    )
+
+
+def test_consent_invalidated_by_policy_change(tmp_path, monkeypatch):
+    monkeypatch.setattr(
+        restricted_backends, "_consent_store_path", lambda: tmp_path / "consents.json"
+    )
+    restricted_backends.record_backend_consent("emotion2vec")
+    assert restricted_backends.has_backend_consent("emotion2vec")
+    # Simulate a policy revision: fingerprint changes → consent stale.
+    revised = restricted_backends.BackendPolicy(
+        backend_id="emotion2vec",
+        policy_id="emotion2vec-research-v2",
+        license_id="model-specific-research-license",
+        notice="revised",
+    )
+    monkeypatch.setitem(
+        restricted_backends.RESTRICTED_BACKEND_POLICIES, "emotion2vec", revised
+    )
+    assert not restricted_backends.has_backend_consent("emotion2vec")
+
+
+def test_distributed_init_noop_on_single_host(monkeypatch):
+    from ser_tpu.parallel.distributed import initialize_distributed, is_multi_host_env
+
+    monkeypatch.delenv("SER_DIST_COORDINATOR", raising=False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert not is_multi_host_env()
+    assert initialize_distributed() is False
