@@ -76,6 +76,51 @@ def _bench_accurate() -> tuple[float, str]:
     return audio_seconds / elapsed, "accurate_encode_audio_seconds_per_second_per_chip"
 
 
+def _bench_medium() -> tuple[float, str]:
+    """XLS-R-300M-size encode throughput (medium profile compute core)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ser_tpu.models.wav2vec2 import (
+        Wav2Vec2Config,
+        Wav2Vec2Encoder,
+        init_wav2vec2_params,
+    )
+
+    on_tpu = any(d.platform != "cpu" for d in jax.devices())
+    config = Wav2Vec2Config() if on_tpu else Wav2Vec2Config.tiny()
+    encoder = Wav2Vec2Encoder(config, compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+    params = init_wav2vec2_params(config, seed=0)
+
+    chunk_seconds = 30.0
+    chunk_samples = int(chunk_seconds * 16000)
+    seconds = float(os.environ.get("SER_BENCH_SECONDS", "240"))
+    n_chunks = max(1, int(round(seconds / chunk_seconds)))
+    repeats = int(os.environ.get("SER_BENCH_REPEATS", "3"))
+
+    @jax.jit
+    def encode_repeated(params, chunks):
+        def body(i, acc):
+            hidden = encoder.apply({"params": params}, chunks + i * 1e-6)
+            return acc + jnp.sum(hidden.astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, repeats, body, jnp.float32(0.0))
+
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(
+        rng.standard_normal((n_chunks, chunk_samples)) * 0.1, dtype=jnp.float32
+    )
+    float(encode_repeated(params, batch))
+    start = time.perf_counter()
+    checksum = float(encode_repeated(params, batch))
+    elapsed = time.perf_counter() - start
+    assert np.isfinite(checksum)
+    return (
+        repeats * n_chunks * chunk_seconds / elapsed,
+        "medium_encode_audio_seconds_per_second_per_chip",
+    )
+
+
 def _bench_fast() -> tuple[float, str]:
     from ser_tpu.ops.features import extract_frame_features
 
@@ -94,7 +139,11 @@ def _bench_fast() -> tuple[float, str]:
 
 def main() -> int:
     profile = os.environ.get("SER_BENCH_PROFILE", "accurate")
-    bench = {"accurate": _bench_accurate, "fast": _bench_fast}.get(profile, _bench_accurate)
+    bench = {
+        "accurate": _bench_accurate,
+        "medium": _bench_medium,
+        "fast": _bench_fast,
+    }.get(profile, _bench_accurate)
     value, metric = bench()
     print(
         json.dumps(

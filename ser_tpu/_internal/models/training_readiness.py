@@ -329,6 +329,7 @@ def write_prepared_plan(
         "plan_schema_version": PLAN_SCHEMA_VERSION,
         "profile": profile,
         "settings_digest": _settings_digest(settings, profile),
+        "quarantine_ledger_digest": quarantine_ledger_digest(settings, profile),
         "files": kept_files,
         "sample_digests": digests,
         "payload": str(payload_path),
@@ -337,6 +338,54 @@ def write_prepared_plan(
     plan_path = plan_dir / "prepared_plan.json"
     plan_path.write_text(json.dumps(plan, indent=2), encoding="utf-8")
     return plan_path
+
+
+def write_quarantine_ledger(
+    report: ReadinessReport, *, settings: AppConfig
+) -> Path | None:
+    """Appends quarantine records to the profile's JSONL ledger.
+
+    Parity surface: reference quarantine ledgers
+    (``training_readiness.py:704-864``, ``docs/training-readiness.md:50-60``) —
+    every excluded sample is recorded with scope/reason/message so exclusions
+    are auditable and stable across prepare/train reruns.
+    """
+    if not report.quarantined_files:
+        return None
+    ledger_dir = settings.tmp_folder / "quarantine"
+    ledger_dir.mkdir(parents=True, exist_ok=True)
+    ledger_path = ledger_dir / f"{report.profile}.jsonl"
+    media_findings = {
+        finding.sample_id: finding
+        for finding in report.findings
+        if finding.scope is FindingScope.MEDIA and finding.sample_id
+    }
+    import time as _time
+
+    with ledger_path.open("a", encoding="utf-8") as handle:
+        for file in report.quarantined_files:
+            finding = media_findings.get(Path(file).stem)
+            handle.write(
+                json.dumps(
+                    {
+                        "file": file,
+                        "scope": "media",
+                        "reason": finding.reason if finding else "unknown",
+                        "message": finding.message if finding else "",
+                        "recorded_at_unix": _time.time(),
+                    }
+                )
+                + "\n"
+            )
+    return ledger_path
+
+
+def quarantine_ledger_digest(settings: AppConfig, profile: ProfileName) -> str | None:
+    """Content digest of the profile's quarantine ledger (None when absent)."""
+    ledger_path = settings.tmp_folder / "quarantine" / f"{profile}.jsonl"
+    if not ledger_path.exists():
+        return None
+    return sha256(ledger_path.read_bytes()).hexdigest()
 
 
 class PreparedPlanError(ValueError):
@@ -357,6 +406,11 @@ def load_prepared_plan(
     if plan.get("settings_digest") != _settings_digest(settings, profile):
         raise PreparedPlanError(
             "Prepared plan settings digest mismatch: training configuration changed "
+            "since preparation. Re-run --prepare-only."
+        )
+    if plan.get("quarantine_ledger_digest") != quarantine_ledger_digest(settings, profile):
+        raise PreparedPlanError(
+            "Prepared plan quarantine-ledger digest mismatch: exclusions changed "
             "since preparation. Re-run --prepare-only."
         )
     with np.load(plan["payload"], allow_pickle=True) as payload:
@@ -419,6 +473,9 @@ def run_training_readiness_cli(
         return 0
 
     report = run_training_readiness(settings=settings, profile=profile)
+    ledger = write_quarantine_ledger(report, settings=settings)
+    if ledger is not None:
+        print(f"quarantine ledger: {ledger}")
     for finding in report.findings:
         print(f"[{finding.severity.value:>8}] {finding.scope.value}/{finding.reason}: {finding.message}")
     print(

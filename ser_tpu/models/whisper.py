@@ -211,18 +211,20 @@ class WhisperEncoder(nn.Module):
 
 class DecoderBlock(nn.Module):
     config: WhisperConfig
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, encoder_states, *, self_bias):
         cfg = self.config
+        attn = partial(MultiHeadAttention, cfg, compute_dtype=self.compute_dtype)
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="attn_ln")(x)
-        x = x + MultiHeadAttention(cfg, name="attn")(h, h, bias=self_bias)
+        x = x + attn(name="attn")(h, h, bias=self_bias)
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="cross_ln")(x)
-        x = x + MultiHeadAttention(cfg, name="cross")(h, encoder_states)
+        x = x + attn(name="cross")(h, encoder_states)
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="mlp_ln")(x)
-        h = nn.Dense(4 * cfg.d_model, name="mlp_in")(h)
+        h = nn.Dense(4 * cfg.d_model, dtype=self.compute_dtype, name="mlp_in")(h)
         h = nn.gelu(h)
-        return x + nn.Dense(cfg.d_model, name="mlp_out")(h)
+        return x + nn.Dense(cfg.d_model, dtype=self.compute_dtype, name="mlp_out")(h)
 
 
 class WhisperDecoder(nn.Module):
@@ -236,6 +238,7 @@ class WhisperDecoder(nn.Module):
     """
 
     config: WhisperConfig
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, tokens: jax.Array, encoder_states: jax.Array) -> jax.Array:
@@ -256,7 +259,9 @@ class WhisperDecoder(nn.Module):
         causal = jnp.tril(jnp.ones((seq_len, seq_len), dtype=bool))
         self_bias = jnp.where(causal, 0.0, -1e30)[None, None]
         for i in range(cfg.decoder_layers):
-            x = DecoderBlock(cfg, name=f"layer_{i}")(x, encoder_states, self_bias=self_bias)
+            x = DecoderBlock(cfg, compute_dtype=self.compute_dtype, name=f"layer_{i}")(
+                x, encoder_states, self_bias=self_bias
+            )
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="final_ln")(x)
         return jnp.einsum("btd,vd->btv", x, tok_embed)
 
@@ -465,7 +470,7 @@ class WhisperForTranscription:
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
         self.config = config
         self.encoder = WhisperEncoder(config, compute_dtype=dtype)
-        self.decoder = WhisperDecoder(config)
+        self.decoder = WhisperDecoder(config, compute_dtype=dtype)
         self.encoder_params = encoder_params
         self.decoder_params = decoder_params
         self.tokenizer = tokenizer
