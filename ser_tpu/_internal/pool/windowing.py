@@ -34,33 +34,34 @@ def temporal_pooling_windows(
     if np.isclose(effective_window, clip_duration):
         return [PoolingWindow(start_seconds=clip_start, end_seconds=clip_end)]
 
+    # Vectorized window plan: every stride-spaced start whose window fits.
     epsilon = 1e-9
-    windows: list[PoolingWindow] = []
-    cursor = clip_start
-    while cursor + effective_window <= clip_end + epsilon:
-        windows.append(
-            PoolingWindow(start_seconds=cursor, end_seconds=min(clip_end, cursor + effective_window))
-        )
-        cursor += window_stride_seconds
-
-    if not windows:
+    n_fitting = int(
+        np.floor((clip_end + epsilon - effective_window - clip_start) / window_stride_seconds)
+    ) + 1
+    if n_fitting <= 0:
         return [
             PoolingWindow(
                 start_seconds=max(clip_start, clip_end - effective_window),
                 end_seconds=clip_end,
             )
         ]
+    starts = clip_start + window_stride_seconds * np.arange(n_fitting)
+    windows = [
+        PoolingWindow(start_seconds=float(s), end_seconds=float(min(clip_end, s + effective_window)))
+        for s in starts
+    ]
 
-    if windows[-1].end_seconds < clip_end - epsilon:
-        tail = PoolingWindow(
-            start_seconds=max(clip_start, clip_end - effective_window), end_seconds=clip_end
+    # Tail completion: add one right-aligned window when coverage stops short
+    # and it isn't a duplicate of the last stride window.
+    last = windows[-1]
+    if last.end_seconds < clip_end - epsilon:
+        tail_start = max(clip_start, clip_end - effective_window)
+        is_duplicate = np.isclose(last.start_seconds, tail_start) and np.isclose(
+            last.end_seconds, clip_end
         )
-        previous = windows[-1]
-        if not (
-            np.isclose(previous.start_seconds, tail.start_seconds)
-            and np.isclose(previous.end_seconds, tail.end_seconds)
-        ):
-            windows.append(tail)
+        if not is_duplicate:
+            windows.append(PoolingWindow(start_seconds=tail_start, end_seconds=clip_end))
     return windows
 
 

@@ -48,29 +48,37 @@ class EncodedSequence:
     backend_id: str
 
     def __post_init__(self) -> None:
-        if not self.backend_id:
-            raise ValueError("EncodedSequence backend_id must be a non-empty string.")
-        if self.embeddings.ndim != 2:
-            raise ValueError("EncodedSequence embeddings must be 2D (frames, features).")
-        if self.frame_start_seconds.ndim != 1 or self.frame_end_seconds.ndim != 1:
-            raise ValueError("Frame timestamp arrays must be 1D.")
-        frame_count = int(self.embeddings.shape[0])
-        if frame_count <= 0:
-            raise ValueError("EncodedSequence must contain at least one frame.")
-        if self.frame_start_seconds.size != frame_count:
-            raise ValueError("frame_start_seconds length must match embeddings frame count.")
-        if self.frame_end_seconds.size != frame_count:
-            raise ValueError("frame_end_seconds length must match embeddings frame count.")
-        if not np.all(np.isfinite(self.embeddings)):
-            raise ValueError("EncodedSequence embeddings contain non-finite values.")
-        if not np.all(np.isfinite(self.frame_start_seconds)):
-            raise ValueError("EncodedSequence frame_start_seconds contain non-finite values.")
-        if not np.all(np.isfinite(self.frame_end_seconds)):
-            raise ValueError("EncodedSequence frame_end_seconds contain non-finite values.")
-        if np.any(np.diff(self.frame_start_seconds) < 0.0):
-            raise ValueError("frame_start_seconds must be non-decreasing.")
-        if np.any(np.diff(self.frame_end_seconds) < 0.0):
-            raise ValueError("frame_end_seconds must be non-decreasing.")
+        frame_count = int(self.embeddings.shape[0]) if self.embeddings.ndim == 2 else 0
+        invariants: tuple[tuple[bool, str], ...] = (
+            (bool(self.backend_id), "backend_id must be a non-empty string."),
+            (self.embeddings.ndim == 2, "embeddings must be 2D (frames, features)."),
+            (
+                self.frame_start_seconds.ndim == 1 and self.frame_end_seconds.ndim == 1,
+                "frame timestamp arrays must be 1D.",
+            ),
+            (frame_count > 0, "must contain at least one frame."),
+            (
+                self.frame_start_seconds.size == frame_count
+                and self.frame_end_seconds.size == frame_count,
+                "timestamp lengths must match the embeddings frame count.",
+            ),
+        )
+        for holds, message in invariants:
+            if not holds:
+                raise ValueError(f"EncodedSequence {message}")
+        for name, array in (
+            ("embeddings", self.embeddings),
+            ("frame_start_seconds", self.frame_start_seconds),
+            ("frame_end_seconds", self.frame_end_seconds),
+        ):
+            if not np.all(np.isfinite(array)):
+                raise ValueError(f"EncodedSequence {name} contain non-finite values.")
+        for name, times in (
+            ("frame_start_seconds", self.frame_start_seconds),
+            ("frame_end_seconds", self.frame_end_seconds),
+        ):
+            if np.any(np.diff(times) < 0.0):
+                raise ValueError(f"{name} must be non-decreasing.")
         if np.any(self.frame_end_seconds <= self.frame_start_seconds):
             raise ValueError("Each frame must satisfy end_seconds > start_seconds.")
 
@@ -81,21 +89,24 @@ def overlap_frame_mask(encoded: EncodedSequence, window: PoolingWindow) -> Windo
     Raises ``ValueError`` when the window leaves the encoded range or selects
     no frames — pooling on an empty selection would silently produce NaNs.
     """
-    min_start = float(encoded.frame_start_seconds[0])
-    max_end = float(encoded.frame_end_seconds[-1])
-    if window.start_seconds < min_start or window.end_seconds > max_end:
+    window_span = f"[{window.start_seconds}, {window.end_seconds}]"
+    encoded_span = (
+        float(encoded.frame_start_seconds[0]),
+        float(encoded.frame_end_seconds[-1]),
+    )
+    if window.start_seconds < encoded_span[0] or window.end_seconds > encoded_span[1]:
         raise ValueError(
-            "Pooling window is outside encoded sequence range: "
-            f"[{window.start_seconds}, {window.end_seconds}] vs [{min_start}, {max_end}]"
+            f"Pooling window is outside encoded sequence range: {window_span} vs "
+            f"[{encoded_span[0]}, {encoded_span[1]}]"
         )
-    mask = np.logical_and(
-        encoded.frame_end_seconds > window.start_seconds,
-        encoded.frame_start_seconds < window.end_seconds,
+    # Half-open interval intersection: a frame belongs to the window when it
+    # ends after the window starts AND starts before the window ends.
+    mask = (encoded.frame_end_seconds > window.start_seconds) & (
+        encoded.frame_start_seconds < window.end_seconds
     )
     if not np.any(mask):
         raise ValueError(
-            "Pooling window does not overlap any encoded frames: "
-            f"[{window.start_seconds}, {window.end_seconds}]"
+            f"Pooling window does not overlap any encoded frames: {window_span}"
         )
     return mask
 

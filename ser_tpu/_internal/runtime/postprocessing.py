@@ -144,24 +144,22 @@ def _apply_hysteresis(
     if enter_confidence <= 0.0 and exit_confidence <= 0.0:
         return [str(label) for label in labels]
 
-    current_label = str(labels[0])
-    current_confidence = float(frame_predictions[0].confidence)
-    stabilized = [current_label]
-    for index in range(1, len(labels)):
-        candidate = str(labels[index])
-        candidate_confidence = float(frame_predictions[index].confidence)
-        if candidate == current_label:
-            current_confidence = candidate_confidence
-            stabilized.append(current_label)
-            continue
-        can_switch = candidate_confidence >= enter_confidence and (
-            current_confidence <= exit_confidence
-            or candidate_confidence >= current_confidence
-        )
-        if can_switch:
-            current_label = candidate
-            current_confidence = candidate_confidence
-        stabilized.append(current_label)
+    incumbent = str(labels[0])
+    incumbent_confidence = float(frame_predictions[0].confidence)
+    stabilized = [incumbent]
+    for candidate_raw, frame in zip(labels[1:], frame_predictions[1:]):
+        candidate = str(candidate_raw)
+        candidate_confidence = float(frame.confidence)
+        if candidate == incumbent:
+            incumbent_confidence = candidate_confidence
+        else:
+            strong_enough = candidate_confidence >= enter_confidence
+            incumbent_weak = incumbent_confidence <= exit_confidence
+            candidate_wins = candidate_confidence >= incumbent_confidence
+            if strong_enough and (incumbent_weak or candidate_wins):
+                incumbent = candidate
+                incumbent_confidence = candidate_confidence
+        stabilized.append(incumbent)
     return stabilized
 
 
@@ -174,23 +172,18 @@ def _build_segments(
     if len(frame_predictions) != len(labels):
         raise ValueError("frame_predictions and labels must have identical length.")
 
-    runs: list[tuple[int, int, str]] = []
-    run_start = 0
-    active = str(labels[0])
-    for index in range(1, len(labels)):
-        label = str(labels[index])
-        if label == active:
-            continue
-        runs.append((run_start, index - 1, active))
-        run_start, active = index, label
-    runs.append((run_start, len(labels) - 1, active))
+    # Run-length boundaries: positions where the label changes.
+    normalized = [str(label) for label in labels]
+    boundaries = [0] + [
+        i for i in range(1, len(normalized)) if normalized[i] != normalized[i - 1]
+    ] + [len(normalized)]
 
     segments: list[SegmentPrediction] = []
-    for start, end, emotion in runs:
-        frames = frame_predictions[start : end + 1]
+    for run_start, run_stop in zip(boundaries[:-1], boundaries[1:]):
+        frames = frame_predictions[run_start:run_stop]
         segments.append(
             SegmentPrediction(
-                emotion=emotion,
+                emotion=normalized[run_start],
                 start_seconds=float(frames[0].start_seconds),
                 end_seconds=float(frames[-1].end_seconds),
                 confidence=float(fmean(frame.confidence for frame in frames)),

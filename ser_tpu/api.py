@@ -16,35 +16,14 @@ import ser_tpu._internal.api.data as _data_api
 import ser_tpu._internal.api.diagnostics as _diagnostics_api
 import ser_tpu._internal.api.runtime as _runtime_api
 from ser_tpu.config import (
-    AccurateResearchRuntimeConfig,
-    AccurateRuntimeConfig,
-    AppConfig,
-    AudioReadConfig,
-    DataLoaderConfig,
-    DatasetConfig,
-    FastRuntimeConfig,
-    FeatureFlags,
-    FeatureRuntimeBackendOverride,
-    FeatureRuntimePolicyConfig,
-    MediumRuntimeConfig,
-    MediumTrainingConfig,
-    ModelsConfig,
-    NeuralNetConfig,
-    QualityGateConfig,
-    RuntimeFlags,
-    SchemaConfig,
-    TimelineConfig,
-    TorchRuntimeConfig,
-    TrainingConfig,
-    TranscriptionConfig,
-    WhisperModelConfig,
-    reload_settings,
+    AccurateResearchRuntimeConfig, AccurateRuntimeConfig, AppConfig, AudioReadConfig,
+    DataLoaderConfig, DatasetConfig, FastRuntimeConfig, FeatureFlags,
+    FeatureRuntimeBackendOverride, FeatureRuntimePolicyConfig, MediumRuntimeConfig,
+    MediumTrainingConfig, ModelsConfig, NeuralNetConfig, QualityGateConfig,
+    RuntimeFlags, SchemaConfig, TimelineConfig, TorchRuntimeConfig, TrainingConfig,
+    TranscriptionConfig, WhisperModelConfig, reload_settings,
 )
-from ser_tpu.diagnostics.domain import (
-    DiagnosticFinding,
-    DiagnosticReport,
-    DiagnosticSeverity,
-)
+from ser_tpu.diagnostics.domain import DiagnosticFinding, DiagnosticReport, DiagnosticSeverity
 from ser_tpu.domain import DatasetConsents, EmotionSegment, TimelineEntry, TranscriptWord
 from ser_tpu.profiles import ProfileName
 from ser_tpu.runtime.contracts import InferenceExecution, InferenceRequest, SubtitleFormat
@@ -134,20 +113,9 @@ def prepare_dataset(
     settings: AppConfig | None = None,
 ) -> DatasetPrepareResult:
     """Runs programmatic dataset preparation."""
-    return _data_api.prepare_dataset(
-        dataset_id=dataset_id,
-        dataset_root=dataset_root,
-        manifest_path=manifest_path,
-        labels_csv_path=labels_csv_path,
-        audio_base_dir=audio_base_dir,
-        source_repo_id=source_repo_id,
-        source_revision=source_revision,
-        default_language=default_language,
-        skip_download=skip_download,
-        accept_license=accept_license,
-        compliance_mode=compliance_mode,
-        settings=_resolve_boundary_settings(settings),
-    )
+    options = dict(locals())
+    options["settings"] = _resolve_boundary_settings(settings)
+    return _data_api.prepare_dataset(**options)
 
 
 def list_profiles() -> tuple[ProfileName, ...]:
@@ -187,17 +155,10 @@ def infer(
     pipeline_builder: RuntimePipelineBuilder | None = None,
 ) -> InferenceExecution:
     """Runs inference for one audio file."""
-    return _runtime_api.infer(
-        file_path,
-        profile=profile,
-        language=language,
-        save_transcript=save_transcript,
-        include_transcript=include_transcript,
-        subtitle_output_path=subtitle_output_path,
-        subtitle_format=subtitle_format,
-        settings=_resolve_boundary_settings(settings),
-        pipeline_builder=pipeline_builder,
-    )
+    options = dict(locals())
+    del options["file_path"]
+    options["settings"] = _resolve_boundary_settings(settings)
+    return _runtime_api.infer(file_path, **options)
 
 
 def run_startup_preflight(
@@ -213,57 +174,18 @@ def run_startup_preflight(
 
 
 __all__ = [
-    "AccurateResearchRuntimeConfig",
-    "AccurateRuntimeConfig",
-    "AppConfig",
-    "AudioReadConfig",
-    "ComplianceMode",
-    "DataLoaderConfig",
-    "DatasetConfig",
-    "DatasetConsents",
-    "DatasetPrepareResult",
-    "DatasetRegistryHealthIssueRecord",
-    "DatasetRegistryRecord",
-    "DiagnosticFinding",
-    "DiagnosticReport",
-    "DiagnosticSeverity",
-    "EmotionSegment",
-    "FastRuntimeConfig",
-    "FeatureFlags",
-    "FeatureRuntimeBackendOverride",
-    "FeatureRuntimePolicyConfig",
-    "FramePrediction",
-    "InferenceExecution",
-    "InferenceRequest",
-    "InferenceResult",
-    "MediumRuntimeConfig",
-    "MediumTrainingConfig",
-    "ModelsConfig",
-    "NeuralNetConfig",
-    "ProfileName",
-    "QualityGateConfig",
-    "RuntimeFlags",
-    "RuntimePipeline",
-    "RuntimePipelineBuilder",
-    "SchemaConfig",
-    "SegmentPrediction",
-    "SubtitleFormat",
-    "TimelineConfig",
-    "TimelineEntry",
-    "TorchRuntimeConfig",
-    "TrainingConfig",
-    "TranscriptWord",
-    "TranscriptionConfig",
-    "WhisperModelConfig",
-    "configure_dataset_consents",
-    "infer",
-    "list_dataset_registry_health_issues",
-    "list_datasets",
-    "list_profiles",
-    "list_registered_datasets",
-    "load_profile",
-    "prepare_dataset",
-    "run_startup_preflight",
-    "show_dataset_consents",
+    "AccurateResearchRuntimeConfig", "AccurateRuntimeConfig", "AppConfig", "AudioReadConfig",
+    "ComplianceMode", "DataLoaderConfig", "DatasetConfig", "DatasetConsents",
+    "DatasetPrepareResult", "DatasetRegistryHealthIssueRecord", "DatasetRegistryRecord", "DiagnosticFinding",
+    "DiagnosticReport", "DiagnosticSeverity", "EmotionSegment", "FastRuntimeConfig",
+    "FeatureFlags", "FeatureRuntimeBackendOverride", "FeatureRuntimePolicyConfig", "FramePrediction",
+    "InferenceExecution", "InferenceRequest", "InferenceResult", "MediumRuntimeConfig",
+    "MediumTrainingConfig", "ModelsConfig", "NeuralNetConfig", "ProfileName",
+    "QualityGateConfig", "RuntimeFlags", "RuntimePipeline", "RuntimePipelineBuilder",
+    "SchemaConfig", "SegmentPrediction", "SubtitleFormat", "TimelineConfig",
+    "TimelineEntry", "TorchRuntimeConfig", "TrainingConfig", "TranscriptWord",
+    "TranscriptionConfig", "WhisperModelConfig", "configure_dataset_consents", "infer",
+    "list_dataset_registry_health_issues", "list_datasets", "list_profiles", "list_registered_datasets",
+    "load_profile", "prepare_dataset", "run_startup_preflight", "show_dataset_consents",
     "train",
 ]

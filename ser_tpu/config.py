@@ -7,69 +7,23 @@ from ser_tpu._internal.config.bootstrap import (
     settings_override,
 )
 from ser_tpu._internal.config.schema import (
-    APP_NAME,
-    AcceleratorRuntimeConfig,
-    AccurateResearchRuntimeConfig,
-    AccurateRuntimeConfig,
-    AppConfig,
-    ArtifactProfileName,
-    AudioReadConfig,
-    DataLoaderConfig,
-    DatasetConfig,
-    FastRuntimeConfig,
-    FeatureFlags,
-    FeatureRuntimeBackendOverride,
-    FeatureRuntimePolicyConfig,
-    MediumRuntimeConfig,
-    MediumTrainingConfig,
-    MeshConfig,
-    ModelsConfig,
-    NeuralNetConfig,
-    ProfileRuntimeConfig,
-    QualityGateConfig,
-    RuntimeFlags,
-    SchemaConfig,
-    TimelineConfig,
-    TorchRuntimeConfig,
-    TrainingConfig,
-    TranscriptionConfig,
-    WhisperModelConfig,
-    default_profile_model_id,
-    profile_artifact_file_names,
+    APP_NAME, AcceleratorRuntimeConfig, AccurateResearchRuntimeConfig, AccurateRuntimeConfig,
+    AppConfig, ArtifactProfileName, AudioReadConfig, DataLoaderConfig, DatasetConfig,
+    FastRuntimeConfig, FeatureFlags, FeatureRuntimeBackendOverride, FeatureRuntimePolicyConfig,
+    MediumRuntimeConfig, MediumTrainingConfig, MeshConfig, ModelsConfig, NeuralNetConfig,
+    ProfileRuntimeConfig, QualityGateConfig, RuntimeFlags, SchemaConfig, TimelineConfig,
+    TorchRuntimeConfig, TrainingConfig, TranscriptionConfig, WhisperModelConfig,
+    default_profile_model_id, profile_artifact_file_names,
 )
 
 __all__ = [
-    "APP_NAME",
-    "AcceleratorRuntimeConfig",
-    "AccurateResearchRuntimeConfig",
-    "AccurateRuntimeConfig",
-    "AppConfig",
-    "ArtifactProfileName",
-    "AudioReadConfig",
-    "DataLoaderConfig",
-    "DatasetConfig",
-    "FastRuntimeConfig",
-    "FeatureFlags",
-    "FeatureRuntimeBackendOverride",
-    "FeatureRuntimePolicyConfig",
-    "MediumRuntimeConfig",
-    "MediumTrainingConfig",
-    "MeshConfig",
-    "ModelsConfig",
-    "NeuralNetConfig",
-    "ProfileRuntimeConfig",
-    "QualityGateConfig",
-    "RuntimeFlags",
-    "SchemaConfig",
-    "TimelineConfig",
-    "TorchRuntimeConfig",
-    "TrainingConfig",
-    "TranscriptionConfig",
-    "WhisperModelConfig",
-    "build_settings",
-    "default_profile_model_id",
-    "get_settings",
-    "profile_artifact_file_names",
-    "reload_settings",
+    "APP_NAME", "AcceleratorRuntimeConfig", "AccurateResearchRuntimeConfig", "AccurateRuntimeConfig",
+    "AppConfig", "ArtifactProfileName", "AudioReadConfig", "DataLoaderConfig",
+    "DatasetConfig", "FastRuntimeConfig", "FeatureFlags", "FeatureRuntimeBackendOverride",
+    "FeatureRuntimePolicyConfig", "MediumRuntimeConfig", "MediumTrainingConfig", "MeshConfig",
+    "ModelsConfig", "NeuralNetConfig", "ProfileRuntimeConfig", "QualityGateConfig",
+    "RuntimeFlags", "SchemaConfig", "TimelineConfig", "TorchRuntimeConfig",
+    "TrainingConfig", "TranscriptionConfig", "WhisperModelConfig", "build_settings",
+    "default_profile_model_id", "get_settings", "profile_artifact_file_names", "reload_settings",
     "settings_override",
 ]
