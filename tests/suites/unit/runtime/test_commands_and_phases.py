@@ -1,0 +1,72 @@
+"""Exit-code classification + phase-timing contract tests."""
+
+import pytest
+
+from ser_tpu._internal.runtime import phases
+from ser_tpu._internal.runtime.commands import (
+    EXIT_OK,
+    EXIT_RUNTIME,
+    EXIT_TIMEOUT,
+    EXIT_VALIDATION,
+    classify_exit_code,
+    run_command,
+)
+from ser_tpu._internal.runtime.errors import (
+    InferenceExecutionError,
+    InferenceTimeoutError,
+    ModelUnavailableError,
+)
+from ser_tpu._internal.runtime.registry import UnsupportedProfileError
+from ser_tpu._internal.runtime.restricted_backends import RestrictedBackendError
+
+
+@pytest.mark.parametrize(
+    "error,expected",
+    [
+        (InferenceTimeoutError("t"), EXIT_TIMEOUT),
+        (ValueError("v"), EXIT_VALIDATION),
+        (FileNotFoundError("f"), EXIT_VALIDATION),
+        (UnsupportedProfileError("u"), EXIT_VALIDATION),
+        (RestrictedBackendError("r"), EXIT_VALIDATION),
+        (ModelUnavailableError("m"), EXIT_VALIDATION),
+        (InferenceExecutionError("e"), EXIT_RUNTIME),
+        (RuntimeError("x"), EXIT_RUNTIME),
+    ],
+)
+def test_exit_code_classification(error, expected):
+    assert classify_exit_code(error) == expected
+
+
+def test_run_command_success_and_failure():
+    result, code = run_command(lambda: 42, label="op")
+    assert (result, code) == (42, EXIT_OK)
+
+    def boom():
+        raise InferenceTimeoutError("too slow")
+
+    result, code = run_command(boom, label="op")
+    assert result is None and code == EXIT_TIMEOUT
+
+
+def test_phase_names_are_reference_canonical():
+    assert phases.ALL_PHASES == (
+        "workflow_total",
+        "emotion_setup",
+        "emotion_inference",
+        "transcription_setup",
+        "transcription_model_load",
+        "transcription",
+        "timeline_build",
+        "timeline_output",
+    )
+
+
+def test_timed_phase_records_on_success_and_failure():
+    timings: dict[str, float] = {}
+    with phases.timed_phase("workflow_total", timings):
+        pass
+    assert timings["workflow_total"] >= 0.0
+    with pytest.raises(RuntimeError):
+        with phases.timed_phase("emotion_inference", timings):
+            raise RuntimeError("boom")
+    assert "emotion_inference" in timings
