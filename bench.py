@@ -144,7 +144,14 @@ def main() -> int:
         "medium": _bench_medium,
         "fast": _bench_fast,
     }.get(profile, _bench_accurate)
-    value, metric = bench()
+    trace_dir = os.environ.get("SER_BENCH_TRACE_DIR")
+    if trace_dir:
+        from ser_tpu._internal.utils.profiling import device_trace
+
+        with device_trace(trace_dir):
+            value, metric = bench()
+    else:
+        value, metric = bench()
     print(
         json.dumps(
             {
