@@ -11,9 +11,12 @@ Components:
   → affine), computed in-graph so the whole encode is one XLA program;
 - pre-norm encoder (conv ×2 stride-2 frontend + sinusoidal positions);
 - decoder with causal self-attention over a fixed-size KV cache and
-  cross-attention onto encoder states, stepped by a jitted decode kernel;
-- word timestamps from predicted timestamp tokens with even within-segment
-  interpolation (SURVEY §7 step 6's sanctioned approach).
+  cross-attention onto encoder states, stepped by a jitted decode kernel
+  (``whisper_decode.greedy_decode_kv_cache``: per-step cost independent of
+  position, all 30 s windows decode as one batch);
+- word timestamps from cross-attention DTW alignment over designated
+  alignment heads (``word_timing.py``; stable-ts-class semantics), with
+  timestamp-token interpolation as the capture-off fallback.
 """
 
 from __future__ import annotations
@@ -230,11 +233,12 @@ class DecoderBlock(nn.Module):
 class WhisperDecoder(nn.Module):
     """Teacher-forced decoder over full token prefixes.
 
-    Greedy decoding re-runs the full (fixed, max_target_positions-padded)
-    prefix each step with a causal mask; with static shapes XLA caches one
-    executable, and for SER transcript lengths (<448 tokens) this stays
-    HBM-bandwidth friendly without a handwritten cache. A pallas KV-cache
-    decode kernel can replace it transparently later.
+    Used for parameter init/shape contracts and as the reference numerics
+    for the production decode path: greedy generation runs through
+    ``whisper_decode.greedy_decode_kv_cache``, which reads this module's
+    param tree directly and matches its op-for-op numerics (pinned by the
+    cached-vs-full equivalence test). ``greedy_decode_on_device`` below keeps
+    the full-prefix re-forward alive as that test's baseline.
     """
 
     config: WhisperConfig
@@ -290,6 +294,29 @@ def whisper_config_from_hf_dir(model_dir) -> WhisperConfig:
         vocab_size=raw["vocab_size"],
         max_target_positions=raw.get("max_target_positions", 448),
     )
+
+
+def alignment_heads_from_hf_dir(model_dir) -> tuple[tuple[int, int], ...] | None:
+    """Published (layer, head) cross-attention alignment pairs, if any.
+
+    HF Whisper checkpoints carry OpenAI's per-model alignment-head dump in
+    ``generation_config.json``; absent (or unreadable) returns None and the
+    caller falls back to :func:`whisper_decode.default_alignment_spec`.
+    """
+    import json
+    from pathlib import Path
+
+    path = Path(model_dir) / "generation_config.json"
+    if not path.is_file():
+        return None
+    try:
+        raw = json.loads(path.read_text(encoding="utf-8"))
+    except (OSError, ValueError):
+        return None
+    pairs = raw.get("alignment_heads")
+    if not pairs:
+        return None
+    return tuple((int(layer), int(head)) for layer, head in pairs)
 
 
 def _hf_tensors(model_dir) -> dict[str, np.ndarray]:
@@ -456,7 +483,9 @@ def greedy_decode_on_device(
 
 
 class WhisperForTranscription:
-    """Greedy transcription with word-level timestamps."""
+    """Greedy KV-cache transcription with DTW-aligned word timestamps."""
+
+    PREFIX_LEN = 3  # <|startoftranscript|> <|lang|> <|transcribe|>
 
     def __init__(
         self,
@@ -466,14 +495,25 @@ class WhisperForTranscription:
         tokenizer,
         *,
         compute_dtype: str = "float32",
+        alignment_heads: tuple[tuple[int, int], ...] | None = None,
+        word_timestamps: str = "align",
     ) -> None:
+        from ser_tpu.models.whisper_decode import default_alignment_spec
+
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
         self.config = config
         self.encoder = WhisperEncoder(config, compute_dtype=dtype)
         self.decoder = WhisperDecoder(config, compute_dtype=dtype)
+        self.compute_dtype = dtype
         self.encoder_params = encoder_params
         self.decoder_params = decoder_params
         self.tokenizer = tokenizer
+        self.word_timestamps = word_timestamps
+        if alignment_heads is None:
+            alignment_heads = default_alignment_spec(
+                config.decoder_layers, config.n_heads
+            )
+        self.alignment_heads = tuple(tuple(pair) for pair in alignment_heads)
 
     @classmethod
     def from_pretrained_dir(cls, model_dir, *, compute_dtype: str = "float32"):
@@ -487,6 +527,7 @@ class WhisperForTranscription:
             load_hf_whisper_decoder_params(model_dir, config),
             WhisperTokenizer.from_pretrained(str(model_dir)),
             compute_dtype=compute_dtype,
+            alignment_heads=alignment_heads_from_hf_dir(model_dir),
         )
 
     def _special(self, token: str) -> int:
@@ -495,33 +536,127 @@ class WhisperForTranscription:
             raise ValueError(f"Tokenizer lacks special token {token}")
         return int(ids[0])
 
-    def _greedy_segment_decode(
+    def _decode_chunk_batch(
         self, encoder_states: jax.Array, language: str
-    ) -> list[int]:
-        """Greedy decode of one 30 s window; returns emitted token ids."""
+    ) -> tuple[list[list[int]], np.ndarray | None]:
+        """KV-cache greedy decode of a batch of 30 s windows.
+
+        Returns per-window emitted token ids and, when alignment capture is
+        on, per-window alignment-head attention rows
+        ``(B, n_align, max_len, S)`` (rows index decoder input positions).
+        """
+        from ser_tpu.models.whisper_decode import greedy_decode_kv_cache
+
         sot = self._special("<|startoftranscript|>")
         eot = self._special("<|endoftext|>")
         lang_token = self._special(f"<|{language}|>")
         task = self._special("<|transcribe|>")
         prefix = jnp.asarray([sot, lang_token, task], dtype=jnp.int32)
-        tokens, emitted_count = greedy_decode_on_device(
-            self.decoder,
+        align_spec = (
+            self.alignment_heads if self.word_timestamps == "align" else ()
+        )
+        tokens, lengths, align = greedy_decode_kv_cache(
             self.decoder_params,
+            self.config,
             encoder_states,
             prefix,
-            eot,
-            prefix_len=3,
+            jnp.asarray(eot, dtype=jnp.int32),
+            prefix_len=self.PREFIX_LEN,
+            align_spec=align_spec,
+            compute_dtype=self.compute_dtype,
         )
-        count = int(emitted_count)
-        return np.asarray(tokens[0, 3 : 3 + count]).tolist()
+        tokens_np = np.asarray(tokens)
+        lengths_np = np.asarray(lengths)
+        emitted = [
+            tokens_np[row, self.PREFIX_LEN : self.PREFIX_LEN + int(lengths_np[row])].tolist()
+            for row in range(tokens_np.shape[0])
+        ]
+        return emitted, (np.asarray(align) if align_spec else None)
+
+    def _segments_from_tokens(
+        self, tokens: list[int], timestamp_begin: int, chunk_duration: float
+    ) -> list[tuple[float, float, list[int]]]:
+        """Groups emitted ids into (start, end, text-token) segments."""
+        segments: list[tuple[float, float, list[int]]] = []
+        current_start, current_tokens = 0.0, []
+        for token in tokens:
+            if token >= timestamp_begin:
+                stamp = (token - timestamp_begin) * 0.02
+                if current_tokens:
+                    segments.append((current_start, stamp, current_tokens))
+                    current_tokens = []
+                current_start = stamp
+            else:
+                current_tokens.append(token)
+        if current_tokens:
+            segments.append((current_start, chunk_duration, current_tokens))
+        return segments
+
+    def _interpolated_words(
+        self, segments, chunk_offset_s: float, chunk_duration: float
+    ):
+        """Even within-segment interpolation (fallback when alignment is off)."""
+        from ser_tpu.domain import TranscriptWord
+
+        words: list[TranscriptWord] = []
+        for seg_start, seg_end, seg_tokens in segments:
+            text = self.tokenizer.decode(seg_tokens).strip()
+            if not text:
+                continue
+            parts = text.split()
+            seg_start = min(seg_start, chunk_duration)
+            seg_end = min(max(seg_end, seg_start + 0.02), chunk_duration)
+            step = (seg_end - seg_start) / len(parts)
+            for i, word in enumerate(parts):
+                words.append(
+                    TranscriptWord(
+                        word=word,
+                        start_seconds=chunk_offset_s + seg_start + i * step,
+                        end_seconds=chunk_offset_s + seg_start + (i + 1) * step,
+                    )
+                )
+        return words
+
+    def _aligned_words(
+        self,
+        tokens: list[int],
+        attention: np.ndarray,
+        timestamp_begin: int,
+        chunk_offset_s: float,
+        chunk_duration: float,
+    ):
+        """DTW word timing from captured cross-attention (one chunk)."""
+        from ser_tpu.domain import TranscriptWord
+        from ser_tpu.models.word_timing import word_timings_from_alignment
+
+        num_frames = max(1, int(chunk_duration * SAMPLE_RATE) // (HOP_LENGTH * 2))
+        rows = attention[:, self.PREFIX_LEN : self.PREFIX_LEN + len(tokens), :]
+        timed = word_timings_from_alignment(
+            rows,
+            tokens,
+            self.tokenizer,
+            num_frames=num_frames,
+            timestamp_begin=timestamp_begin,
+        )
+        return [
+            TranscriptWord(
+                word=entry.word,
+                start_seconds=chunk_offset_s + min(entry.start, chunk_duration),
+                end_seconds=chunk_offset_s + min(entry.end, chunk_duration),
+            )
+            for entry in timed
+        ]
 
     def transcribe_words(
         self, audio16k: np.ndarray, *, language: str = "en", use_vad: bool = True
     ):
         """Transcribes mono 16 kHz audio into word-level ``TranscriptWord``s.
 
-        Timestamp tokens bound segments; words inside a segment get evenly
-        interpolated timings (SURVEY §7 hard-part #2 fallback strategy).
+        All 30 s windows encode and decode as ONE batched device program
+        (chunk-as-batch, SURVEY §5 long-context rule). Word timings come from
+        cross-attention DTW alignment (reference ``stable_whisper.py:272-478``
+        semantics); timestamp-token interpolation remains as the fallback when
+        alignment capture is disabled or yields nothing.
         """
         from ser_tpu.domain import TranscriptWord
 
@@ -531,48 +666,41 @@ class WhisperForTranscription:
             return []
 
         timestamp_begin = self._special("<|0.00|>")
-        words: list[TranscriptWord] = []
         n_chunks = int(np.ceil(audio16k.size / CHUNK_SAMPLES))
+        batch = np.zeros((n_chunks, CHUNK_SAMPLES), dtype=np.float32)
+        durations = []
         for chunk_index in range(n_chunks):
-            offset = chunk_index * CHUNK_SAMPLES
-            chunk = audio16k[offset : offset + CHUNK_SAMPLES]
-            chunk_duration = chunk.size / SAMPLE_RATE
-            padded = np.zeros((1, CHUNK_SAMPLES), dtype=np.float32)
-            padded[0, : chunk.size] = chunk
-            states = encode_mel_chunks(self.encoder, self.encoder_params, jnp.asarray(padded))
-            tokens = self._greedy_segment_decode(states, language)
+            chunk = audio16k[
+                chunk_index * CHUNK_SAMPLES : (chunk_index + 1) * CHUNK_SAMPLES
+            ]
+            batch[chunk_index, : chunk.size] = chunk
+            durations.append(chunk.size / SAMPLE_RATE)
 
-            segments: list[tuple[float, float, list[int]]] = []
-            current_start, current_tokens = 0.0, []
-            for token in tokens:
-                if token >= timestamp_begin:
-                    stamp = (token - timestamp_begin) * 0.02
-                    if current_tokens:
-                        segments.append((current_start, stamp, current_tokens))
-                        current_tokens = []
-                    current_start = stamp
-                else:
-                    current_tokens.append(token)
-            if current_tokens:
-                segments.append((current_start, chunk_duration, current_tokens))
+        states = encode_mel_chunks(self.encoder, self.encoder_params, jnp.asarray(batch))
+        emitted, aligns = self._decode_chunk_batch(states, language)
 
-            chunk_offset_s = offset / SAMPLE_RATE
-            for seg_start, seg_end, seg_tokens in segments:
-                text = self.tokenizer.decode(seg_tokens).strip()
-                if not text:
-                    continue
-                parts = text.split()
-                seg_start = min(seg_start, chunk_duration)
-                seg_end = min(max(seg_end, seg_start + 0.02), chunk_duration)
-                step = (seg_end - seg_start) / len(parts)
-                for i, word in enumerate(parts):
-                    words.append(
-                        TranscriptWord(
-                            word=word,
-                            start_seconds=chunk_offset_s + seg_start + i * step,
-                            end_seconds=chunk_offset_s + seg_start + (i + 1) * step,
-                        )
-                    )
+        words: list[TranscriptWord] = []
+        for chunk_index, tokens in enumerate(emitted):
+            chunk_offset_s = chunk_index * CHUNK_SECONDS
+            chunk_duration = durations[chunk_index]
+            aligned: list[TranscriptWord] = []
+            if aligns is not None and tokens:
+                aligned = self._aligned_words(
+                    tokens,
+                    aligns[chunk_index],
+                    timestamp_begin,
+                    chunk_offset_s,
+                    chunk_duration,
+                )
+            if aligned:
+                words.extend(aligned)
+            else:
+                segments = self._segments_from_tokens(
+                    tokens, timestamp_begin, chunk_duration
+                )
+                words.extend(
+                    self._interpolated_words(segments, chunk_offset_s, chunk_duration)
+                )
         return words
 
 
@@ -600,6 +728,7 @@ __all__ = [
     "WhisperConfig",
     "WhisperEncoder",
     "WhisperForTranscription",
+    "alignment_heads_from_hf_dir",
     "encode_mel_chunks",
     "init_whisper_encoder_params",
     "load_hf_whisper_decoder_params",

@@ -1,0 +1,211 @@
+"""KV-cached greedy Whisper decode with cross-attention alignment capture.
+
+TPU-native decode path replacing the full-prefix re-forward
+(``whisper.greedy_decode_on_device``): per-layer self-attention keys/values
+live in a fixed-size cache updated in place inside one ``lax.while_loop``,
+cross-attention K/V are computed once per window, and per-step compute is
+independent of the emitted position. Reference efficiency bar: the
+ctranslate2-backed cached decoder behind ``faster_whisper``
+(reference ``ser/_internal/transcript/backends/faster_whisper.py``).
+
+During the same loop, cross-attention probabilities from designated
+alignment heads are written into a fixed buffer, feeding host-side DTW word
+timing (``word_timing.py``) — the stable-ts-class alignment the reference
+gets from ``stable_whisper.py:272-478``. Capturing during decode avoids the
+second teacher-forced alignment forward the torch stacks need.
+
+Operates directly on the flax param tree of ``whisper.WhisperDecoder`` with
+matching numerics (same op order, dtype casts, and masking), so cached and
+full-prefix decodes agree token-for-token; ``tests/suites/integration/
+transcript`` pins the equivalence.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30
+
+
+def _dense(p: dict, x: jax.Array, dtype) -> jax.Array:
+    """flax ``nn.Dense(dtype=...)`` numerics: cast inputs+params, then matmul."""
+    y = x.astype(dtype) @ p["kernel"].astype(dtype)
+    bias = p.get("bias")
+    if bias is not None:
+        y = y + bias.astype(dtype)
+    return y
+
+
+def _layer_norm(p: dict, x: jax.Array, eps: float) -> jax.Array:
+    """flax ``nn.LayerNorm`` numerics (fast-variance form) in float32."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    mean_sq = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, mean_sq - jnp.square(mean))
+    normed = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return normed * p["scale"] + p["bias"]
+
+
+def _split_heads(x: jax.Array, n_heads: int) -> jax.Array:
+    return x.reshape(*x.shape[:-1], n_heads, x.shape[-1] // n_heads)
+
+
+def _attend(q, k, v, *, bias, compute_dtype):
+    """Single-query attention matching ``whisper.MultiHeadAttention``."""
+    head_dim = q.shape[-1]
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+        jnp.asarray(head_dim, dtype=compute_dtype)
+    )
+    if bias is not None:
+        scores = scores + bias.astype(scores.dtype)
+    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(compute_dtype), v)
+    return out, weights
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "prefix_len", "align_spec", "compute_dtype"),
+)
+def greedy_decode_kv_cache(
+    params: dict,
+    config,
+    encoder_states: jax.Array,
+    prefix: jax.Array,
+    eot: jax.Array,
+    *,
+    prefix_len: int,
+    align_spec: tuple[tuple[int, int], ...] = (),
+    compute_dtype=jnp.float32,
+):
+    """Batched greedy decode over cached attention state, one dispatch total.
+
+    Args:
+      params: flax param tree of ``whisper.WhisperDecoder``.
+      config: ``WhisperConfig`` (static).
+      encoder_states: ``(B, S, d)`` encoder outputs; each row decodes
+        independently with its own done flag.
+      prefix: ``(prefix_len,)`` task prefix, shared across the batch.
+      eot: end-of-text id (traced scalar).
+      align_spec: static ``((layer, head), ...)`` pairs whose cross-attention
+        probabilities are recorded per decoded position.
+
+    Returns:
+      tokens ``(B, max_len)`` with the prefix at the front and generated ids
+      after it (eot-padded), lengths ``(B,)`` of emitted non-eot tokens, and
+      align ``(B, n_align, max_len, S)`` float32 attention probabilities
+      (rows beyond each sequence's length are zero).
+    """
+    cfg = config
+    batch = encoder_states.shape[0]
+    enc_len = encoder_states.shape[1]
+    max_len = cfg.max_target_positions
+    n_heads = cfg.n_heads
+    head_dim = cfg.d_model // n_heads
+    eps = cfg.layer_norm_eps
+    cdt = compute_dtype
+    n_layers = cfg.decoder_layers
+
+    # Cross-attention K/V depend only on encoder states: compute once.
+    cross_k = []
+    cross_v = []
+    for i in range(n_layers):
+        lp = params[f"layer_{i}"]["cross"]
+        cross_k.append(_split_heads(_dense(lp["k"], encoder_states, cdt), n_heads))
+        cross_v.append(_split_heads(_dense(lp["v"], encoder_states, cdt), n_heads))
+
+    tokens = jnp.full((batch, max_len), eot, dtype=jnp.int32)
+    tokens = tokens.at[:, :prefix_len].set(prefix[None, :prefix_len])
+    self_k = jnp.zeros((n_layers, batch, max_len, n_heads, head_dim), dtype=cdt)
+    self_v = jnp.zeros_like(self_k)
+    align = jnp.zeros((batch, len(align_spec), max_len, enc_len), dtype=jnp.float32)
+    done = jnp.zeros((batch,), dtype=bool)
+
+    def cond(state):
+        position, _, done, _, _, _ = state
+        return jnp.logical_and(position < max_len - 1, ~jnp.all(done))
+
+    def body(state):
+        position, tokens, done, self_k, self_v, align = state
+        token_ids = jax.lax.dynamic_index_in_dim(tokens, position, axis=1, keepdims=False)
+        x = params["tok_embed"][token_ids] + params["pos_embed"][position]
+        x = x[:, None, :]  # (B, 1, d)
+        key_visible = jnp.arange(max_len) <= position
+        self_bias = jnp.where(key_visible, 0.0, _NEG_INF)[None, None, None, :]
+
+        for i in range(n_layers):
+            lp = params[f"layer_{i}"]
+            h = _layer_norm(lp["attn_ln"], x, eps)
+            q = _split_heads(_dense(lp["attn"]["q"], h, cdt), n_heads)
+            k_new = _split_heads(_dense(lp["attn"]["k"], h, cdt), n_heads)
+            v_new = _split_heads(_dense(lp["attn"]["v"], h, cdt), n_heads)
+            self_k = jax.lax.dynamic_update_slice(
+                self_k, k_new[None], (i, 0, position, 0, 0)
+            )
+            self_v = jax.lax.dynamic_update_slice(
+                self_v, v_new[None], (i, 0, position, 0, 0)
+            )
+            out, _ = _attend(q, self_k[i], self_v[i], bias=self_bias, compute_dtype=cdt)
+            x = x + _dense(lp["attn"]["out"], out.reshape(batch, 1, -1), cdt)
+
+            h = _layer_norm(lp["cross_ln"], x, eps)
+            q = _split_heads(_dense(lp["cross"]["q"], h, cdt), n_heads)
+            out, weights = _attend(q, cross_k[i], cross_v[i], bias=None, compute_dtype=cdt)
+            for slot, (layer_index, head_index) in enumerate(align_spec):
+                if layer_index == i:
+                    row = weights[:, head_index, 0][:, None, None, :]  # (B,1,1,S)
+                    align = jax.lax.dynamic_update_slice(
+                        align, row, (0, slot, position, 0)
+                    )
+            x = x + _dense(lp["cross"]["out"], out.reshape(batch, 1, -1), cdt)
+
+            h = _layer_norm(lp["mlp_ln"], x, eps)
+            h = jax.nn.gelu(_dense(lp["mlp_in"], h, cdt))
+            x = x + _dense(lp["mlp_out"], h, cdt)
+
+        x = _layer_norm(params["final_ln"], x, eps)
+        logits = jnp.einsum("bqd,vd->bqv", x, params["tok_embed"])[:, 0]
+        next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        generating = position + 1 >= prefix_len
+        keep = jax.lax.dynamic_index_in_dim(tokens, position + 1, axis=1, keepdims=False)
+        write = jnp.where(jnp.logical_and(generating, ~done), next_token, keep)
+        tokens = jax.lax.dynamic_update_slice(tokens, write[:, None], (0, position + 1))
+        done = jnp.logical_or(done, jnp.logical_and(generating, write == eot))
+        return position + 1, tokens, done, self_k, self_v, align
+
+    state = (jnp.asarray(0, dtype=jnp.int32), tokens, done, self_k, self_v, align)
+    _, tokens, _, _, _, align = jax.lax.while_loop(cond, body, state)
+
+    generated = tokens[:, prefix_len:]
+    is_eot = generated == eot
+    lengths = jnp.where(
+        is_eot.any(axis=1), jnp.argmax(is_eot, axis=1), generated.shape[1]
+    )
+    return tokens, lengths, align
+
+
+def default_alignment_spec(
+    decoder_layers: int, n_heads: int, *, max_pairs: int = 32
+) -> tuple[tuple[int, int], ...]:
+    """Fallback alignment heads when a checkpoint publishes none.
+
+    Cross-attention in the upper half of the decoder tracks the audio
+    position most sharply (the published per-model head dumps all live
+    there), so take every head from layers ``n//2..`` and subsample evenly
+    to bound the capture buffer.
+    """
+    pairs = [
+        (layer, head)
+        for layer in range(decoder_layers // 2, decoder_layers)
+        for head in range(n_heads)
+    ]
+    if len(pairs) > max_pairs:
+        stride = len(pairs) / max_pairs
+        pairs = [pairs[int(i * stride)] for i in range(max_pairs)]
+    return tuple(pairs)
+
+
+__all__ = ["default_alignment_spec", "greedy_decode_kv_cache"]

@@ -1,4 +1,4 @@
-"""Whisper transcription decode loop through a tiny model + fake tokenizer."""
+"""Whisper transcription: KV-cache decode, alignment, and the word pipeline."""
 
 import numpy as np
 import pytest
@@ -9,7 +9,8 @@ from ser_tpu.models import whisper as whisper_model
 class FakeTokenizer:
     """Deterministic mini-tokenizer covering the decode loop's contract.
 
-    Specials live at fixed ids; 'words' are single ids decoded to w<id>.
+    Specials live at fixed ids; 'words' are single ids decoded to " w<id>"
+    (leading space marks a word boundary, as BPE vocabularies do).
     """
 
     SPECIALS = {
@@ -25,7 +26,7 @@ class FakeTokenizer:
         return [self.SPECIALS.get(token, self.unk_token_id) for token in tokens]
 
     def decode(self, ids):
-        return " ".join(f"w{i}" for i in ids)
+        return "".join(f" w{i}" for i in ids)
 
 
 @pytest.fixture(scope="module")
@@ -70,13 +71,13 @@ def test_vad_trims_leading_silence():
     assert np.abs(trimmed).max() == pytest.approx(0.5)
 
 
-def test_timestamp_token_segmentation(tiny_model, monkeypatch):
-    """Timestamp tokens bound segments; words interpolate inside them."""
+def test_timestamp_token_segmentation_interpolation_fallback(tiny_model, monkeypatch):
+    """Without alignment capture, timestamp tokens bound interpolated words."""
     ts = FakeTokenizer.SPECIALS["<|0.00|>"]
     # <|1.00|> = ts + 50 (0.02 s per step), tokens 5,6 inside [1.0, 2.0].
     scripted = [ts + 50, 5, 6, ts + 100]
     monkeypatch.setattr(
-        tiny_model, "_greedy_segment_decode", lambda states, language: scripted
+        tiny_model, "_decode_chunk_batch", lambda states, language: ([scripted], None)
     )
     audio = (0.1 * np.random.default_rng(1).standard_normal(16000 * 3)).astype(np.float32)
     words = tiny_model.transcribe_words(audio, use_vad=False)
@@ -84,3 +85,109 @@ def test_timestamp_token_segmentation(tiny_model, monkeypatch):
     assert words[0].start_seconds == pytest.approx(1.0)
     assert words[0].end_seconds == pytest.approx(1.5)
     assert words[1].end_seconds == pytest.approx(2.0)
+
+
+def test_kv_cache_decode_matches_full_prefix_reforward():
+    """Cached decode must emit the exact token stream of the full re-forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from ser_tpu.models.whisper_decode import greedy_decode_kv_cache
+
+    config = whisper_model.WhisperConfig.tiny()
+    decoder = whisper_model.WhisperDecoder(config)
+    max_len = config.max_target_positions
+    init_tokens = np.zeros((1, max_len), dtype=np.int32)
+    states = jax.random.normal(
+        jax.random.PRNGKey(3),
+        (1, whisper_model.CHUNK_FRAMES // 2, config.d_model),
+        dtype=jnp.float32,
+    )
+    params = decoder.init(jax.random.PRNGKey(1), init_tokens, states)["params"]
+
+    prefix = jnp.asarray([200, 202, 203], dtype=jnp.int32)
+    eot = 201
+    full_tokens, full_emitted = whisper_model.greedy_decode_on_device(
+        decoder, params, states, prefix, eot, prefix_len=3
+    )
+    cached_tokens, cached_lengths, _ = greedy_decode_kv_cache(
+        params,
+        config,
+        states,
+        prefix,
+        jnp.asarray(eot, dtype=jnp.int32),
+        prefix_len=3,
+    )
+    n_full = int(full_emitted)
+    n_cached = int(cached_lengths[0])
+    assert n_cached == n_full
+    assert np.asarray(cached_tokens[0, 3 : 3 + n_cached]).tolist() == np.asarray(
+        full_tokens[0, 3 : 3 + n_full]
+    ).tolist()
+
+
+def test_kv_cache_decode_batches_rows_independently():
+    """Each batch row decodes against its own encoder states."""
+    import jax
+    import jax.numpy as jnp
+
+    from ser_tpu.models.whisper_decode import greedy_decode_kv_cache
+
+    config = whisper_model.WhisperConfig.tiny()
+    decoder = whisper_model.WhisperDecoder(config)
+    init_tokens = np.zeros((1, config.max_target_positions), dtype=np.int32)
+    single = jax.random.normal(
+        jax.random.PRNGKey(7),
+        (1, whisper_model.CHUNK_FRAMES // 2, config.d_model),
+        dtype=jnp.float32,
+    )
+    params = decoder.init(jax.random.PRNGKey(2), init_tokens, single)["params"]
+    other = jax.random.normal(jax.random.PRNGKey(8), single.shape, dtype=jnp.float32)
+    both = jnp.concatenate([single, other], axis=0)
+
+    prefix = jnp.asarray([200, 202, 203], dtype=jnp.int32)
+    eot = jnp.asarray(201, dtype=jnp.int32)
+    kwargs = dict(prefix_len=3)
+    tokens_b, lengths_b, _ = greedy_decode_kv_cache(
+        params, config, both, prefix, eot, **kwargs
+    )
+    tokens_0, lengths_0, _ = greedy_decode_kv_cache(
+        params, config, single, prefix, eot, **kwargs
+    )
+    n = min(int(lengths_0[0]), int(lengths_b[0]))
+    assert int(lengths_b[0]) == int(lengths_0[0])
+    assert np.array_equal(
+        np.asarray(tokens_b[0, 3 : 3 + n]), np.asarray(tokens_0[0, 3 : 3 + n])
+    )
+
+
+def test_alignment_capture_rows_are_probabilities():
+    """Captured alignment rows are softmax distributions over encoder frames."""
+    import jax
+    import jax.numpy as jnp
+
+    from ser_tpu.models.whisper_decode import greedy_decode_kv_cache
+
+    config = whisper_model.WhisperConfig.tiny()
+    decoder = whisper_model.WhisperDecoder(config)
+    init_tokens = np.zeros((1, config.max_target_positions), dtype=np.int32)
+    states = jax.random.normal(
+        jax.random.PRNGKey(5),
+        (1, whisper_model.CHUNK_FRAMES // 2, config.d_model),
+        dtype=jnp.float32,
+    )
+    params = decoder.init(jax.random.PRNGKey(4), init_tokens, states)["params"]
+    tokens, lengths, align = greedy_decode_kv_cache(
+        params,
+        config,
+        states,
+        jnp.asarray([200, 202, 203], dtype=jnp.int32),
+        jnp.asarray(201, dtype=jnp.int32),
+        prefix_len=3,
+        align_spec=((1, 0), (1, 2)),
+    )
+    align_np = np.asarray(align)
+    assert align_np.shape[:2] == (1, 2)
+    processed = 3 + int(lengths[0])  # prefix rows are recorded too
+    sums = align_np[0, :, : max(processed - 1, 1), :].sum(axis=-1)
+    np.testing.assert_allclose(sums, 1.0, atol=1e-4)

