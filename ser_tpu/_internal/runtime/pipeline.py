@@ -20,6 +20,10 @@ from dataclasses import dataclass, field
 from ser_tpu._internal.config.schema import AppConfig
 from ser_tpu._internal.runtime import phases
 from ser_tpu._internal.runtime.backend_hooks import BackendHook, build_backend_hooks
+from ser_tpu._internal.runtime.environment_plan import (
+    build_runtime_environment_plan,
+    temporary_process_env,
+)
 from ser_tpu._internal.runtime.registry import (
     ensure_profile_supported,
     resolve_runtime_capability,
@@ -35,15 +39,19 @@ from ser_tpu.runtime.schema import InferenceResult, to_legacy_emotion_segments
 
 logger = get_logger(__name__)
 
-type TranscriptFn = Callable[[str, str, ProfileName, AppConfig], list[TranscriptWord]]
+type TranscriptFn = Callable[..., list[TranscriptWord]]
 type TrainFn = Callable[[AppConfig], object]
 
 
 def _default_transcript_fn(
-    file_path: str, language: str, profile: ProfileName, settings: AppConfig
+    file_path: str,
+    language: str,
+    profile: ProfileName,
+    settings: AppConfig,
+    timings: dict[str, float] | None = None,
 ) -> list[TranscriptWord]:
     return extract_transcript(
-        file_path, language=language, profile=profile, settings=settings
+        file_path, language=language, profile=profile, settings=settings, timings=timings
     )
 
 
@@ -75,7 +83,17 @@ class RuntimePipeline:
         train_fn(self.settings)
 
     def run_inference(self, request: InferenceRequest) -> InferenceExecution:
-        """Runs one inference workflow end to end."""
+        """Runs one inference workflow end to end.
+
+        The runtime environment plan applies for the whole workflow scope
+        and restores afterwards (reference ``pipeline.py:164-167`` +
+        ``environment_plan.py:72-101``).
+        """
+        plan = build_runtime_environment_plan(self.settings)
+        with temporary_process_env(plan):
+            return self._run_inference_in_env(request)
+
+    def _run_inference_in_env(self, request: InferenceRequest) -> InferenceExecution:
         timings: dict[str, float] = {}
         profile = self.active_profile
         with phases.timed_phase(phases.PHASE_WORKFLOW_TOTAL, timings):
@@ -94,9 +112,16 @@ class RuntimePipeline:
 
             transcript: list[TranscriptWord] = []
             if request.include_transcript:
+                # The transcript fn records transcription_setup /
+                # transcription_model_load into the same dict; the outer
+                # phase covers the full lane (reference pipeline.py:194-251).
                 with phases.timed_phase(phases.PHASE_TRANSCRIPTION, timings):
                     transcript = self.transcript_fn(
-                        request.file_path, request.language, profile, self.settings
+                        request.file_path,
+                        request.language,
+                        profile,
+                        self.settings,
+                        timings,
                     )
 
             with phases.timed_phase(phases.PHASE_TIMELINE_BUILD, timings):

@@ -4,7 +4,11 @@ Parity surface: reference ``ser/_internal/transcript/transcript_extractor.py``
 — ``extract_transcript(file, language, profile, settings)`` resolving a
 ``TranscriptionProfile`` (backend_id, model_name, use_demucs, use_vad) from the
 profile catalog defaults + ``WHISPER_*`` env overrides, delegated to the
-registered backend adapter.
+registered backend adapter. The in-process orchestration mirrors reference
+``in_process_orchestration.py``: compatibility check → memory admission →
+model load → transcribe, with ``transcription_setup`` /
+``transcription_model_load`` phase timings recorded like reference
+``pipeline.py:194-251``.
 """
 
 from __future__ import annotations
@@ -12,6 +16,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from ser_tpu._internal.config.schema import AppConfig
+from ser_tpu._internal.runtime import phases
 from ser_tpu._internal.utils.logger import get_logger
 from ser_tpu.domain import TranscriptWord
 from ser_tpu.profiles import ProfileName, get_profile_catalog
@@ -46,20 +51,7 @@ def resolve_transcription_profile(
     )
 
 
-def extract_transcript(
-    file_path: str,
-    *,
-    language: str,
-    profile: ProfileName,
-    settings: AppConfig,
-) -> list[TranscriptWord]:
-    """Extracts word-level transcript for one audio file.
-
-    Raises ``TranscriptionUnavailableError`` when the backend's model assets
-    are not present locally (this framework never downloads at inference
-    time).
-    """
-    resolved = resolve_transcription_profile(profile, settings)
+def _build_transcriber(resolved: TranscriptionProfile, settings: AppConfig):
     if resolved.backend_id != "jax_whisper":
         raise TranscriptionUnavailableError(
             f"Unknown transcription backend {resolved.backend_id!r}; "
@@ -67,12 +59,122 @@ def extract_transcript(
         )
     from ser_tpu._internal.transcript.jax_whisper_backend import JaxWhisperTranscriber
 
-    transcriber = JaxWhisperTranscriber(
+    return JaxWhisperTranscriber(
         model_name=resolved.model_name,
         cache_root=settings.models.whisper_download_root,
         use_vad=resolved.use_vad,
         use_demucs=resolved.use_demucs,
     )
+
+
+def _run_setup_gates(
+    transcriber, resolved: TranscriptionProfile, settings: AppConfig
+) -> None:
+    """Compatibility + HBM admission gates (reference in-process orchestration:
+    ``in_process_orchestration.py`` compat check then ``mps_admission.py:50-130``
+    before model load)."""
+    report = transcriber.check_compatibility()
+    for issue in report.issues:
+        if not issue.blocking:
+            logger.warning("transcription %s issue: %s", issue.kind, issue.message)
+    if report.blocking:
+        blocking = "; ".join(i.message for i in report.issues if i.blocking)
+        raise TranscriptionUnavailableError(
+            f"Transcription backend {resolved.backend_id!r} blocked: {blocking}"
+        )
+
+    from ser_tpu._internal.transcript.hbm_admission import admit_transcription_model
+
+    decision = admit_transcription_model(
+        resolved.model_name, config=settings.transcription
+    )
+    if not decision.admitted:
+        raise TranscriptionUnavailableError(
+            f"Transcription model {resolved.model_name!r} denied by device-memory "
+            f"admission: {decision.reason}"
+        )
+    logger.debug("transcription admission: %s", decision.reason)
+
+
+def _runtime_request(resolved: TranscriptionProfile, settings: AppConfig):
+    from ser_tpu._internal.transcript.base import BackendRuntimeRequest
+
+    return BackendRuntimeRequest(
+        model_name=resolved.model_name,
+        use_demucs=resolved.use_demucs,
+        use_vad=resolved.use_vad,
+    )
+
+
+def _noop_setup() -> None:
+    """Picklable no-op setup for the spawned transcription worker."""
+    return None
+
+
+def _extract_in_worker(
+    file_path: str, language: str, profile: ProfileName, _setup_result=None
+) -> list[TranscriptWord]:
+    """Spawned-worker body: full setup + load + transcribe in the child.
+
+    Settings re-derive from the environment in the worker (spawn semantics;
+    parent ContextVar overrides do not cross the process boundary — same
+    contract as the reference's transcription worker).
+    """
+    from ser_tpu._internal.config.bootstrap import get_settings
+
+    settings = get_settings()
+    resolved = resolve_transcription_profile(profile, settings)
+    transcriber = _build_transcriber(resolved, settings)
+    _run_setup_gates(transcriber, resolved, settings)
+    transcriber.load_model(_runtime_request(resolved, settings))
+    return transcriber.transcribe(file_path, language=language)
+
+
+def extract_transcript(
+    file_path: str,
+    *,
+    language: str,
+    profile: ProfileName,
+    settings: AppConfig,
+    timings: dict[str, float] | None = None,
+) -> list[TranscriptWord]:
+    """Extracts word-level transcript for one audio file.
+
+    Raises ``TranscriptionUnavailableError`` when the backend's model assets
+    are not present locally (this framework never downloads at inference
+    time) or when device-memory admission denies the model. Setup and model
+    load are timed into ``timings`` under the canonical phase names.
+    """
+    if timings is None:
+        timings = {}
+    with phases.timed_phase(phases.PHASE_TRANSCRIPTION_SETUP, timings):
+        resolved = resolve_transcription_profile(profile, settings)
+
+        from ser_tpu._internal.transcript.process_isolation import (
+            should_use_process_isolated_path,
+        )
+
+        if should_use_process_isolated_path(resolved.backend_id, settings=settings):
+            from functools import partial
+
+            from ser_tpu._internal.transcript.process_isolation import (
+                run_isolated_transcription,
+            )
+
+            return run_isolated_transcription(
+                setup=_noop_setup,
+                transcribe=partial(_extract_in_worker, file_path, language, profile),
+                timeout_seconds=settings.transcription.isolation_timeout_seconds,
+                backend_id=resolved.backend_id,
+            )
+
+        transcriber = _build_transcriber(resolved, settings)
+        _run_setup_gates(transcriber, resolved, settings)
+
+    with phases.timed_phase(phases.PHASE_TRANSCRIPTION_MODEL_LOAD, timings):
+        if transcriber.setup_required():
+            transcriber.load_model(_runtime_request(resolved, settings))
+
     return transcriber.transcribe(file_path, language=language)
 
 

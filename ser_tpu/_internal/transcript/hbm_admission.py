@@ -67,6 +67,37 @@ def device_free_memory_mb() -> float | None:
         return None
 
 
+def calibration_admission_override(
+    model_name: str, config: TranscriptionConfig
+) -> str | None:
+    """Admit reason from a fresh calibration report proving the model runs.
+
+    Reference ``mps_admission.py`` honors calibration-report overrides
+    (overrides owner at reference ``transcript/mps_admission.py:329``): a
+    recent, sufficiently confident recommendation for this exact model is
+    direct evidence it loads and runs on this device, trumping the estimate.
+    """
+    if not config.calibration_overrides_enabled or config.calibration_report_path is None:
+        return None
+    import time
+
+    from ser_tpu._internal.transcript.profiling import load_calibration_report
+
+    report = load_calibration_report(config.calibration_report_path)
+    if report is None or report.model_name != model_name:
+        return None
+    age_hours = (time.time() - report.generated_at_unix) / 3600.0
+    if age_hours > config.calibration_report_max_age_hours:
+        return None
+    rank = {"low": 0, "medium": 1, "high": 2}
+    if rank[report.confidence] < rank[config.calibration_min_confidence]:
+        return None
+    return (
+        f"calibration report confirms {model_name!r} runs here "
+        f"(confidence={report.confidence}, wer={report.mean_wer:.3f})"
+    )
+
+
 def admit_transcription_model(
     model_name: str,
     *,
@@ -76,6 +107,9 @@ def admit_transcription_model(
     footprint = estimate_model_footprint_mb(model_name)
     if not config.hbm_admission_control_enabled:
         return AdmissionDecision(True, "admission control disabled", footprint, None)
+    override = calibration_admission_override(model_name, config)
+    if override is not None:
+        return AdmissionDecision(True, override, footprint, None)
     free = device_free_memory_mb()
     if free is None:
         return AdmissionDecision(
@@ -100,6 +134,7 @@ def admit_transcription_model(
 __all__ = [
     "AdmissionDecision",
     "admit_transcription_model",
+    "calibration_admission_override",
     "device_free_memory_mb",
     "estimate_model_footprint_mb",
 ]

@@ -81,7 +81,10 @@ class JaxWhisperTranscriber:
             issues.append(
                 CompatibilityIssue(
                     kind="noise",
-                    message="Demucs denoising requested but not bundled; audio used raw.",
+                    message=(
+                        "Demucs weights are not distributable here; denoise "
+                        "requests route to the built-in spectral gate."
+                    ),
                 )
             )
         return CompatibilityReport(issues=tuple(issues))
@@ -110,25 +113,23 @@ class JaxWhisperTranscriber:
             )
 
     def transcribe(self, file_path: str, *, language: str = "en") -> list[TranscriptWord]:
-        """Transcribes one audio file to word-level timestamps."""
-        from ser_tpu._internal.transcript.extractor import TranscriptionUnavailableError
+        """Transcribes one audio file to word-level timestamps.
 
-        assets = self._assets_dir()
-        if assets is None:
-            raise TranscriptionUnavailableError(
-                f"Whisper model assets for {self._model_name!r} not found under "
-                f"{self._cache_root}. Pre-download the weights (HF format) or run "
-                "with --no-transcript."
-            )
-        from ser_tpu._internal.utils.audio_io import read_audio_file, resample_audio
-        from ser_tpu.models.whisper import WhisperForTranscription
-
+        The denoise hook fills the reference's demucs lane
+        (``stable_whisper.py:272-478`` runs demucs + VAD before transcribing):
+        with ``use_demucs`` on, audio routes through the built-in spectral
+        gate before VAD/decoding.
+        """
         if self._model is None:
-            self._model = WhisperForTranscription.from_pretrained_dir(assets)
+            self.load_model()
+        from ser_tpu._internal.utils.audio_io import read_audio_file, resample_audio
+
         audio, sr = read_audio_file(file_path)
         audio16k = resample_audio(audio, sr, 16000)
         if self._use_demucs:
-            logger.debug("Demucs denoising requested but not bundled; proceeding raw.")
+            from ser_tpu._internal.utils.denoise import spectral_gate_denoise
+
+            audio16k = spectral_gate_denoise(audio16k)
         return self._model.transcribe_words(
             audio16k, language=language, use_vad=self._use_vad
         )

@@ -15,19 +15,20 @@ from ser_tpu._internal.config.schema import AppConfig
 from ser_tpu._internal.runtime.worker_lifecycle import run_attempt_in_spawned_process
 from ser_tpu.domain import TranscriptWord
 
-#: Backends whose host runtimes require a separate process.
-_ISOLATION_REQUIRED_BACKENDS: frozenset[str] = frozenset({"faster_whisper"})
-
 
 def should_use_process_isolated_path(backend_id: str, *, settings: AppConfig) -> bool:
-    """True when the transcription backend must run in a spawned worker."""
+    """True when transcription should run in a spawned worker.
+
+    No bundled backend *requires* isolation (the reference's mandatory case
+    was ctranslate2's OpenMP clash; the JAX backend has none), so isolation
+    is a config opt-in — and it is honored only on CPU: a TPU is owned by
+    exactly one process, so a spawned worker could never initialize it.
+    """
+    if not settings.transcription.process_isolation:
+        return False
     import jax
 
-    if backend_id in _ISOLATION_REQUIRED_BACKENDS:
-        return True
-    if jax.default_backend() != "cpu":
-        return False  # accelerator is single-process; never isolate
-    return False
+    return jax.default_backend() == "cpu"
 
 
 def run_isolated_transcription(

@@ -116,6 +116,45 @@ def test_pipeline_unavailable_profile_raises(tmp_path):
         )
 
 
+def test_pipeline_applies_environment_plan_for_workflow_scope(tmp_path):
+    """The env plan is live during hooks and restored afterwards (reference
+    pipeline.py:164-167 + environment_plan.py:72-101)."""
+    import os
+
+    settings = _settings(tmp_path)
+    observed = {}
+
+    def capturing_hook(request):
+        observed["HF_HOME"] = os.environ.get("HF_HOME")
+        observed["HF_HUB_OFFLINE"] = os.environ.get("HF_HUB_OFFLINE")
+        return _fake_result()
+
+    before = os.environ.get("HF_HOME")
+    _pipeline(settings, hooks={"handcrafted": capturing_hook}).run_inference(
+        InferenceRequest(file_path="x.wav", language="en", include_transcript=False)
+    )
+    assert observed["HF_HOME"] == str(settings.models.huggingface_cache_root)
+    assert observed["HF_HUB_OFFLINE"] == "1"
+    assert os.environ.get("HF_HOME") == before  # restored after the workflow
+
+
+def test_pipeline_passes_timings_dict_to_transcript_fn(tmp_path):
+    """Transcript sub-phases recorded by the fn surface in the execution."""
+    settings = _settings(tmp_path)
+
+    def transcript_fn(file_path, language, profile, settings, timings):
+        timings["transcription_setup"] = 0.01
+        timings["transcription_model_load"] = 0.02
+        return [TranscriptWord("hey", 0.0, 0.4)]
+
+    execution = _pipeline(settings, transcript_fn=transcript_fn).run_inference(
+        InferenceRequest(file_path="x.wav", language="en")
+    )
+    assert execution.phase_timings_seconds["transcription_setup"] == 0.01
+    assert execution.phase_timings_seconds["transcription_model_load"] == 0.02
+    assert "transcription" in execution.phase_timings_seconds
+
+
 def test_pipeline_training_dispatch(tmp_path):
     settings = _settings(tmp_path)
     trained = []

@@ -1,0 +1,169 @@
+"""Extractor orchestration gates: compat, HBM admission, phases, isolation."""
+
+import dataclasses
+import json
+import time
+
+import pytest
+
+from ser_tpu._internal.config.settings_builder import build_settings_from_inputs
+from ser_tpu._internal.config.settings_inputs import capture_settings_inputs
+from ser_tpu._internal.transcript import extractor as extractor_mod
+from ser_tpu._internal.transcript.base import CompatibilityIssue, CompatibilityReport
+from ser_tpu._internal.transcript.extractor import (
+    TranscriptionUnavailableError,
+    extract_transcript,
+)
+from ser_tpu.domain import TranscriptWord
+
+
+def _settings(tmp_path, **env):
+    base = {"SER_MODELS_FOLDER": str(tmp_path / "models")}
+    base.update(env)
+    return build_settings_from_inputs(capture_settings_inputs(env=base))
+
+
+class StubTranscriber:
+    """Adapter double recording the orchestration order."""
+
+    def __init__(self, *, blocking=False):
+        self.calls = []
+        self._blocking = blocking
+        self._loaded = False
+
+    backend_id = "jax_whisper"
+
+    def check_compatibility(self):
+        self.calls.append("check_compatibility")
+        issues = (
+            (CompatibilityIssue(kind="functional", message="assets gone", blocking=True),)
+            if self._blocking
+            else ()
+        )
+        return CompatibilityReport(issues=issues)
+
+    def setup_required(self):
+        return not self._loaded
+
+    def prepare_assets(self):
+        self.calls.append("prepare_assets")
+
+    def load_model(self, request=None):
+        self.calls.append("load_model")
+        self._loaded = True
+
+    def transcribe(self, file_path, *, language="en"):
+        self.calls.append("transcribe")
+        return [TranscriptWord("stubbed", 0.0, 0.5)]
+
+
+@pytest.fixture
+def stubbed(monkeypatch):
+    stub = StubTranscriber()
+    monkeypatch.setattr(
+        extractor_mod, "_build_transcriber", lambda resolved, settings: stub
+    )
+    return stub
+
+
+def test_extractor_emits_setup_and_model_load_phases(tmp_path, stubbed):
+    settings = _settings(tmp_path)
+    timings = {}
+    words = extract_transcript(
+        "clip.wav", language="en", profile="fast", settings=settings, timings=timings
+    )
+    assert [w.word for w in words] == ["stubbed"]
+    assert "transcription_setup" in timings
+    assert "transcription_model_load" in timings
+    assert stubbed.calls == ["check_compatibility", "load_model", "transcribe"]
+
+
+def test_extractor_blocks_on_blocking_compatibility_issue(tmp_path, monkeypatch):
+    stub = StubTranscriber(blocking=True)
+    monkeypatch.setattr(
+        extractor_mod, "_build_transcriber", lambda resolved, settings: stub
+    )
+    with pytest.raises(TranscriptionUnavailableError, match="assets gone"):
+        extract_transcript(
+            "clip.wav", language="en", profile="fast", settings=_settings(tmp_path)
+        )
+    assert "load_model" not in stub.calls
+
+
+def test_admission_denial_blocks_model_load(tmp_path, stubbed, monkeypatch):
+    from ser_tpu._internal.transcript import hbm_admission
+
+    monkeypatch.setattr(hbm_admission, "device_free_memory_mb", lambda: 64.0)
+    settings = _settings(tmp_path)
+    with pytest.raises(TranscriptionUnavailableError, match="admission"):
+        extract_transcript(
+            "clip.wav", language="en", profile="fast", settings=settings
+        )
+    assert "load_model" not in stubbed.calls
+
+
+def test_calibration_report_overrides_admission_denial(tmp_path, stubbed, monkeypatch):
+    from ser_tpu._internal.transcript import hbm_admission
+
+    monkeypatch.setattr(hbm_admission, "device_free_memory_mb", lambda: 64.0)
+    settings = _settings(tmp_path)
+    model_name = settings.models.whisper_model.name or "distil-large-v3"
+    report_path = tmp_path / "calibration.json"
+    report_path.write_text(
+        json.dumps(
+            {
+                "recommendation": {
+                    "backend_id": "jax_whisper",
+                    "model_name": model_name,
+                    "confidence": "high",
+                    "mean_wer": 0.08,
+                    "p50_latency_seconds": 0.4,
+                    "generated_at_unix": time.time(),
+                }
+            }
+        )
+    )
+    settings = dataclasses.replace(
+        settings,
+        transcription=dataclasses.replace(
+            settings.transcription, calibration_report_path=report_path
+        ),
+    )
+    words = extract_transcript(
+        "clip.wav", language="en", profile="fast", settings=settings
+    )
+    assert [w.word for w in words] == ["stubbed"]
+    assert "load_model" in stubbed.calls
+
+
+def test_admission_disabled_always_admits(tmp_path, stubbed, monkeypatch):
+    from ser_tpu._internal.transcript import hbm_admission
+
+    monkeypatch.setattr(hbm_admission, "device_free_memory_mb", lambda: 1.0)
+    settings = _settings(tmp_path)
+    settings = dataclasses.replace(
+        settings,
+        transcription=dataclasses.replace(
+            settings.transcription, hbm_admission_control_enabled=False
+        ),
+    )
+    assert extract_transcript(
+        "clip.wav", language="en", profile="fast", settings=settings
+    )
+
+
+def test_isolation_routing_is_config_driven(tmp_path):
+    from ser_tpu._internal.transcript.process_isolation import (
+        should_use_process_isolated_path,
+    )
+
+    settings = _settings(tmp_path)
+    assert not should_use_process_isolated_path("jax_whisper", settings=settings)
+    isolated = dataclasses.replace(
+        settings,
+        transcription=dataclasses.replace(
+            settings.transcription, process_isolation=True
+        ),
+    )
+    # Tests force CPU, so the opt-in is honored here.
+    assert should_use_process_isolated_path("jax_whisper", settings=isolated)
