@@ -25,6 +25,14 @@ import numpy as np
 REALTIME_TARGET = 50.0
 
 
+def _honor_platform_env() -> None:
+    """JAX_PLATFORMS=cpu must work for bench subprocesses despite the axon
+    plugin pinning jax_platforms at interpreter start (CLAUDE.md gotcha)."""
+    from ser_tpu._internal.utils.jax_runtime import honor_platform_env
+
+    honor_platform_env()
+
+
 def _bench_accurate() -> tuple[float, str]:
     import jax
     import jax.numpy as jnp
@@ -137,21 +145,228 @@ def _bench_fast() -> tuple[float, str]:
     return repeats * seconds / elapsed, "fast_dsp_audio_seconds_per_second_per_chip"
 
 
+def _ensure_fast_artifact(settings) -> None:
+    """Stages a valid fast-profile artifact (tiny deterministic head fit)."""
+    from ser_tpu._internal.models import artifacts
+    from ser_tpu.models.mlp_head import JaxMLPClassifier
+    from ser_tpu.ops.features import feature_dim
+
+    dim = feature_dim(settings.feature_flags)
+    rng = np.random.default_rng(0)
+    labels = ["neutral", "calm", "happy", "sad", "angry", "fearful", "disgust", "surprised"]
+    x = rng.standard_normal((64, dim)).astype(np.float32)
+    y = [labels[i % len(labels)] for i in range(64)]
+    import dataclasses
+
+    head = JaxMLPClassifier.from_config(
+        dataclasses.replace(settings.nn, max_iter=25)
+    ).fit(x, y)
+    metadata = artifacts.build_artifact_metadata(
+        feature_vector_size=dim,
+        training_samples=len(y),
+        labels=sorted(set(y)),
+        backend_id="handcrafted",
+        profile="fast",
+        feature_dim=dim,
+        pooling_strategy="mean",
+        device="cpu",
+        dtype="float32",
+        seed=0,
+        provenance={"framework": "ser_tpu", "trainer": "bench_fixture"},
+    )
+    artifacts.save_model_artifact(
+        artifacts.build_model_artifact(head, metadata), settings.models.model_file
+    )
+
+
+def _bench_infer() -> tuple[float, str, dict]:
+    """Full ``api.infer()`` p50 latency on a 60 s clip — BASELINE.md's metric.
+
+    The transcript lane runs when Whisper assets are staged locally; in this
+    zero-egress environment it is typically off, and the metric name records
+    which path was measured.
+    """
+    import tempfile
+    from pathlib import Path
+
+    from ser_tpu import api
+    from ser_tpu._internal.config.settings_builder import build_settings_from_inputs
+    from ser_tpu._internal.config.settings_inputs import capture_settings_inputs
+    from ser_tpu._internal.utils.audio_io import write_wav
+
+    seconds = float(os.environ.get("SER_BENCH_SECONDS", "60"))
+    repeats = int(os.environ.get("SER_BENCH_REPEATS", "5"))
+    tmp = Path(tempfile.mkdtemp(prefix="ser_bench_"))
+    rng = np.random.default_rng(0)
+    sr = 16000
+    t = np.arange(int(seconds * sr)) / sr
+    audio = (
+        0.4 * np.sin(2 * np.pi * 220 * t) * (np.sin(2 * np.pi * 0.7 * t) > 0)
+        + 0.05 * rng.standard_normal(t.size)
+    ).astype(np.float32)
+    clip = tmp / "clip60.wav"
+    write_wav(clip, audio, sr)
+
+    settings = build_settings_from_inputs(
+        capture_settings_inputs(env={"SER_MODELS_FOLDER": str(tmp / "models")})
+    )
+    _ensure_fast_artifact(settings)
+
+    from ser_tpu._internal.transcript.jax_whisper_backend import JaxWhisperTranscriber
+
+    transcriber = JaxWhisperTranscriber(
+        model_name=settings.models.whisper_model.name or "distil-large-v3",
+        cache_root=settings.models.whisper_download_root,
+    )
+    with_transcript = transcriber.assets_available()
+
+    import contextlib
+    import io
+
+    def run_once() -> float:
+        # The timeline render is part of the timed workflow but must not
+        # pollute the bench's single-JSON-line stdout contract.
+        with contextlib.redirect_stdout(io.StringIO()):
+            start = time.perf_counter()
+            execution = api.infer(
+                str(clip),
+                profile="fast",
+                include_transcript=with_transcript,
+                settings=settings,
+            )
+            elapsed = time.perf_counter() - start
+        assert execution.emotions
+        return elapsed
+
+    run_once()  # compile + warm
+    latencies = [run_once() for _ in range(repeats)]
+    p50 = float(np.percentile(latencies, 50))
+    lane = "with_transcript" if with_transcript else "no_transcript"
+    extras = {
+        "infer_fast_p50_latency_s": round(p50, 4),
+        "infer_fast_p95_latency_s": round(float(np.percentile(latencies, 95)), 4),
+        "infer_fast_audio_s_per_s": round(seconds / p50, 2),
+        "infer_lane": lane,
+        "clip_seconds": seconds,
+    }
+    return seconds / p50, f"infer_fast_{lane}_audio_seconds_per_second", extras
+
+
+def _bench_transcript() -> tuple[float, str, dict]:
+    """Transcript-lane p50 on a 60 s clip through the KV-cache decoder.
+
+    Deterministic random weights (real model dims on TPU): an honest UPPER
+    bound on decode cost — random logits rarely emit early EOT, so every
+    window decodes to the full token budget.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ser_tpu.models.whisper import (
+        CHUNK_FRAMES,
+        WhisperConfig,
+        WhisperDecoder,
+        WhisperForTranscription,
+        init_whisper_encoder_params,
+    )
+
+    class BenchTokenizer:
+        SPECIALS = {
+            "<|startoftranscript|>": 50258,
+            "<|endoftext|>": 50257,
+            "<|en|>": 50259,
+            "<|transcribe|>": 50360,
+            "<|0.00|>": 50365,
+        }
+        unk_token_id = 50256
+
+        def convert_tokens_to_ids(self, tokens):
+            return [self.SPECIALS.get(token, self.unk_token_id) for token in tokens]
+
+        def decode(self, ids):
+            return "".join(f" t{i}" for i in ids)
+
+    on_tpu = any(d.platform != "cpu" for d in jax.devices())
+    config = WhisperConfig() if on_tpu else WhisperConfig.tiny()
+    tokenizer = BenchTokenizer()
+    if not on_tpu:
+        tokenizer.SPECIALS = {
+            "<|startoftranscript|>": 200,
+            "<|endoftext|>": 201,
+            "<|en|>": 202,
+            "<|transcribe|>": 203,
+            "<|0.00|>": 210,
+        }
+        tokenizer.unk_token_id = 199
+    encoder_params = init_whisper_encoder_params(config, seed=0)
+    decoder = WhisperDecoder(config)
+    tokens = np.zeros((1, config.max_target_positions), dtype=np.int32)
+    states = np.zeros((1, CHUNK_FRAMES // 2, config.d_model), dtype=np.float32)
+    decoder_params = decoder.init(jax.random.PRNGKey(0), tokens, states)["params"]
+    model = WhisperForTranscription(
+        config,
+        encoder_params,
+        decoder_params,
+        tokenizer,
+        compute_dtype="bfloat16" if on_tpu else "float32",
+    )
+
+    seconds = float(os.environ.get("SER_BENCH_SECONDS", "60"))
+    repeats = int(os.environ.get("SER_BENCH_REPEATS", "3"))
+    rng = np.random.default_rng(0)
+    audio = (0.2 * rng.standard_normal(int(seconds * 16000))).astype(np.float32)
+
+    model.transcribe_words(audio, use_vad=False)  # compile + warm
+    latencies = []
+    for _ in range(repeats):
+        start = time.perf_counter()
+        words = model.transcribe_words(audio, use_vad=False)
+        latencies.append(time.perf_counter() - start)
+    p50 = float(np.percentile(latencies, 50))
+    extras = {
+        "transcript_p50_latency_s": round(p50, 4),
+        "transcript_audio_s_per_s": round(seconds / p50, 2),
+        "decode_bound": "full-budget (random weights; real text stops earlier)",
+        "n_words_sample": len(words),
+    }
+    return seconds / p50, "transcript_lane_audio_seconds_per_second_per_chip", extras
+
+
 def main() -> int:
+    _honor_platform_env()
     profile = os.environ.get("SER_BENCH_PROFILE", "accurate")
-    bench = {
-        "accurate": _bench_accurate,
-        "medium": _bench_medium,
-        "fast": _bench_fast,
-    }.get(profile, _bench_accurate)
     trace_dir = os.environ.get("SER_BENCH_TRACE_DIR")
+    extras: dict = {}
+
+    def run_headline():
+        if profile == "infer":
+            return _bench_infer()
+        if profile == "transcript":
+            return _bench_transcript()
+        bench = {
+            "accurate": _bench_accurate,
+            "medium": _bench_medium,
+            "fast": _bench_fast,
+        }.get(profile, _bench_accurate)
+        return (*bench(), {})
+
     if trace_dir:
         from ser_tpu._internal.utils.profiling import device_trace
 
         with device_trace(trace_dir):
-            value, metric = bench()
+            value, metric, extras = run_headline()
     else:
-        value, metric = bench()
+        value, metric, extras = run_headline()
+
+    # The default (accurate-encode) headline also carries the end-to-end
+    # infer() p50 so every BENCH_r{N}.json records BASELINE.md's full metric.
+    if profile == "accurate" and os.environ.get("SER_BENCH_SKIP_INFER") != "1":
+        try:
+            _, _, infer_extras = _bench_infer()
+            extras.update(infer_extras)
+        except Exception as err:  # headline must never break on the extra lane
+            extras["infer_error"] = f"{type(err).__name__}: {err}"
+
     print(
         json.dumps(
             {
@@ -159,6 +374,7 @@ def main() -> int:
                 "value": round(value, 2),
                 "unit": "audio_s/s/chip",
                 "vs_baseline": round(value / REALTIME_TARGET, 3),
+                **({"extras": extras} if extras else {}),
             }
         )
     )

@@ -537,15 +537,20 @@ class WhisperForTranscription:
         return int(ids[0])
 
     def _decode_chunk_batch(
-        self, encoder_states: jax.Array, language: str
+        self, encoder_states: jax.Array, language: str, num_frames: np.ndarray
     ) -> tuple[list[list[int]], np.ndarray | None]:
         """KV-cache greedy decode of a batch of 30 s windows.
 
         Returns per-window emitted token ids and, when alignment capture is
-        on, per-window alignment-head attention rows
-        ``(B, n_align, max_len, S)`` (rows index decoder input positions).
+        on, the per-window DTW matrix ``(B, max_len, S)`` — alignment heads
+        reduce ON DEVICE (head-average after standardize+medfilt) so only
+        the small matrix crosses the host link, not the per-head buffer.
+        ``num_frames`` gives each window's audio-covered encoder frames.
         """
-        from ser_tpu.models.whisper_decode import greedy_decode_kv_cache
+        from ser_tpu.models.whisper_decode import (
+            greedy_decode_kv_cache,
+            reduce_alignment_matrix,
+        )
 
         sot = self._special("<|startoftranscript|>")
         eot = self._special("<|endoftext|>")
@@ -565,13 +570,23 @@ class WhisperForTranscription:
             align_spec=align_spec,
             compute_dtype=self.compute_dtype,
         )
+        matrix = None
+        if align_spec:
+            matrix = np.asarray(
+                reduce_alignment_matrix(
+                    align,
+                    self.PREFIX_LEN + lengths,
+                    jnp.asarray(num_frames, dtype=jnp.int32),
+                    prefix_len=self.PREFIX_LEN,
+                )
+            )
         tokens_np = np.asarray(tokens)
         lengths_np = np.asarray(lengths)
         emitted = [
             tokens_np[row, self.PREFIX_LEN : self.PREFIX_LEN + int(lengths_np[row])].tolist()
             for row in range(tokens_np.shape[0])
         ]
-        return emitted, (np.asarray(align) if align_spec else None)
+        return emitted, matrix
 
     def _segments_from_tokens(
         self, tokens: list[int], timestamp_begin: int, chunk_duration: float
@@ -620,22 +635,23 @@ class WhisperForTranscription:
     def _aligned_words(
         self,
         tokens: list[int],
-        attention: np.ndarray,
+        matrix: np.ndarray,
         timestamp_begin: int,
         chunk_offset_s: float,
         chunk_duration: float,
     ):
-        """DTW word timing from captured cross-attention (one chunk)."""
+        """DTW word timing from the device-reduced matrix (one chunk)."""
         from ser_tpu.domain import TranscriptWord
-        from ser_tpu.models.word_timing import word_timings_from_alignment
+        from ser_tpu.models.word_timing import word_timings_from_matrix
 
         num_frames = max(1, int(chunk_duration * SAMPLE_RATE) // (HOP_LENGTH * 2))
-        rows = attention[:, self.PREFIX_LEN : self.PREFIX_LEN + len(tokens), :]
-        timed = word_timings_from_alignment(
+        rows = matrix[
+            self.PREFIX_LEN : self.PREFIX_LEN + len(tokens), :num_frames
+        ]
+        timed = word_timings_from_matrix(
             rows,
             tokens,
             self.tokenizer,
-            num_frames=num_frames,
             timestamp_begin=timestamp_begin,
         )
         return [
@@ -677,17 +693,24 @@ class WhisperForTranscription:
             durations.append(chunk.size / SAMPLE_RATE)
 
         states = encode_mel_chunks(self.encoder, self.encoder_params, jnp.asarray(batch))
-        emitted, aligns = self._decode_chunk_batch(states, language)
+        num_frames = np.asarray(
+            [
+                max(1, int(duration * SAMPLE_RATE) // (HOP_LENGTH * 2))
+                for duration in durations
+            ],
+            dtype=np.int32,
+        )
+        emitted, matrices = self._decode_chunk_batch(states, language, num_frames)
 
         words: list[TranscriptWord] = []
         for chunk_index, tokens in enumerate(emitted):
             chunk_offset_s = chunk_index * CHUNK_SECONDS
             chunk_duration = durations[chunk_index]
             aligned: list[TranscriptWord] = []
-            if aligns is not None and tokens:
+            if matrices is not None and tokens:
                 aligned = self._aligned_words(
                     tokens,
-                    aligns[chunk_index],
+                    matrices[chunk_index],
                     timestamp_begin,
                     chunk_offset_s,
                     chunk_duration,

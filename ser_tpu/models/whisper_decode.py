@@ -119,9 +119,22 @@ def greedy_decode_kv_cache(
 
     tokens = jnp.full((batch, max_len), eot, dtype=jnp.int32)
     tokens = tokens.at[:, :prefix_len].set(prefix[None, :prefix_len])
-    self_k = jnp.zeros((n_layers, batch, max_len, n_heads, head_dim), dtype=cdt)
-    self_v = jnp.zeros_like(self_k)
-    align = jnp.zeros((batch, len(align_spec), max_len, enc_len), dtype=jnp.float32)
+    # Caches live as PER-LAYER arrays in the carry (not one stacked tensor):
+    # each step's dynamic_update_slice then rewrites only its own buffer,
+    # which XLA aliases in place; a stacked (layers, ...) tensor measured as
+    # a full copy per layer-write on TPU (~GBs of HBM traffic per token).
+    self_k = tuple(
+        jnp.zeros((batch, max_len, n_heads, head_dim), dtype=cdt)
+        for _ in range(n_layers)
+    )
+    self_v = tuple(
+        jnp.zeros((batch, max_len, n_heads, head_dim), dtype=cdt)
+        for _ in range(n_layers)
+    )
+    align = tuple(
+        jnp.zeros((batch, max_len, enc_len), dtype=jnp.float32)
+        for _ in range(len(align_spec))
+    )
     done = jnp.zeros((batch,), dtype=bool)
 
     def cond(state):
@@ -130,6 +143,9 @@ def greedy_decode_kv_cache(
 
     def body(state):
         position, tokens, done, self_k, self_v, align = state
+        self_k = list(self_k)
+        self_v = list(self_v)
+        align = list(align)
         token_ids = jax.lax.dynamic_index_in_dim(tokens, position, axis=1, keepdims=False)
         x = params["tok_embed"][token_ids] + params["pos_embed"][position]
         x = x[:, None, :]  # (B, 1, d)
@@ -142,11 +158,11 @@ def greedy_decode_kv_cache(
             q = _split_heads(_dense(lp["attn"]["q"], h, cdt), n_heads)
             k_new = _split_heads(_dense(lp["attn"]["k"], h, cdt), n_heads)
             v_new = _split_heads(_dense(lp["attn"]["v"], h, cdt), n_heads)
-            self_k = jax.lax.dynamic_update_slice(
-                self_k, k_new[None], (i, 0, position, 0, 0)
+            self_k[i] = jax.lax.dynamic_update_slice(
+                self_k[i], k_new, (0, position, 0, 0)
             )
-            self_v = jax.lax.dynamic_update_slice(
-                self_v, v_new[None], (i, 0, position, 0, 0)
+            self_v[i] = jax.lax.dynamic_update_slice(
+                self_v[i], v_new, (0, position, 0, 0)
             )
             out, _ = _attend(q, self_k[i], self_v[i], bias=self_bias, compute_dtype=cdt)
             x = x + _dense(lp["attn"]["out"], out.reshape(batch, 1, -1), cdt)
@@ -156,9 +172,9 @@ def greedy_decode_kv_cache(
             out, weights = _attend(q, cross_k[i], cross_v[i], bias=None, compute_dtype=cdt)
             for slot, (layer_index, head_index) in enumerate(align_spec):
                 if layer_index == i:
-                    row = weights[:, head_index, 0][:, None, None, :]  # (B,1,1,S)
-                    align = jax.lax.dynamic_update_slice(
-                        align, row, (0, slot, position, 0)
+                    row = weights[:, head_index, 0][:, None, :]  # (B,1,S)
+                    align[slot] = jax.lax.dynamic_update_slice(
+                        align[slot], row, (0, position, 0)
                     )
             x = x + _dense(lp["cross"]["out"], out.reshape(batch, 1, -1), cdt)
 
@@ -174,7 +190,7 @@ def greedy_decode_kv_cache(
         write = jnp.where(jnp.logical_and(generating, ~done), next_token, keep)
         tokens = jax.lax.dynamic_update_slice(tokens, write[:, None], (0, position + 1))
         done = jnp.logical_or(done, jnp.logical_and(generating, write == eot))
-        return position + 1, tokens, done, self_k, self_v, align
+        return position + 1, tokens, done, tuple(self_k), tuple(self_v), tuple(align)
 
     state = (jnp.asarray(0, dtype=jnp.int32), tokens, done, self_k, self_v, align)
     _, tokens, _, _, _, align = jax.lax.while_loop(cond, body, state)
@@ -184,7 +200,55 @@ def greedy_decode_kv_cache(
     lengths = jnp.where(
         is_eot.any(axis=1), jnp.argmax(is_eot, axis=1), generated.shape[1]
     )
-    return tokens, lengths, align
+    align_stacked = (
+        jnp.stack(align, axis=1)
+        if align
+        else jnp.zeros((batch, 0, max_len, enc_len), dtype=jnp.float32)
+    )
+    return tokens, lengths, align_stacked
+
+
+@partial(jax.jit, static_argnames=("prefix_len", "medfilt_width"))
+def reduce_alignment_matrix(
+    align: jax.Array,
+    token_counts: jax.Array,
+    num_frames: jax.Array,
+    *,
+    prefix_len: int,
+    medfilt_width: int = 7,
+) -> jax.Array:
+    """Per-head attention → one DTW cost matrix, ON DEVICE.
+
+    Mirrors the host pipeline in ``word_timing.word_timings_from_alignment``
+    (mask+renormalize → standardize across valid token rows → median filter
+    along frames → mean over heads) so only a ``(B, L, S)`` matrix crosses
+    the host link instead of the full ``(B, heads, L, S)`` capture buffer —
+    on a remote-attached TPU that transfer, not the decode, dominated
+    transcription latency.
+
+    Args:
+      align: ``(B, n_heads, max_len, S)`` captured probabilities.
+      token_counts: ``(B,)`` prefix_len + emitted tokens per row.
+      num_frames: ``(B,)`` encoder frames actually covered by audio.
+    """
+    batch, _, max_len, enc_len = align.shape
+    frame_ok = jnp.arange(enc_len)[None, None, None, :] < num_frames[:, None, None, None]
+    weights = jnp.where(frame_ok, align, 0.0)
+    weights = weights / (jnp.sum(weights, axis=-1, keepdims=True) + 1e-12)
+    rows = jnp.arange(max_len)[None, :]
+    row_ok = (rows >= prefix_len) & (rows < token_counts[:, None])
+    mask = row_ok[:, None, :, None].astype(weights.dtype)
+    count = jnp.maximum(jnp.sum(mask, axis=2, keepdims=True), 1.0)
+    mean = jnp.sum(weights * mask, axis=2, keepdims=True) / count
+    var = jnp.sum(jnp.square(weights - mean) * mask, axis=2, keepdims=True) / count
+    weights = (weights - mean) / (jnp.sqrt(var) + 1e-9)
+    half = medfilt_width // 2
+    padded = jnp.pad(weights, ((0, 0), (0, 0), (0, 0), (half, half)), mode="reflect")
+    stacked = jnp.stack(
+        [padded[..., k : k + enc_len] for k in range(medfilt_width)], axis=-1
+    )
+    weights = jnp.sort(stacked, axis=-1)[..., half]
+    return jnp.mean(weights, axis=1)
 
 
 def default_alignment_spec(
@@ -208,4 +272,8 @@ def default_alignment_spec(
     return tuple(pairs)
 
 
-__all__ = ["default_alignment_spec", "greedy_decode_kv_cache"]
+__all__ = [
+    "default_alignment_spec",
+    "greedy_decode_kv_cache",
+    "reduce_alignment_matrix",
+]

@@ -182,9 +182,6 @@ def word_timings_from_alignment(
     token_ids = list(token_ids)
     if not token_ids or attention.size == 0:
         return []
-    text_rows = [i for i, t in enumerate(token_ids) if t < timestamp_begin]
-    if not text_rows:
-        return []
     num_frames = max(1, min(num_frames, attention.shape[-1]))
 
     weights = attention[:, :, :num_frames].astype(np.float64)
@@ -193,7 +190,31 @@ def word_timings_from_alignment(
     std = weights.std(axis=-2, keepdims=True)
     weights = (weights - mean) / (std + 1e-9)
     weights = median_filter(weights, medfilt_width)
-    matrix = weights.mean(axis=0)[text_rows]  # (n_text, num_frames)
+    matrix = weights.mean(axis=0)  # (n_tokens, num_frames)
+    return word_timings_from_matrix(
+        matrix, token_ids, tokenizer, timestamp_begin=timestamp_begin
+    )
+
+
+def word_timings_from_matrix(
+    matrix: np.ndarray,
+    token_ids: list[int],
+    tokenizer,
+    *,
+    timestamp_begin: int,
+) -> list[TimedWord]:
+    """DTW + word merge over a precomputed ``(n_tokens, num_frames)`` matrix.
+
+    The matrix is the head-averaged, standardized, median-filtered attention
+    — computed either host-side (:func:`word_timings_from_alignment`) or on
+    device (``whisper_decode.reduce_alignment_matrix``, which avoids moving
+    the per-head capture buffer off the accelerator).
+    """
+    token_ids = list(token_ids)
+    text_rows = [i for i, t in enumerate(token_ids) if t < timestamp_begin]
+    if not text_rows or matrix.size == 0:
+        return []
+    matrix = np.asarray(matrix, dtype=np.float64)[text_rows]
 
     row_path, col_path = dtw_path(-matrix)
     n_text = len(text_rows)
@@ -232,4 +253,5 @@ __all__ = [
     "median_filter",
     "split_tokens_into_words",
     "word_timings_from_alignment",
+    "word_timings_from_matrix",
 ]

@@ -77,7 +77,9 @@ def test_timestamp_token_segmentation_interpolation_fallback(tiny_model, monkeyp
     # <|1.00|> = ts + 50 (0.02 s per step), tokens 5,6 inside [1.0, 2.0].
     scripted = [ts + 50, 5, 6, ts + 100]
     monkeypatch.setattr(
-        tiny_model, "_decode_chunk_batch", lambda states, language: ([scripted], None)
+        tiny_model,
+        "_decode_chunk_batch",
+        lambda states, language, num_frames: ([scripted], None),
     )
     audio = (0.1 * np.random.default_rng(1).standard_normal(16000 * 3)).astype(np.float32)
     words = tiny_model.transcribe_words(audio, use_vad=False)
@@ -159,6 +161,39 @@ def test_kv_cache_decode_batches_rows_independently():
     assert np.array_equal(
         np.asarray(tokens_b[0, 3 : 3 + n]), np.asarray(tokens_0[0, 3 : 3 + n])
     )
+
+
+def test_device_alignment_reduction_matches_numpy_pipeline():
+    """reduce_alignment_matrix == the host normalize/standardize/medfilt/mean."""
+    import jax.numpy as jnp
+
+    from ser_tpu.models import word_timing
+    from ser_tpu.models.whisper_decode import reduce_alignment_matrix
+
+    rng = np.random.default_rng(9)
+    batch, heads, max_len, enc_frames = 2, 3, 16, 40
+    prefix_len, emitted = 3, 9
+    raw = rng.random((batch, heads, max_len, enc_frames)).astype(np.float32)
+    raw /= raw.sum(axis=-1, keepdims=True)
+
+    device = np.asarray(
+        reduce_alignment_matrix(
+            jnp.asarray(raw),
+            jnp.asarray([prefix_len + emitted] * batch, dtype=jnp.int32),
+            jnp.asarray([enc_frames] * batch, dtype=jnp.int32),
+            prefix_len=prefix_len,
+        )
+    )
+    for row in range(batch):
+        weights = raw[row, :, prefix_len : prefix_len + emitted, :].astype(np.float64)
+        weights /= weights.sum(axis=-1, keepdims=True) + 1e-12
+        mean = weights.mean(axis=-2, keepdims=True)
+        std = weights.std(axis=-2, keepdims=True)
+        weights = (weights - mean) / (std + 1e-9)
+        weights = word_timing.median_filter(weights, 7)
+        expected = weights.mean(axis=0)
+        got = device[row, prefix_len : prefix_len + emitted, :]
+        np.testing.assert_allclose(got, expected, atol=2e-4)
 
 
 def test_alignment_capture_rows_are_probabilities():
