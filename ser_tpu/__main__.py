@@ -326,7 +326,7 @@ def main(argv: list[str] | None = None) -> int:
         if gate is not None:
             return gate
         if args.repair:
-            from ser_tpu._internal.models.training_readiness import run_training_repair
+            from ser_tpu._internal.models.training_repair import run_training_repair
 
             return run_training_repair(settings=settings, profile=active_profile)
         if args.dry_run or args.prepare_only or args.prepared_plan:

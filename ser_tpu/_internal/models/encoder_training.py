@@ -125,7 +125,7 @@ def train_encoder_profile_model(
         else training_operation_scope(profile)
     )
     with scope:
-        ensure_entrypoint_readiness(settings=settings, profile=profile)
+        ensure_entrypoint_readiness(settings=settings, profile=profile, backend=backend)
         return _train_encoder_profile_model_ready(
             profile=profile, settings=settings, backend=backend, spec=spec, started=started
         )

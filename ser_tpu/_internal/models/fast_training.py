@@ -129,12 +129,22 @@ def _train_fast_model_ready(settings: AppConfig, started: float) -> dict[str, An
 def train_from_prepared(
     *, plan_path, settings: AppConfig, profile: str = "fast"
 ) -> dict[str, Any]:
-    """Trains the head from a digest-validated prepared plan (resume path)."""
+    """Trains the head from a digest-validated prepared plan (resume path).
+
+    Profile-aware: the plan's backend fingerprint is digest-validated against
+    the ACTIVE runtime inside ``load_prepared_plan`` (an accurate plan cannot
+    resume into a medium run), and the persisted artifact carries the real
+    backend/model-id/pooling metadata so load-time compat filters keep
+    working.
+    """
     from sklearn.model_selection import train_test_split
 
+    from ser_tpu._internal.config.schema import profile_artifact_file_names
     from ser_tpu._internal.models.training_readiness import load_prepared_plan
+    from ser_tpu.profiles import get_profile_catalog
 
     features, labels = load_prepared_plan(plan_path, settings=settings, profile=profile)
+    spec = get_profile_catalog()[profile]
     x_train, x_test, y_train, y_test = train_test_split(
         features,
         labels,
@@ -148,7 +158,7 @@ def train_from_prepared(
     metrics = compute_ser_metrics(y_true=y_test, y_pred=y_pred)
     report = {
         "profile": profile,
-        "backend_id": "handcrafted",
+        "backend_id": spec.backend_id,
         "accuracy": accuracy(y_test, y_pred),
         "uar": metrics["uar"],
         "macro_f1": metrics["macro_f1"],
@@ -159,13 +169,25 @@ def train_from_prepared(
         feature_vector_size=int(x_train.shape[1]),
         training_samples=len(y_train),
         labels=sorted(set(y_train)),
-        backend_id="handcrafted",
+        backend_id=spec.backend_id,
         profile=profile,
+        pooling_strategy="mean" if profile == "fast" else "mean_std",
+        backend_model_id=spec.model.default_model_id,
         seed=settings.nn.random_state,
         provenance={"framework": "ser_tpu", "trainer": "prepared_plan"},
     )
+    if profile == "fast":
+        model_path = settings.models.model_file
+    else:
+        names = profile_artifact_file_names(
+            profile=profile,
+            medium_model_id=settings.models.medium_model_id,
+            accurate_model_id=settings.models.accurate_model_id,
+            accurate_research_model_id=settings.models.accurate_research_model_id,
+        )
+        model_path = settings.models.folder / names[0]
     report["model_path"] = artifacts.save_model_artifact(
-        artifacts.build_model_artifact(model, metadata), settings.models.model_file
+        artifacts.build_model_artifact(model, metadata), model_path
     )
     return report
 

@@ -75,10 +75,32 @@ def training_operation_scope(profile: ProfileName) -> Iterator[TrainingRunState]
 
 
 def ensure_entrypoint_readiness(
-    *, settings: AppConfig, profile: ProfileName
+    *, settings: AppConfig, profile: ProfileName, smoke: bool = True, backend=None
 ) -> ReadinessReport:
-    """Runs readiness and raises on blocking findings (reference ``:529-580``)."""
+    """Runs readiness (+ backend smoke) and raises on blocking findings.
+
+    Reference ``:529-580``: the smoke encodes one real clip through the
+    SELECTED backend under a hard wall-clock deadline
+    (``training_orchestration.py:458-476``) so a hung or miswired backend
+    fails here, not mid-training.
+    """
     report = run_training_readiness(settings=settings, profile=profile)
+    if smoke and not report.blocking:
+        from ser_tpu._internal.models.training_readiness import run_backend_smoke
+
+        smoke_findings = run_backend_smoke(
+            settings=settings,
+            profile=profile,
+            usable_files=report.usable_files,
+            backend=backend,
+        )
+        if smoke_findings:
+            report = ReadinessReport(
+                profile=report.profile,
+                findings=report.findings + tuple(smoke_findings),
+                quarantined_files=report.quarantined_files,
+                usable_files=report.usable_files,
+            )
     state = current_training_run()
     if state is not None:
         state.readiness = report

@@ -1,14 +1,20 @@
 """Pre-training readiness: findings, quarantine budgets, prepared plans.
 
-Parity surface (staged v1 of the reference's largest module,
-``ser/_internal/models/training_readiness.py``):
+Parity surface (reference ``ser/_internal/models/training_readiness.py``):
 
 - failure taxonomy with scope/severity/reason (reference ``:107-170``),
 - config/media/split findings (``:975,1226,1388,1649``),
-- quarantine budgets (absolute, per-class, min-remaining; ``:207-292``),
+- full quarantine budget taxonomy — absolute, global/per-corpus/per-class
+  ratios, per-reason counts, min-remaining-per-class, strict mode
+  (``:207-292``),
+- selected-backend smoke under a hard SIGALRM wall-clock deadline
+  (reference ``training_orchestration.py:458-476``,
+  ``SER_TRAINING_SMOKE_TIMEOUT_SECONDS``),
 - digest-canonicalized ``PreparedPlan`` with normalized-PCM sample digests
-  (``:431-480,517-567``) enabling ``--prepare-only`` / ``--prepared-plan``
-  resume (``training_orchestration.py:842-976``).
+  AND a backend fingerprint (backend/model-id/device/dtype) so resume is
+  profile-aware (``:431-480,517-567``; ``training_orchestration.py:842-976``).
+
+The repair allowlist lives in ``training_repair.py``.
 """
 
 from __future__ import annotations
@@ -16,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from collections import Counter
+from contextlib import contextmanager
 from dataclasses import dataclass
 from enum import Enum
 from hashlib import sha256
@@ -73,6 +80,84 @@ class ReadinessReport:
         return any(f.severity is FindingSeverity.BLOCKING for f in self.findings)
 
 
+@dataclass(frozen=True)
+class QuarantinePolicy:
+    """Bias-aware quarantine limits (reference ``:207-292`` semantics).
+
+    Ratios bound how much of any corpus or class may silently disappear;
+    strict mode refuses any quarantine at all.
+    """
+
+    max_absolute: int
+    max_global_ratio: float
+    max_corpus_ratio: float
+    max_class_ratio: float
+    max_per_reason: int
+    min_remaining_per_class_split: int
+    strict: bool = False
+
+    def __post_init__(self) -> None:
+        import math
+
+        for name in ("max_absolute", "max_per_reason", "min_remaining_per_class_split"):
+            if getattr(self, name) < 0:
+                raise ValueError(f"{name} must be non-negative.")
+        for name in ("max_global_ratio", "max_corpus_ratio", "max_class_ratio"):
+            ratio = getattr(self, name)
+            if not math.isfinite(ratio) or not 0.0 <= ratio <= 1.0:
+                raise ValueError(f"{name} must be finite and within [0, 1].")
+
+    @classmethod
+    def from_settings(cls, settings: AppConfig) -> "QuarantinePolicy":
+        config = settings.data_loader
+        return cls(
+            max_absolute=config.max_failed_files,
+            max_global_ratio=config.max_failed_file_ratio,
+            max_corpus_ratio=config.max_failed_file_ratio_per_corpus,
+            max_class_ratio=config.max_failed_file_ratio_per_class,
+            max_per_reason=config.max_failures_per_reason,
+            min_remaining_per_class_split=config.min_remaining_per_class_split,
+            strict=config.strict_quarantine,
+        )
+
+
+@dataclass(frozen=True)
+class FileRecord:
+    """One dataset file with its corpus and (optional) primary label."""
+
+    path: str
+    corpus: str
+    label: str | None
+
+
+def _file_records(files: list[str], settings: AppConfig) -> list[FileRecord]:
+    """Attributes corpus + label per file.
+
+    Manifest-configured datasets carry explicit corpus/label; the RAVDESS
+    glob path derives labels from the filename adapter with corpus
+    ``ravdess``.
+    """
+    by_path: dict[str, tuple[str, str]] = {}
+    if settings.dataset.manifest_paths:
+        try:
+            for utterance in loader.load_utterances(settings=settings) or []:
+                by_path[str(utterance.audio_path)] = (utterance.corpus, utterance.label)
+        except Exception as err:  # noqa: BLE001 - manifest defects surface later
+            logger.warning("Manifest attribution unavailable: %s", err)
+    emotion_map = dict(settings.emotions)
+    records = []
+    for file in files:
+        if file in by_path:
+            corpus, label = by_path[file]
+        else:
+            corpus = "ravdess"
+            label = emotion_map.get(
+                loader.extract_ravdess_emotion_code(Path(file).name) or ""
+            )
+        records.append(FileRecord(path=file, corpus=corpus, label=label))
+    return records
+
+
 def _config_findings(settings: AppConfig) -> list[ReadinessFinding]:
     findings = []
     folder = settings.dataset.folder
@@ -98,73 +183,120 @@ def _config_findings(settings: AppConfig) -> list[ReadinessFinding]:
 
 
 def _media_findings(
-    files: list[str], settings: AppConfig
+    records: list[FileRecord], settings: AppConfig
 ) -> tuple[list[ReadinessFinding], list[str], list[str]]:
-    """Probes each file's decodability; applies quarantine budgets."""
+    """Probes each file's decodability; applies the full quarantine taxonomy."""
     findings: list[ReadinessFinding] = []
-    quarantined: list[str] = []
-    usable: list[str] = []
+    quarantined: list[FileRecord] = []
+    usable: list[FileRecord] = []
     per_reason: Counter[str] = Counter()
-    for file in files:
+    for record in records:
         try:
             audio, sr = read_audio_file(
-                file,
+                record.path,
                 audio_read_config=dataclasses.replace(
                     settings.audio_read, max_retries=1, retry_delay_seconds=0.0
                 ),
             )
             if audio.size < int(0.1 * sr):
                 raise ValueError("clip shorter than 100 ms")
-            usable.append(file)
+            usable.append(record)
         except Exception as err:  # noqa: BLE001 - every defect becomes a finding
             reason = type(err).__name__
             per_reason[reason] += 1
-            quarantined.append(file)
+            quarantined.append(record)
             findings.append(
                 ReadinessFinding(
                     FindingScope.MEDIA,
                     FindingSeverity.WARNING,
                     f"undecodable:{reason}",
-                    f"{file}: {err}",
-                    sample_id=Path(file).stem,
+                    f"{record.path}: {err}",
+                    sample_id=Path(record.path).stem,
                 )
             )
 
-    budget = settings.data_loader
-    total = len(files)
-    if total:
-        if len(quarantined) > budget.max_failed_files:
-            findings.append(
-                ReadinessFinding(
-                    FindingScope.MEDIA,
-                    FindingSeverity.BLOCKING,
-                    "quarantine_budget_absolute",
-                    f"{len(quarantined)} quarantined files exceed the absolute budget "
-                    f"({budget.max_failed_files}).",
-                )
+    findings.extend(
+        _quarantine_budget_findings(
+            records, quarantined, per_reason, QuarantinePolicy.from_settings(settings)
+        )
+    )
+    return (
+        findings,
+        [record.path for record in quarantined],
+        [record.path for record in usable],
+    )
+
+
+def _quarantine_budget_findings(
+    records: list[FileRecord],
+    quarantined: list[FileRecord],
+    per_reason: Counter,
+    policy: QuarantinePolicy,
+) -> list[ReadinessFinding]:
+    """Evaluates every budget class against one quarantine outcome."""
+    findings: list[ReadinessFinding] = []
+    total = len(records)
+    if not total or not quarantined:
+        return findings
+
+    def block(reason: str, message: str) -> None:
+        findings.append(
+            ReadinessFinding(FindingScope.MEDIA, FindingSeverity.BLOCKING, reason, message)
+        )
+
+    if policy.strict:
+        block(
+            "quarantine_strict",
+            f"Strict quarantine mode refuses {len(quarantined)} excluded file(s).",
+        )
+    if len(quarantined) > policy.max_absolute:
+        block(
+            "quarantine_budget_absolute",
+            f"{len(quarantined)} quarantined files exceed the absolute budget "
+            f"({policy.max_absolute}).",
+        )
+    elif len(quarantined) / total > policy.max_global_ratio:
+        block(
+            "quarantine_budget_ratio",
+            f"Failure ratio {len(quarantined) / total:.1%} exceeds "
+            f"{policy.max_global_ratio:.1%}.",
+        )
+
+    corpus_totals = Counter(record.corpus for record in records)
+    for corpus, lost in Counter(record.corpus for record in quarantined).items():
+        ratio = lost / corpus_totals[corpus]
+        if ratio > policy.max_corpus_ratio:
+            block(
+                "quarantine_budget_per_corpus",
+                f"Corpus {corpus!r} loses {ratio:.1%} of its files "
+                f"(> {policy.max_corpus_ratio:.1%}): exclusion would bias it.",
             )
-        elif len(quarantined) / total > budget.max_failed_file_ratio:
-            findings.append(
-                ReadinessFinding(
-                    FindingScope.MEDIA,
-                    FindingSeverity.BLOCKING,
-                    "quarantine_budget_ratio",
-                    f"Failure ratio {len(quarantined) / total:.1%} exceeds "
-                    f"{budget.max_failed_file_ratio:.1%}.",
-                )
+
+    class_totals = Counter(r.label for r in records if r.label is not None)
+    lost_by_class = Counter(r.label for r in quarantined if r.label is not None)
+    for label, lost in lost_by_class.items():
+        ratio = lost / class_totals[label]
+        if ratio > policy.max_class_ratio:
+            block(
+                "quarantine_budget_per_class",
+                f"Class {label!r} loses {ratio:.1%} of its samples "
+                f"(> {policy.max_class_ratio:.1%}): exclusion would bias it.",
             )
-        for reason, count in per_reason.items():
-            if count > budget.max_failures_per_reason:
-                findings.append(
-                    ReadinessFinding(
-                        FindingScope.MEDIA,
-                        FindingSeverity.BLOCKING,
-                        "quarantine_budget_per_reason",
-                        f"{count} failures of kind {reason} exceed per-reason budget "
-                        f"({budget.max_failures_per_reason}).",
-                    )
-                )
-    return findings, quarantined, usable
+        if class_totals[label] - lost < policy.min_remaining_per_class_split:
+            block(
+                "quarantine_min_remaining",
+                f"Class {label!r} would keep only {class_totals[label] - lost} "
+                f"sample(s) (< {policy.min_remaining_per_class_split}).",
+            )
+
+    for reason, count in per_reason.items():
+        if count > policy.max_per_reason:
+            block(
+                "quarantine_budget_per_reason",
+                f"{count} failures of kind {reason} exceed per-reason budget "
+                f"({policy.max_per_reason}).",
+            )
+    return findings
 
 
 def _split_findings(usable: list[str], settings: AppConfig) -> list[ReadinessFinding]:
@@ -229,11 +361,146 @@ def run_training_readiness(
             )
         )
         return ReadinessReport(profile, tuple(findings), (), ())
-    media, quarantined, usable = _media_findings(files, settings)
+    media, quarantined, usable = _media_findings(_file_records(files, settings), settings)
     findings.extend(media)
     findings.extend(_split_findings(usable, settings))
     findings.extend(_recipe_findings(settings))
     return ReadinessReport(profile, tuple(findings), tuple(quarantined), tuple(usable))
+
+
+# --------------------------------------------------------------------------- #
+# Selected-backend smoke (hard wall-clock deadline)
+# --------------------------------------------------------------------------- #
+
+
+@contextmanager
+def _smoke_deadline(seconds: float):
+    """Hard SIGALRM deadline (reference ``training_orchestration.py:458-476``).
+
+    A hung backend (deadlocked compile, stuck IO) must not stall training
+    forever; a soft thread timeout cannot interrupt native code, so the smoke
+    runs under a real timer when the platform/thread supports one.
+    """
+    import signal
+    import threading
+
+    can_alarm = (
+        threading.current_thread() is threading.main_thread()
+        and hasattr(signal, "SIGALRM")
+        and hasattr(signal, "ITIMER_REAL")
+    )
+    if not can_alarm:
+        yield  # soft path: the exception contract still holds, minus the timer
+        return
+    previous = signal.getsignal(signal.SIGALRM)
+
+    def _timeout(_signum, _frame):
+        raise TimeoutError(f"Backend smoke exceeded {seconds:.1f}s wall clock.")
+
+    signal.signal(signal.SIGALRM, _timeout)
+    signal.setitimer(signal.ITIMER_REAL, seconds)
+    try:
+        yield
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0.0)
+        signal.signal(signal.SIGALRM, previous)
+
+
+def _smoke_timeout_seconds() -> float:
+    import os
+
+    raw = os.environ.get("SER_TRAINING_SMOKE_TIMEOUT_SECONDS", "120")
+    try:
+        seconds = float(raw)
+    except ValueError as err:
+        raise ValueError("SER_TRAINING_SMOKE_TIMEOUT_SECONDS must be numeric.") from err
+    if not np.isfinite(seconds) or not 0.0 < seconds <= 600.0:
+        raise ValueError("SER_TRAINING_SMOKE_TIMEOUT_SECONDS must be in (0, 600].")
+    return seconds
+
+
+def run_backend_smoke(
+    *,
+    settings: AppConfig,
+    profile: ProfileName,
+    usable_files: tuple[str, ...],
+    backend=None,
+) -> list[ReadinessFinding]:
+    """Encodes one real clip through the selected backend before training.
+
+    Proves the full feature path (decode → encode → finite features of the
+    expected dimension) under a hard deadline; any defect becomes a BLOCKING
+    resource finding rather than a mid-training crash. ``backend`` carries an
+    injected double through (the designed test seam) — the smoke must probe
+    what training will actually use.
+    """
+    if not usable_files:
+        return []
+    try:
+        probe = min(usable_files, key=lambda f: Path(f).stat().st_size)
+    except OSError:
+        probe = usable_files[0]  # a vanished file still fails inside the smoke
+    try:
+        timeout = _smoke_timeout_seconds()
+    except ValueError as err:
+        return [
+            ReadinessFinding(
+                FindingScope.CONFIG, FindingSeverity.BLOCKING, "smoke_timeout_invalid", str(err)
+            )
+        ]
+    try:
+        with _smoke_deadline(timeout):
+            audio, sr = read_audio_file(probe, audio_read_config=settings.audio_read)
+            if profile == "fast":
+                from ser_tpu.ops.features import extract_frame_features, feature_dim
+
+                features, _, _ = extract_frame_features(
+                    audio, sr, feature_flags=settings.feature_flags
+                )
+                expected = feature_dim(settings.feature_flags)
+                actual = int(features.shape[1])
+            else:
+                if backend is None:
+                    from ser_tpu._internal.repr.encoders import build_encoder_backend
+
+                    backend = build_encoder_backend(profile, settings=settings)
+                encoded = backend.encode_sequence(audio, sr)
+                expected = backend.feature_dim
+                actual = int(encoded.embeddings.shape[1])
+                features = encoded.embeddings
+            if actual != expected:
+                raise ValueError(
+                    f"smoke feature dimension violates the classifier contract: "
+                    f"expected={expected} actual={actual}"
+                )
+            if not np.isfinite(np.asarray(features)).all():
+                raise ValueError("smoke features contain non-finite values")
+    except TimeoutError as err:
+        return [
+            ReadinessFinding(
+                FindingScope.RESOURCE,
+                FindingSeverity.BLOCKING,
+                "backend_smoke_timeout",
+                f"{profile} backend smoke on {probe}: {err}",
+            )
+        ]
+    except Exception as err:  # noqa: BLE001 - any smoke defect blocks training
+        return [
+            ReadinessFinding(
+                FindingScope.RESOURCE,
+                FindingSeverity.BLOCKING,
+                "backend_smoke_failed",
+                f"{profile} backend smoke on {probe}: {type(err).__name__}: {err}",
+            )
+        ]
+    return [
+        ReadinessFinding(
+            FindingScope.RESOURCE,
+            FindingSeverity.INFO,
+            "backend_smoke_ok",
+            f"{profile} backend smoke passed on {probe} (dim={actual}).",
+        )
+    ]
 
 
 def _recipe_findings(settings: AppConfig) -> list[ReadinessFinding]:
@@ -280,10 +547,35 @@ def _recipe_findings(settings: AppConfig) -> list[ReadinessFinding]:
 # --------------------------------------------------------------------------- #
 
 
+def _backend_fingerprint(settings: AppConfig, profile: ProfileName) -> dict:
+    """Backend identity a prepared plan is only valid for.
+
+    Reference plans bind model revision + device/dtype + cache namespace
+    (``training_orchestration.py:842-976``); resuming an accurate plan into a
+    medium run (or after a model-id change) must fail digest validation.
+    """
+    from ser_tpu._internal.repr.runtime_policy import resolve_feature_runtime
+    from ser_tpu.profiles import get_profile_catalog
+
+    spec = get_profile_catalog()[profile]
+    runtime = resolve_feature_runtime(
+        spec.backend_id,
+        torch_runtime=settings.torch_runtime,
+        policy=settings.feature_runtime_policy,
+    )
+    return {
+        "backend_id": spec.backend_id,
+        "model_id": spec.model.default_model_id,
+        "device": runtime.device_kind,
+        "dtype": runtime.dtype,
+    }
+
+
 def _settings_digest(settings: AppConfig, profile: ProfileName) -> str:
     payload = json.dumps(
         {
             "profile": profile,
+            "backend": _backend_fingerprint(settings, profile),
             "feature_flags": dataclasses.asdict(settings.feature_flags),
             "nn": dataclasses.asdict(settings.nn),
             "training": dataclasses.asdict(settings.training),
@@ -295,17 +587,11 @@ def _settings_digest(settings: AppConfig, profile: ProfileName) -> str:
     return sha256(payload.encode("utf-8")).hexdigest()
 
 
-def write_prepared_plan(
-    *,
-    settings: AppConfig,
-    profile: ProfileName,
-    report: ReadinessReport,
-    plan_dir: Path,
-) -> Path:
-    """Extracts features for usable files and writes a digest-signed plan."""
+def _prepare_fast_features(
+    report: ReadinessReport, settings: AppConfig
+) -> tuple[np.ndarray, list[str], list[str], list[str]]:
     from ser_tpu.ops.features import extract_feature_vectors_batch
 
-    plan_dir.mkdir(parents=True, exist_ok=True)
     emotion_map = dict(settings.emotions)
     clips, labels, digests, kept_files = [], [], [], []
     for file in report.usable_files:
@@ -320,6 +606,59 @@ def write_prepared_plan(
     if not clips:
         raise RuntimeError("No usable labeled clips to prepare.")
     features = extract_feature_vectors_batch(clips, feature_flags=settings.feature_flags)
+    return features, labels, digests, kept_files
+
+
+def _prepare_encoder_features(
+    report: ReadinessReport, settings: AppConfig, profile: ProfileName
+) -> tuple[np.ndarray, list[str], list[str], list[str]]:
+    """Pooled per-window embeddings via the SELECTED backend (profile-aware)."""
+    from ser_tpu._internal.models.encoder_training import _windowed_dataset
+    from ser_tpu._internal.repr.encoders import build_encoder_backend
+
+    emotion_map = dict(settings.emotions)
+    files, digests = [], []
+    for file in report.usable_files:
+        label = emotion_map.get(loader.extract_ravdess_emotion_code(Path(file).name) or "")
+        if label is None:
+            continue
+        audio, _sr = read_audio_file(file, audio_read_config=settings.audio_read)
+        digests.append(normalized_pcm_sha256(audio))
+        files.append((file, label, loader.extract_ravdess_speaker_id_from_path(file)))
+    if not files:
+        raise RuntimeError("No usable labeled clips to prepare.")
+    backend = build_encoder_backend(profile, settings=settings)
+    runtime_config = settings.profile_runtime(profile)  # type: ignore[arg-type]
+    features, labels, _sample_ids = _windowed_dataset(
+        files=files,
+        backend=backend,
+        settings=settings,
+        window_size=runtime_config.pool_window_size_seconds,
+        window_stride=runtime_config.pool_window_stride_seconds,
+    )
+    return features, labels, digests, [f for f, _, _ in files]
+
+
+def write_prepared_plan(
+    *,
+    settings: AppConfig,
+    profile: ProfileName,
+    report: ReadinessReport,
+    plan_dir: Path,
+) -> Path:
+    """Extracts the PROFILE's features for usable files; digest-signs the plan.
+
+    Fast prepares handcrafted frame features; encoder profiles prepare pooled
+    window embeddings through their selected backend, so ``--prepared-plan``
+    resume fits the head on exactly what full training would have computed.
+    """
+    plan_dir.mkdir(parents=True, exist_ok=True)
+    if profile == "fast":
+        features, labels, digests, kept_files = _prepare_fast_features(report, settings)
+    else:
+        features, labels, digests, kept_files = _prepare_encoder_features(
+            report, settings, profile
+        )
 
     payload_path = plan_dir / "prepared_features.npz"
     np.savez_compressed(
@@ -328,12 +667,14 @@ def write_prepared_plan(
     plan = {
         "plan_schema_version": PLAN_SCHEMA_VERSION,
         "profile": profile,
+        "backend": _backend_fingerprint(settings, profile),
         "settings_digest": _settings_digest(settings, profile),
         "quarantine_ledger_digest": quarantine_ledger_digest(settings, profile),
         "files": kept_files,
         "sample_digests": digests,
         "payload": str(payload_path),
         "feature_dim": int(features.shape[1]),
+        "rows": int(features.shape[0]),
     }
     plan_path = plan_dir / "prepared_plan.json"
     plan_path.write_text(json.dumps(plan, indent=2), encoding="utf-8")
@@ -413,41 +754,20 @@ def load_prepared_plan(
             "Prepared plan quarantine-ledger digest mismatch: exclusions changed "
             "since preparation. Re-run --prepare-only."
         )
+    expected_backend = _backend_fingerprint(settings, profile)
+    if plan.get("backend") != expected_backend:
+        raise PreparedPlanError(
+            f"Prepared plan backend fingerprint {plan.get('backend')} does not match "
+            f"the active runtime {expected_backend}. Re-run --prepare-only."
+        )
     with np.load(plan["payload"], allow_pickle=True) as payload:
         features = payload["features"]
         labels = [str(label) for label in payload["labels"]]
-    if features.shape[0] != len(plan["sample_digests"]):
-        raise PreparedPlanError("Prepared payload row count does not match plan digests.")
+    if len(plan.get("files", ())) != len(plan.get("sample_digests", ())):
+        raise PreparedPlanError("Prepared plan file/digest lists are inconsistent.")
+    if features.shape[0] != plan.get("rows", features.shape[0]):
+        raise PreparedPlanError("Prepared payload row count does not match the plan.")
     return features, labels
-
-
-def run_training_repair(*, settings: AppConfig, profile: ProfileName) -> int:
-    """Reduced repair flow (reference repair allowlist, ``:1893-2143``):
-    purge stale embedding caches + prepared plans, then re-run readiness.
-    Network-gated repairs (pinned-model redownload) are unavailable in this
-    zero-egress runtime and reported as such."""
-    import shutil
-
-    purged = []
-    for target in (
-        settings.tmp_folder / "embedding-cache",
-        settings.tmp_folder / "prepared",
-    ):
-        if target.exists():
-            shutil.rmtree(target, ignore_errors=True)
-            purged.append(str(target))
-    for path in purged:
-        print(f"repair: purged {path}")
-    print(
-        "repair: pinned-model redownload requires network access and is "
-        "unavailable in this runtime (stage checkpoints manually)."
-    )
-    report = run_training_readiness(settings=settings, profile=profile)
-    print(
-        f"repair: post-repair readiness usable={len(report.usable_files)} "
-        f"quarantined={len(report.quarantined_files)} blocking={report.blocking}"
-    )
-    return 2 if report.blocking else 0
 
 
 def run_training_readiness_cli(
@@ -494,12 +814,15 @@ def run_training_readiness_cli(
 
 
 __all__ = [
+    "FileRecord",
     "FindingScope",
     "FindingSeverity",
     "PreparedPlanError",
+    "QuarantinePolicy",
     "ReadinessFinding",
     "ReadinessReport",
     "load_prepared_plan",
+    "run_backend_smoke",
     "run_training_readiness",
     "run_training_readiness_cli",
     "write_prepared_plan",

@@ -1,0 +1,220 @@
+"""Training repair allowlist: safe local repairs + network-gated redownload.
+
+Parity surface: reference ``ser/_internal/models/training_readiness.py:1893-2143``
+— an explicit allowlist of repairs applied before re-running readiness:
+application directories, abandoned staging/probe files, stale prepared/cache
+payloads, manifest rebuilds, and (only when ``SER_TRAINING_REPAIR_ALLOW_NETWORK``
+opts in) redownload of an explicitly revision-pinned model. Every action emits
+a typed ``RepairRecord`` so ``--repair`` output is auditable.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass
+from pathlib import Path
+
+from ser_tpu._internal.config.schema import AppConfig
+from ser_tpu._internal.utils.logger import get_logger
+from ser_tpu.profiles import ProfileName, get_profile_catalog
+
+logger = get_logger(__name__)
+
+#: Abandoned write-probe / staging temporaries the repair pass may remove.
+_STAGING_PATTERNS = (".ser-write-probe-*", ".prepared-training-*", ".training-readiness-*")
+
+
+@dataclass(frozen=True)
+class RepairRecord:
+    """One allowlisted repair action's outcome."""
+
+    action: str
+    target: str
+    succeeded: bool
+    detail: str
+
+    def render(self) -> str:
+        status = "ok" if self.succeeded else "FAILED"
+        return f"repair[{status}] {self.action}: {self.target} — {self.detail}"
+
+
+def network_repairs_allowed() -> bool:
+    """Network-touching repairs require an explicit opt-in env flag."""
+    return os.environ.get("SER_TRAINING_REPAIR_ALLOW_NETWORK", "").strip().lower() in {
+        "1",
+        "true",
+        "yes",
+    }
+
+
+def _repair_directories(settings: AppConfig) -> list[RepairRecord]:
+    records = []
+    owned = {
+        settings.tmp_folder,
+        settings.models.folder,
+        settings.models.huggingface_cache_root,
+    }
+    for path in sorted(owned, key=str):
+        try:
+            Path(path).mkdir(parents=True, exist_ok=True)
+        except OSError as err:
+            records.append(RepairRecord("create_application_directory", str(path), False, str(err)))
+        else:
+            records.append(
+                RepairRecord("create_application_directory", str(path), True, "present")
+            )
+    return records
+
+
+def _repair_staging(settings: AppConfig) -> RepairRecord:
+    removed, failures = 0, 0
+    root = Path(settings.tmp_folder)
+    if root.is_dir():
+        for pattern in _STAGING_PATTERNS:
+            for path in root.rglob(pattern):
+                if not path.is_file():
+                    continue
+                try:
+                    path.unlink(missing_ok=True)
+                    removed += 1
+                except OSError:
+                    failures += 1
+    return RepairRecord(
+        "clean_application_staging",
+        str(root),
+        failures == 0,
+        f"removed {removed} abandoned staging/probe file(s); failures={failures}",
+    )
+
+
+def _repair_caches(settings: AppConfig) -> list[RepairRecord]:
+    records = []
+    for target in (
+        Path(settings.tmp_folder) / "embedding-cache",
+        Path(settings.tmp_folder) / "prepared",
+    ):
+        if target.exists():
+            shutil.rmtree(target, ignore_errors=True)
+            records.append(RepairRecord("purge_cache", str(target), True, "purged"))
+        else:
+            records.append(RepairRecord("purge_cache", str(target), True, "absent"))
+    return records
+
+
+def _repair_manifests(settings: AppConfig) -> list[RepairRecord]:
+    """Re-validates registered dataset manifests; rebuilds rebuildable ones."""
+    from ser_tpu._internal.data.registry import list_registered_datasets
+
+    records: list[RepairRecord] = []
+    try:
+        entries = list_registered_datasets(settings=settings)
+    except Exception as err:  # noqa: BLE001 - a broken registry is itself a record
+        return [RepairRecord("rebuild_manifest", "registry", False, str(err))]
+    for entry in entries:
+        manifest = Path(entry.manifest_path) if entry.manifest_path else None
+        if manifest is None:
+            continue
+        if manifest.is_file():
+            records.append(
+                RepairRecord("rebuild_manifest", entry.dataset_id, True, "manifest present")
+            )
+            continue
+        root = Path(entry.dataset_root) if entry.dataset_root else None
+        if root is None or not root.is_dir():
+            records.append(
+                RepairRecord(
+                    "rebuild_manifest",
+                    entry.dataset_id,
+                    False,
+                    "manifest missing and no local dataset root to rebuild from",
+                )
+            )
+            continue
+        try:
+            from ser_tpu._internal.data.prepare import prepare_dataset
+
+            prepare_dataset(
+                dataset_id=entry.dataset_id,
+                dataset_root=root,
+                manifest_path=manifest,
+                skip_download=True,
+                settings=settings,
+            )
+            records.append(
+                RepairRecord("rebuild_manifest", entry.dataset_id, True, "rebuilt from root")
+            )
+        except Exception as err:  # noqa: BLE001
+            records.append(
+                RepairRecord("rebuild_manifest", entry.dataset_id, False, str(err)[:500])
+            )
+    return records
+
+
+def _repair_pinned_model(settings: AppConfig, profile: ProfileName) -> RepairRecord:
+    """Redownloads ONLY an explicitly revision-pinned model, behind the gate.
+
+    Reference ``:2056-2143``: the repair refuses unpinned models (a floating
+    revision redownload could silently change training behavior) and refuses
+    entirely without the network opt-in.
+    """
+    spec = get_profile_catalog()[profile]
+    model_id = spec.model.default_model_id or ""
+    if not network_repairs_allowed():
+        return RepairRecord(
+            "redownload_pinned_model",
+            model_id or "<none>",
+            False,
+            "Network policy denied repair; set SER_TRAINING_REPAIR_ALLOW_NETWORK=1 explicitly.",
+        )
+    if not model_id or "@" not in model_id:
+        return RepairRecord(
+            "redownload_pinned_model",
+            model_id or "<none>",
+            False,
+            "Model pin is invalid: repairs require an explicit model_id@revision pin.",
+        )
+    try:
+        from ser_tpu._internal.data.downloads import fetch_from_provider
+
+        # Zero-egress runtimes raise DatasetDownloadUnavailableError here; a
+        # connected deployment swaps the provider for a live fetcher.
+        fetch_from_provider("provider", url=f"https://huggingface.co/{model_id}")
+        return RepairRecord("redownload_pinned_model", model_id, True, "refetched")
+    except Exception as err:  # noqa: BLE001 - zero-egress environments land here
+        return RepairRecord("redownload_pinned_model", model_id, False, str(err)[:500])
+
+
+def apply_training_repairs(
+    *, settings: AppConfig, profile: ProfileName
+) -> list[RepairRecord]:
+    """Applies every allowlisted repair; network repairs only when opted in."""
+    records: list[RepairRecord] = []
+    records.extend(_repair_directories(settings))
+    records.append(_repair_staging(settings))
+    records.extend(_repair_caches(settings))
+    records.extend(_repair_manifests(settings))
+    records.append(_repair_pinned_model(settings, profile))
+    return records
+
+
+def run_training_repair(*, settings: AppConfig, profile: ProfileName) -> int:
+    """``--repair`` flow: apply the allowlist, then re-run readiness."""
+    from ser_tpu._internal.models.training_readiness import run_training_readiness
+
+    for record in apply_training_repairs(settings=settings, profile=profile):
+        print(record.render())
+    report = run_training_readiness(settings=settings, profile=profile)
+    print(
+        f"repair: post-repair readiness usable={len(report.usable_files)} "
+        f"quarantined={len(report.quarantined_files)} blocking={report.blocking}"
+    )
+    return 2 if report.blocking else 0
+
+
+__all__ = [
+    "RepairRecord",
+    "apply_training_repairs",
+    "network_repairs_allowed",
+    "run_training_repair",
+]

@@ -89,3 +89,177 @@ def test_missing_dataset_blocks(tmp_path):
     report = tr.run_training_readiness(settings=_settings(tmp_path), profile="fast")
     assert report.blocking
     assert any(f.reason == "dataset_folder_missing" for f in report.findings)
+
+
+# --------------------------------------------------------------------------- #
+# Quarantine budget taxonomy (reference :207-292 semantics)
+# --------------------------------------------------------------------------- #
+
+from collections import Counter
+
+
+def _policy(**over):
+    base = dict(
+        max_absolute=100,
+        max_global_ratio=1.0,
+        max_corpus_ratio=1.0,
+        max_class_ratio=1.0,
+        max_per_reason=100,
+        min_remaining_per_class_split=0,
+        strict=False,
+    )
+    base.update(over)
+    return tr.QuarantinePolicy(**base)
+
+
+def _records(spec):
+    """spec: list of (corpus, label, quarantined?) -> (records, quarantined)."""
+    records, quarantined = [], []
+    for i, (corpus, label, bad) in enumerate(spec):
+        record = tr.FileRecord(path=f"/d/{corpus}/{i}.wav", corpus=corpus, label=label)
+        records.append(record)
+        if bad:
+            quarantined.append(record)
+    return records, quarantined
+
+
+def test_policy_validates_boundaries():
+    with pytest.raises(ValueError, match="max_absolute"):
+        _policy(max_absolute=-1)
+    with pytest.raises(ValueError, match="max_corpus_ratio"):
+        _policy(max_corpus_ratio=1.5)
+
+
+def test_per_corpus_budget_blocks_biased_exclusion():
+    spec = [("a", "happy", True)] * 3 + [("a", "happy", False)] * 2 + [
+        ("b", "sad", False)
+    ] * 20
+    records, quarantined = _records(spec)
+    reasons = Counter({"ValueError": 3})
+    findings = tr._quarantine_budget_findings(
+        records, quarantined, reasons, _policy(max_corpus_ratio=0.5)
+    )
+    assert any(f.reason == "quarantine_budget_per_corpus" for f in findings)
+    # Corpus 'b' lost nothing; only 'a' trips.
+    assert sum(f.reason == "quarantine_budget_per_corpus" for f in findings) == 1
+
+
+def test_per_class_budget_blocks_biased_exclusion():
+    spec = [("a", "angry", True)] * 4 + [("a", "angry", False)] + [
+        ("a", "calm", False)
+    ] * 10
+    records, quarantined = _records(spec)
+    findings = tr._quarantine_budget_findings(
+        records, quarantined, Counter({"OSError": 4}), _policy(max_class_ratio=0.5)
+    )
+    assert any(f.reason == "quarantine_budget_per_class" for f in findings)
+
+
+def test_min_remaining_per_class_blocks():
+    spec = [("a", "angry", True), ("a", "angry", True), ("a", "angry", False)] + [
+        ("a", "calm", False)
+    ] * 5
+    records, quarantined = _records(spec)
+    findings = tr._quarantine_budget_findings(
+        records,
+        quarantined,
+        Counter({"OSError": 2}),
+        _policy(min_remaining_per_class_split=2),
+    )
+    assert any(f.reason == "quarantine_min_remaining" for f in findings)
+
+
+def test_strict_mode_blocks_any_quarantine():
+    records, quarantined = _records([("a", "happy", True), ("a", "sad", False)])
+    findings = tr._quarantine_budget_findings(
+        records, quarantined, Counter({"OSError": 1}), _policy(strict=True)
+    )
+    assert any(f.reason == "quarantine_strict" for f in findings)
+
+
+def test_no_quarantine_yields_no_budget_findings():
+    records, quarantined = _records([("a", "happy", False)] * 4)
+    assert (
+        tr._quarantine_budget_findings(records, quarantined, Counter(), _policy(strict=True))
+        == []
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Backend smoke with hard deadline
+# --------------------------------------------------------------------------- #
+
+
+def test_backend_smoke_passes_on_fast_profile(tmp_path):
+    _make_corpus(tmp_path)
+    settings = _settings(tmp_path)
+    report = tr.run_training_readiness(settings=settings, profile="fast")
+    findings = tr.run_backend_smoke(
+        settings=settings, profile="fast", usable_files=report.usable_files
+    )
+    assert [f.reason for f in findings] == ["backend_smoke_ok"]
+
+
+def test_backend_smoke_timeout_is_blocking(tmp_path, monkeypatch):
+    _make_corpus(tmp_path)
+    settings = _settings(tmp_path)
+    report = tr.run_training_readiness(settings=settings, profile="fast")
+    monkeypatch.setenv("SER_TRAINING_SMOKE_TIMEOUT_SECONDS", "0.05")
+
+    import time as _time
+
+    def slow_read(*args, **kwargs):
+        _time.sleep(1.0)
+        raise AssertionError("deadline should fire first")
+
+    monkeypatch.setattr(tr, "read_audio_file", slow_read)
+    findings = tr.run_backend_smoke(
+        settings=settings, profile="fast", usable_files=report.usable_files
+    )
+    assert findings and findings[0].reason == "backend_smoke_timeout"
+    assert findings[0].severity is tr.FindingSeverity.BLOCKING
+
+
+def test_backend_smoke_invalid_timeout_env(tmp_path, monkeypatch):
+    _make_corpus(tmp_path)
+    settings = _settings(tmp_path)
+    monkeypatch.setenv("SER_TRAINING_SMOKE_TIMEOUT_SECONDS", "soon")
+    findings = tr.run_backend_smoke(
+        settings=settings, profile="fast", usable_files=("x.wav",)
+    )
+    assert findings[0].reason == "smoke_timeout_invalid"
+
+
+def test_backend_smoke_failure_is_blocking(tmp_path, monkeypatch):
+    _make_corpus(tmp_path)
+    settings = _settings(tmp_path)
+
+    def broken_read(*args, **kwargs):
+        raise OSError("decoder exploded")
+
+    monkeypatch.setattr(tr, "read_audio_file", broken_read)
+    findings = tr.run_backend_smoke(
+        settings=settings, profile="fast", usable_files=("x.wav",)
+    )
+    assert findings[0].reason == "backend_smoke_failed"
+    assert "decoder exploded" in findings[0].message
+
+
+# --------------------------------------------------------------------------- #
+# Profile-aware prepared plans
+# --------------------------------------------------------------------------- #
+
+
+def test_prepared_plan_rejects_backend_fingerprint_change(tmp_path, monkeypatch):
+    _make_corpus(tmp_path)
+    settings = _settings(tmp_path)
+    report = tr.run_training_readiness(settings=settings, profile="fast")
+    plan_dir = settings.tmp_folder / "prepared" / "fast"
+    plan_path = tr.write_prepared_plan(
+        settings=settings, profile="fast", report=report, plan_dir=plan_dir
+    )
+    plan = json.loads(plan_path.read_text())
+    plan["backend"]["model_id"] = "someone/else"
+    plan_path.write_text(json.dumps(plan))
+    with pytest.raises(tr.PreparedPlanError):
+        tr.load_prepared_plan(plan_path, settings=settings, profile="fast")
