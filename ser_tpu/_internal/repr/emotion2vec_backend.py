@@ -3,10 +3,13 @@
 Parity surface: reference ``ser/_internal/repr/emotion2vec.py`` — frame-level
 embedding extraction from the ``iic/emotion2vec_plus_large`` family behind the
 restricted-backend license gate (reference ``license_check.py``). The model
-class is a data2vec-2.0 audio encoder, architecturally a wav2vec2-style
-conv frontend + transformer stack; the flax implementation reuses
-``models/wav2vec2.py`` with emotion2vec's dimensions, and converts weights
-from a locally staged checkpoint (HF layout).
+class is a data2vec-2.0 audio encoder; the flax implementation reuses
+``models/wav2vec2.py`` with emotion2vec's structural switches (stacked conv
+positional encoder, prenet+trunk blocks). Weights convert from the REAL
+checkpoint layout the reference consumes — FunASR/ModelScope ``model.pt``
+(fairseq data2vec-2.0 naming, reference ``emotion2vec.py:275-300``) via
+``models/emotion2vec_convert.py`` — with the HF wav2vec2 layout accepted as
+a fallback for re-exported checkpoints.
 """
 
 from __future__ import annotations
@@ -59,6 +62,16 @@ class Emotion2VecBackend(XlsrBackend):
             init == "auto" and os.environ.get("SER_ALLOW_RANDOM_INIT", "") == "1"
         )
         if model_dir is not None:
+            if (Path(model_dir) / "model.pt").is_file():
+                from ser_tpu.models.emotion2vec_convert import (
+                    load_funasr_emotion2vec_params,
+                )
+
+                cfg, params = load_funasr_emotion2vec_params(model_dir)
+                logger.info(
+                    "Loaded %s FunASR/data2vec2 weights from %s", model_id, model_dir
+                )
+                return cfg, params
             cfg = wav2vec2.config_from_hf_dir(model_dir)
             params = wav2vec2.load_hf_wav2vec2_params(model_dir, cfg)
             logger.info("Loaded %s weights from %s", model_id, model_dir)

@@ -32,20 +32,28 @@ ensure_compilation_cache()
 
 
 def resolve_local_model_dir(cache_root: Path, model_id: str) -> Path | None:
-    """Finds a local HF-format weights dir for one model id (no network)."""
+    """Finds a local weights dir for one model id (no network).
+
+    Accepts HF-format dirs (``config.json``) and FunASR/ModelScope dirs
+    (``model.pt``, the layout of the emotion2vec family).
+    """
     cache_root = Path(cache_root)
     candidates = [
         cache_root / model_id,
         cache_root / model_id.replace("/", "--"),
         cache_root / "hub" / f"models--{model_id.replace('/', '--')}",
     ]
+
+    def has_weights(path: Path) -> bool:
+        return (path / "config.json").exists() or (path / "model.pt").exists()
+
     for candidate in candidates:
-        if (candidate / "config.json").exists():
+        if has_weights(candidate):
             return candidate
         snapshots = candidate / "snapshots"
         if snapshots.is_dir():
             for snap in sorted(snapshots.iterdir(), reverse=True):
-                if (snap / "config.json").exists():
+                if has_weights(snap):
                     return snap
     return None
 

@@ -38,6 +38,15 @@ class Wav2Vec2Config:
     layer_norm_eps: float = 1e-5
     feat_extract_norm: str = "layer"  # "layer" (XLS-R) or "group" (base)
     do_stable_layer_norm: bool = True  # pre-norm transformer (XLS-R)
+    # data2vec-2.0 audio (emotion2vec) replaces the single 128-wide grouped
+    # pos-conv with a stack of smaller conv blocks (conv → non-affine LN →
+    # GELU); depth 1 keeps the wav2vec2 module.
+    conv_pos_depth: int = 1
+    # Structural switches detected from a checkpoint at conversion time: a
+    # layout without these norms must not gain normalizations the original
+    # never applied.
+    feature_norm_before_projection: bool = True
+    encoder_norm: bool = True
 
     @property
     def frame_stride_samples(self) -> int:
@@ -121,6 +130,41 @@ class ConvPositionalEmbedding(nn.Module):
         return hidden + nn.gelu(pos)
 
 
+class StackedConvPositionalEmbedding(nn.Module):
+    """data2vec-2.0 positional encoder: N conv blocks, then residual add.
+
+    Each block: grouped 1-D conv (kernel = num_conv_pos_embeddings / depth) →
+    non-affine LayerNorm → GELU (fairseq ``D2vModalityConfig.conv_pos_depth``
+    semantics as consumed by emotion2vec).
+    """
+
+    config: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, hidden: jax.Array) -> jax.Array:
+        cfg = self.config
+        k = max(3, cfg.num_conv_pos_embeddings // cfg.conv_pos_depth)
+        pos = hidden
+        for i in range(cfg.conv_pos_depth):
+            pos = nn.Conv(
+                features=cfg.hidden_size,
+                kernel_size=(k,),
+                padding=[(k // 2, k // 2)],
+                feature_group_count=cfg.num_conv_pos_embedding_groups,
+                name=f"pos_conv_{i}",
+            )(pos)
+            if k % 2 == 0:
+                pos = pos[:, :-1, :]
+            pos = nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps,
+                use_bias=False,
+                use_scale=False,
+                name=f"pos_ln_{i}",
+            )(pos)
+            pos = nn.gelu(pos)
+        return hidden + pos
+
+
 class TransformerLayer(nn.Module):
     """Pre-norm (stable-LN) transformer encoder layer."""
 
@@ -182,18 +226,22 @@ class Wav2Vec2Encoder(nn.Module):
         """
         cfg = self.config
         latents = ConvFeatureEncoder(cfg, name="feature_encoder")(waveform)
-        latents = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="feature_ln")(latents)
+        if cfg.feature_norm_before_projection:
+            latents = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="feature_ln")(latents)
         hidden = nn.Dense(cfg.hidden_size, name="feature_projection")(latents)
         if frame_mask is not None:
             hidden = hidden * frame_mask[:, :, None].astype(hidden.dtype)
-        hidden = ConvPositionalEmbedding(cfg, name="pos_embed")(hidden)
-        if not cfg.do_stable_layer_norm:
+        if cfg.conv_pos_depth > 1:
+            hidden = StackedConvPositionalEmbedding(cfg, name="pos_embed")(hidden)
+        else:
+            hidden = ConvPositionalEmbedding(cfg, name="pos_embed")(hidden)
+        if cfg.encoder_norm and not cfg.do_stable_layer_norm:
             hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="encoder_pre_ln")(hidden)
         for i in range(cfg.num_hidden_layers):
             hidden = TransformerLayer(
                 cfg, compute_dtype=self.compute_dtype, name=f"layer_{i}"
             )(hidden, frame_mask)
-        if cfg.do_stable_layer_norm:
+        if cfg.encoder_norm and cfg.do_stable_layer_norm:
             hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="encoder_final_ln")(hidden)
         return hidden
 
