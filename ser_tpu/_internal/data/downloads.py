@@ -115,9 +115,119 @@ def extract_archive(archive_path: str | Path, destination: str | Path) -> list[s
         with tarfile.open(archive) as handle:
             names = handle.getnames()
             _safe_members(names, destination)
-            handle.extractall(destination)
+            handle.extractall(destination, filter="data")
             return names
     raise ArchiveError(f"Unsupported archive format: {archive.name}")
+
+
+@dataclass(frozen=True)
+class FetchResult:
+    """Outcome of one resumable fetch."""
+
+    path: str
+    bytes_fetched: int
+    resumed: bool
+    sha256: str
+
+
+class ChecksumMismatchError(ValueError):
+    """Raised when a fetched file fails its expected digest."""
+
+
+def _sha256_of(path: Path) -> str:
+    from hashlib import sha256
+
+    digest = sha256()
+    with path.open("rb") as handle:
+        for chunk in iter(lambda: handle.read(1 << 20), b""):
+            digest.update(chunk)
+    return digest.hexdigest()
+
+
+def fetch_url(
+    url: str,
+    destination: str | Path,
+    *,
+    expected_sha256: str | None = None,
+    chunk_bytes: int = 1 << 20,
+    timeout_seconds: float = 60.0,
+) -> FetchResult:
+    """Resumable, checksum-verified fetch into ``destination``.
+
+    The download-owner core the reference spreads across its per-provider
+    modules (``zenodo_downloads.py``, ``openslr_downloads.py`` …): stream
+    into a ``.part`` staging file, resume from its offset on retry (HTTP
+    Range for http(s); seek for ``file://``), rename atomically, verify the
+    digest. ``file://`` URLs make every path testable with zero egress; a
+    connected deployment uses the same function for live providers.
+    """
+    from urllib.parse import urlparse
+    from urllib.request import Request, url2pathname, urlopen
+
+    destination = Path(destination)
+    destination.parent.mkdir(parents=True, exist_ok=True)
+    staging = destination.with_name(destination.name + ".part")
+
+    if destination.exists():
+        digest = _sha256_of(destination)
+        if expected_sha256 is None or digest == expected_sha256:
+            return FetchResult(str(destination), 0, False, digest)
+        destination.unlink()  # stale/corrupt: refetch
+
+    offset = staging.stat().st_size if staging.exists() else 0
+    resumed = offset > 0
+    parsed = urlparse(url)
+    fetched = 0
+    if parsed.scheme == "file":
+        source_path = Path(url2pathname(parsed.path))
+        with source_path.open("rb") as source, staging.open("ab") as sink:
+            source.seek(offset)
+            for chunk in iter(lambda: source.read(chunk_bytes), b""):
+                sink.write(chunk)
+                fetched += len(chunk)
+    elif parsed.scheme in ("http", "https"):
+        request = Request(url)
+        if offset:
+            request.add_header("Range", f"bytes={offset}-")
+        with urlopen(request, timeout=timeout_seconds) as response:  # noqa: S310
+            if offset and response.status == 200:
+                # Server ignored the Range request: restart from zero.
+                staging.unlink()
+                offset, resumed = 0, False
+                staging.touch()
+            with staging.open("ab") as sink:
+                for chunk in iter(lambda: response.read(chunk_bytes), b""):
+                    sink.write(chunk)
+                    fetched += len(chunk)
+    else:
+        raise ValueError(f"Unsupported URL scheme {parsed.scheme!r} for {url}.")
+
+    digest = _sha256_of(staging)
+    if expected_sha256 is not None and digest != expected_sha256:
+        staging.unlink()
+        raise ChecksumMismatchError(
+            f"{url}: digest {digest} != expected {expected_sha256}; partial data "
+            "discarded — retry the fetch."
+        )
+    staging.replace(destination)
+    return FetchResult(str(destination), fetched, resumed, digest)
+
+
+def fetch_and_materialize(
+    *,
+    dataset_id: str,
+    url: str,
+    destination: Path,
+    expected_sha256: str | None = None,
+    archive_dir: Path | None = None,
+) -> Path:
+    """Fetch (resume+verify) an archive and extract it to the dataset root."""
+    archive_dir = archive_dir if archive_dir is not None else destination.parent
+    archive_path = archive_dir / Path(url.split("?", 1)[0]).name
+    fetch_url(url, archive_path, expected_sha256=expected_sha256)
+    return materialize_dataset(
+        dataset_id=dataset_id, archive_path=archive_path, destination=destination
+    )
 
 
 def materialize_dataset(
@@ -144,9 +254,13 @@ def materialize_dataset(
 
 __all__ = [
     "ArchiveError",
+    "ChecksumMismatchError",
     "DatasetDownloadUnavailableError",
+    "FetchResult",
     "PROVIDERS",
     "extract_archive",
+    "fetch_and_materialize",
     "fetch_from_provider",
+    "fetch_url",
     "materialize_dataset",
 ]

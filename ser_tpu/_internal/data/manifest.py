@@ -27,6 +27,20 @@ PRIMARY_EMOTIONS: tuple[str, ...] = (
     "surprised",
 )
 
+#: Corpus-native labels outside the primary ontology that manifests may
+#: carry (reference keeps att-hack attitudes and CORAA-SER's binary scheme
+#: as-is, ``dataset_capabilities.py`` label schemas); training recipes
+#: filter to PRIMARY_EMOTIONS.
+EXTENDED_LABELS: tuple[str, ...] = (
+    "contempt",
+    "friendly",
+    "distant",
+    "dominant",
+    "seductive",
+    "non_neutral_female",
+    "non_neutral_male",
+)
+
 MANIFEST_SCHEMA_VERSION = 2
 
 
@@ -64,10 +78,11 @@ class Utterance:
             raise ManifestError(f"Utterance {self.sample_id}: corpus must be non-empty.")
         if not self.audio_path:
             raise ManifestError(f"Utterance {self.sample_id}: audio_path must be non-empty.")
-        if self.label not in PRIMARY_EMOTIONS:
+        if self.label not in PRIMARY_EMOTIONS and self.label not in EXTENDED_LABELS:
             raise ManifestError(
                 f"Utterance {self.sample_id}: label {self.label!r} is not in the "
-                f"primary ontology {PRIMARY_EMOTIONS}."
+                f"primary ontology {PRIMARY_EMOTIONS} nor the extended set "
+                f"{EXTENDED_LABELS}."
             )
         if self.split is not None and self.split not in ("train", "dev", "test"):
             raise ManifestError(
@@ -131,6 +146,7 @@ def read_manifest_jsonl(path: str | Path) -> list[Utterance]:
 
 
 __all__ = [
+    "EXTENDED_LABELS",
     "MANIFEST_SCHEMA_VERSION",
     "ManifestError",
     "PRIMARY_EMOTIONS",

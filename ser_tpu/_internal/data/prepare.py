@@ -6,11 +6,13 @@ strategy registry, consent enforcement, and registry persistence.
 
 Zero-egress design: this runtime never downloads. ``skip_download=True`` (or
 pre-materialized data) is the supported path; requesting a download raises a
-typed error explaining how to stage the data. Strategies:
+typed error explaining how to stage the data. Resolution order per dataset
+(reference auto-CSV semantics):
 
-- ``ravdess``: Actor_*/<code>.wav glob with filename-derived labels/speakers.
-- labels CSV (``auto_csv``): any dataset with a (path,label[,speaker,...]) CSV.
-- existing manifest: validate + register as-is.
+1. an existing manifest: validate + register as-is;
+2. an explicit labels CSV;
+3. a generated ``labels.csv`` at the dataset root;
+4. the corpus's filename strategy (``strategies.py`` — all 16 catalog ids).
 """
 
 from __future__ import annotations
@@ -80,26 +82,43 @@ def _build_ravdess_manifest(root: Path, settings: AppConfig) -> list[Utterance]:
     return utterances
 
 
+#: Accepted CSV header aliases: ours (path/label) and the generated
+#: ``labels.csv`` format the reference's download preparers emit
+#: (FileName/emotion, ``public_dataset_downloads.py:213-220``).
+_PATH_COLUMNS = ("path", "FileName", "file", "filename")
+_LABEL_COLUMNS = ("label", "emotion")
+
+
 def _build_csv_manifest(
     dataset_id: str,
     labels_csv_path: Path,
     audio_base_dir: Path | None,
     default_language: str,
 ) -> list[Utterance]:
+    from ser_tpu._internal.data.manifest import EXTENDED_LABELS
+    from ser_tpu._internal.data.strategies import _TOKEN_LABELS
+
     utterances = []
     with labels_csv_path.open("r", encoding="utf-8") as handle:
         reader = csv.DictReader(handle)
-        if reader.fieldnames is None or "path" not in reader.fieldnames or "label" not in reader.fieldnames:
+        fields = reader.fieldnames or []
+        path_col = next((c for c in _PATH_COLUMNS if c in fields), None)
+        label_col = next((c for c in _LABEL_COLUMNS if c in fields), None)
+        if path_col is None or label_col is None:
             raise ValueError(
-                f"Labels CSV {labels_csv_path} must have at least 'path' and 'label' columns."
+                f"Labels CSV {labels_csv_path} must carry a path column "
+                f"({'/'.join(_PATH_COLUMNS)}) and a label column "
+                f"({'/'.join(_LABEL_COLUMNS)})."
             )
         for row_no, row in enumerate(reader, start=2):
-            label = str(row["label"]).strip().lower()
-            if label not in PRIMARY_EMOTIONS:
+            raw = str(row[label_col]).strip().lower()
+            label = raw if raw in PRIMARY_EMOTIONS or raw in EXTENDED_LABELS else _TOKEN_LABELS.get(raw)
+            if label is None:
                 raise ValueError(
-                    f"{labels_csv_path}:{row_no}: label {label!r} not in primary ontology."
+                    f"{labels_csv_path}:{row_no}: label {raw!r} is neither canonical "
+                    "nor a known synonym."
                 )
-            rel = Path(str(row["path"]).strip())
+            rel = Path(str(row[path_col]).strip())
             audio_path = (audio_base_dir / rel) if audio_base_dir is not None else rel
             utterances.append(
                 Utterance(
@@ -107,7 +126,7 @@ def _build_csv_manifest(
                     corpus=dataset_id,
                     audio_path=str(audio_path),
                     label=label,
-                    raw_label=str(row.get("raw_label", label)),
+                    raw_label=str(row.get("raw_label", raw)),
                     speaker_id=(str(row["speaker"]).strip() or None) if row.get("speaker") else None,
                     language=str(row.get("language") or default_language),
                 )
@@ -157,6 +176,11 @@ def prepare_dataset(
         utterances = read_manifest_jsonl(manifest_path)
         final_manifest = str(manifest_path)
     else:
+        from ser_tpu._internal.data.strategies import GENERATED_LABELS_FILE, get_strategy
+
+        generated_csv = root / GENERATED_LABELS_FILE
+        if labels_csv_path is None and generated_csv.is_file():
+            labels_csv_path = generated_csv
         if labels_csv_path is not None:
             utterances = _build_csv_manifest(
                 dataset_id,
@@ -167,18 +191,7 @@ def prepare_dataset(
         elif dataset_id == "ravdess":
             utterances = _build_ravdess_manifest(root, settings)
         else:
-            from ser_tpu._internal.data.adapters import (
-                FILENAME_ADAPTERS,
-                build_manifest_from_filenames,
-            )
-
-            if dataset_id not in FILENAME_ADAPTERS:
-                raise ValueError(
-                    f"Dataset {dataset_id!r} needs either an existing manifest_path or "
-                    "a labels_csv_path; filename-derived labels exist for: ravdess, "
-                    + ", ".join(sorted(FILENAME_ADAPTERS)) + "."
-                )
-            utterances = build_manifest_from_filenames(dataset_id, root)
+            utterances = get_strategy(dataset_id).build(root)
         if not utterances:
             raise RuntimeError(f"No labeled utterances found for {dataset_id} under {root}.")
         target = (
