@@ -91,6 +91,22 @@ def build_parser() -> argparse.ArgumentParser:
     consents = data_sub.add_parser("consents", help="Show or record dataset consents.")
     consents.add_argument("--accept-policy", action="append", default=[])
     consents.add_argument("--accept-license", action="append", default=[])
+
+    gate = subparsers.add_parser(
+        "gate", help="Run the fast-vs-candidate rollout quality gate."
+    )
+    gate.add_argument(
+        "--candidate",
+        choices=("medium", "accurate", "accurate-research"),
+        default="medium",
+    )
+    gate.add_argument("--folds", type=int, default=4)
+    gate.add_argument("--output", type=Path, default=None)
+    gate.add_argument(
+        "--require-pass",
+        action="store_true",
+        help="Exit non-zero (terminal failure) when the gate holds.",
+    )
     return parser
 
 
@@ -302,6 +318,18 @@ def main(argv: list[str] | None = None) -> int:
         return _run_doctor(args, settings)
     if args.command == "data":
         return _run_data(args, settings)
+    if args.command == "gate":
+        from ser_tpu._internal.runtime.quality_gate_workflow import (
+            run_quality_gate_workflow,
+        )
+
+        return run_quality_gate_workflow(
+            settings=settings,
+            candidate=args.candidate,
+            folds=args.folds,
+            output_path=args.output,
+            require_pass=args.require_pass,
+        )
 
     if args.calibrate_transcription_runtime:
         return _run_transcription_calibration(settings)
