@@ -67,19 +67,38 @@ def build_segment_postprocessing_config(
 
 
 def _validate_config(config: SegmentPostprocessingConfig) -> None:
-    if config.smoothing_window_frames < 1:
-        raise ValueError("smoothing_window_frames must be greater than or equal to 1.")
-    if config.hysteresis_enter_confidence < 0.0:
-        raise ValueError("hysteresis_enter_confidence cannot be negative.")
-    if config.hysteresis_exit_confidence < 0.0:
-        raise ValueError("hysteresis_exit_confidence cannot be negative.")
-    if config.hysteresis_enter_confidence < config.hysteresis_exit_confidence:
-        raise ValueError(
-            "hysteresis_enter_confidence must be greater than or equal to "
-            "hysteresis_exit_confidence."
-        )
-    if config.min_segment_duration_seconds < 0.0:
-        raise ValueError("min_segment_duration_seconds cannot be negative.")
+    """Rejects unusable control values up front.
+
+    The VALUE constraints are the parity contract (reference
+    ``postprocessing.py:90-104``); the error text is this framework's own.
+    """
+    checks: tuple[tuple[bool, str], ...] = (
+        (
+            config.smoothing_window_frames >= 1,
+            f"Smoothing window needs >=1 frame, got {config.smoothing_window_frames}.",
+        ),
+        (
+            config.hysteresis_enter_confidence >= 0.0,
+            f"Hysteresis enter threshold {config.hysteresis_enter_confidence} is negative.",
+        ),
+        (
+            config.hysteresis_exit_confidence >= 0.0,
+            f"Hysteresis exit threshold {config.hysteresis_exit_confidence} is negative.",
+        ),
+        (
+            config.hysteresis_enter_confidence >= config.hysteresis_exit_confidence,
+            "Hysteresis enter threshold "
+            f"({config.hysteresis_enter_confidence}) sits below the exit threshold "
+            f"({config.hysteresis_exit_confidence}); segments could never open.",
+        ),
+        (
+            config.min_segment_duration_seconds >= 0.0,
+            f"Minimum segment duration {config.min_segment_duration_seconds}s is negative.",
+        ),
+    )
+    for passed, message in checks:
+        if not passed:
+            raise ValueError(message)
 
 
 def postprocess_frame_predictions(

@@ -60,26 +60,33 @@ def resolve_subtitle_export_request(
     output_path: str | None,
     subtitle_format: SubtitleFormat | None,
 ) -> tuple[SubtitleFormat, str | None] | None:
-    """Validates one requested subtitle export; returns None when not requested."""
-    normalized = output_path.strip() if isinstance(output_path, str) else None
-    if isinstance(normalized, str) and not normalized:
-        raise ValueError("Subtitle output path cannot be empty.")
+    """Resolves (format, path) for a requested export; None when not requested.
+
+    Resolution contract (reference ``subtitles.py:101-199`` semantics): an
+    explicit format wins; otherwise the format comes from the output path's
+    suffix; neither present means no export was asked for.
+    """
+    path = output_path.strip() if output_path is not None else None
+    if path == "":
+        raise ValueError("A subtitle output path was given but is blank.")
     if subtitle_format is not None and subtitle_format not in SUPPORTED_SUBTITLE_FORMATS:
+        supported = ", ".join(SUPPORTED_SUBTITLE_FORMATS)
         raise ValueError(
-            f"Unsupported subtitle format '{subtitle_format}'. Expected one of: ass, srt, vtt."
+            f"Subtitle format {subtitle_format!r} is not supported (choose {supported})."
         )
-    if subtitle_format is None and normalized is None:
+
+    resolved = subtitle_format
+    if resolved is None and path is not None:
+        resolved = infer_subtitle_format(path)
+        if resolved is None:
+            supported = ", ".join(f".{fmt}" for fmt in SUPPORTED_SUBTITLE_FORMATS)
+            raise ValueError(
+                f"Cannot infer a subtitle format from {path!r}: pass "
+                f"--subtitle-format or use a {supported} suffix."
+            )
+    if resolved is None:
         return None
-    if subtitle_format is not None:
-        return subtitle_format, normalized
-    assert isinstance(normalized, str)
-    inferred = infer_subtitle_format(normalized)
-    if inferred is None:
-        raise ValueError(
-            "Subtitle export requires --subtitle-format or an output path ending in "
-            ".ass, .srt, or .vtt."
-        )
-    return inferred, normalized
+    return resolved, path
 
 
 def timeline_to_subtitle_cues(
@@ -87,27 +94,26 @@ def timeline_to_subtitle_cues(
     *,
     default_duration_seconds: float = DEFAULT_SUBTITLE_DURATION_SECONDS,
 ) -> list[SubtitleCue]:
-    """Builds subtitle cues from timeline rows carrying speech content."""
+    """Builds subtitle cues from timeline rows carrying speech content.
+
+    Cue timing contract: each speech row runs until the NEXT timeline row
+    (whatever its content), falling back to a fixed default duration when no
+    later row exists or timestamps do not advance.
+    """
     if default_duration_seconds <= 0.0:
-        raise ValueError("default_duration_seconds must be greater than zero.")
-    if not timeline:
-        return []
+        raise ValueError(f"Cue default duration must be positive, got {default_duration_seconds}.")
     ordered = sorted(timeline, key=lambda entry: float(entry.timestamp_seconds))
+    boundaries = [float(entry.timestamp_seconds) for entry in ordered[1:]] + [None]
     cues: list[SubtitleCue] = []
-    for index, entry in enumerate(ordered):
+    for entry, boundary in zip(ordered, boundaries):
         text = entry.speech.strip()
         if not text:
             continue
         start = float(entry.timestamp_seconds)
-        next_timestamp = (
-            float(ordered[index + 1].timestamp_seconds) if index + 1 < len(ordered) else None
+        end = boundary if boundary is not None and boundary > start else start + default_duration_seconds
+        cues.append(
+            SubtitleCue(start_seconds=start, end_seconds=end, text=text, emotion=entry.emotion)
         )
-        end = (
-            start + default_duration_seconds
-            if next_timestamp is None or next_timestamp <= start
-            else next_timestamp
-        )
-        cues.append(SubtitleCue(start_seconds=start, end_seconds=end, text=text, emotion=entry.emotion))
     return cues
 
 

@@ -19,18 +19,57 @@ logger = get_logger(__name__)
 _initialized = False
 
 
-def is_multi_host_env() -> bool:
+def is_multi_host_env(env: dict[str, str] | None = None) -> bool:
     """Heuristic: explicit SER_DIST_* config or Cloud-TPU pod env present."""
-    if os.environ.get("SER_DIST_COORDINATOR"):
+    env = env if env is not None else dict(os.environ)
+    if env.get("SER_DIST_COORDINATOR"):
         return True
-    return bool(os.environ.get("TPU_WORKER_HOSTNAMES", "").strip().count(","))
+    return bool(env.get("TPU_WORKER_HOSTNAMES", "").strip().count(","))
+
+
+def resolve_distributed_kwargs(env: dict[str, str] | None = None) -> dict:
+    """Pure ``SER_DIST_*`` → ``jax.distributed.initialize`` kwargs.
+
+    Explicit overrides require the full triple (coordinator, process count,
+    process id); a partial set is a configuration error, not a silent
+    auto-detect fallback. Empty dict = rely on Cloud-TPU auto-detection.
+    """
+    env = env if env is not None else dict(os.environ)
+    coordinator = env.get("SER_DIST_COORDINATOR", "").strip()
+    if not coordinator:
+        return {}
+    missing = [
+        name
+        for name in ("SER_DIST_NUM_PROCESSES", "SER_DIST_PROCESS_ID")
+        if not env.get(name, "").strip()
+    ]
+    if missing:
+        raise ValueError(
+            f"SER_DIST_COORDINATOR is set but {', '.join(missing)} is missing; "
+            "explicit multi-host config needs all three variables."
+        )
+    try:
+        num_processes = int(env["SER_DIST_NUM_PROCESSES"])
+        process_id = int(env["SER_DIST_PROCESS_ID"])
+    except ValueError as err:
+        raise ValueError("SER_DIST_NUM_PROCESSES / SER_DIST_PROCESS_ID must be integers.") from err
+    if num_processes < 1 or not 0 <= process_id < num_processes:
+        raise ValueError(
+            f"Invalid process topology: id {process_id} of {num_processes} processes."
+        )
+    return {
+        "coordinator_address": coordinator,
+        "num_processes": num_processes,
+        "process_id": process_id,
+    }
 
 
 def initialize_distributed(*, force: bool = False) -> bool:
     """Initializes jax.distributed for multi-host execution when configured.
 
-    Returns True when initialization ran. Safe to call unconditionally:
-    single-host environments are a no-op.
+    Returns True when the runtime is (now) initialized. Safe to call
+    unconditionally — single-host environments are a no-op — and idempotent:
+    repeat calls never re-initialize.
     """
     global _initialized
     if _initialized:
@@ -39,13 +78,7 @@ def initialize_distributed(*, force: bool = False) -> bool:
         return False
     import jax
 
-    kwargs = {}
-    coordinator = os.environ.get("SER_DIST_COORDINATOR")
-    if coordinator:
-        kwargs["coordinator_address"] = coordinator
-        kwargs["num_processes"] = int(os.environ["SER_DIST_NUM_PROCESSES"])
-        kwargs["process_id"] = int(os.environ["SER_DIST_PROCESS_ID"])
-    jax.distributed.initialize(**kwargs)
+    jax.distributed.initialize(**resolve_distributed_kwargs())
     _initialized = True
     logger.info(
         "jax.distributed initialized: process %d/%d",
@@ -55,4 +88,4 @@ def initialize_distributed(*, force: bool = False) -> bool:
     return True
 
 
-__all__ = ["initialize_distributed", "is_multi_host_env"]
+__all__ = ["initialize_distributed", "is_multi_host_env", "resolve_distributed_kwargs"]

@@ -1,0 +1,85 @@
+"""CLI flag matrix for `ser data prepare` variants (in-process main())."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from ser_tpu.__main__ import main
+from ser_tpu._internal.utils.audio_io import write_wav
+
+
+@pytest.fixture
+def env(tmp_path, monkeypatch):
+    monkeypatch.setenv("SER_TMP_FOLDER", str(tmp_path / "tmp"))
+    monkeypatch.setenv("SER_MODELS_FOLDER", str(tmp_path / "models"))
+    monkeypatch.setenv("SER_DATASET_FOLDER", str(tmp_path / "unused-ds"))
+    return tmp_path
+
+
+def _wav(path: Path):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tone = (0.3 * np.sin(2 * np.pi * 330 * np.arange(8000) / 16000)).astype(np.float32)
+    write_wav(path, tone, 16000)
+
+
+def _manifest_rows(path: str) -> list[dict]:
+    return [
+        json.loads(line)
+        for line in Path(path).read_text(encoding="utf-8").splitlines()
+        if line.strip()
+    ]
+
+
+def test_prepare_with_filename_strategy(env, capsys):
+    root = env / "cafe"
+    _wav(root / "Colère" / "a.wav")
+    assert main(["data", "prepare", "cafe", "--root", str(root)]) == 0
+    out = capsys.readouterr().out
+    assert "Prepared cafe: 1 utterances" in out
+
+
+def test_prepare_with_explicit_labels_csv(env, capsys):
+    root = env / "msp"
+    _wav(root / "audio" / "x.wav")
+    csv = env / "labels.csv"
+    csv.write_text("path,label\naudio/x.wav,happy\n", encoding="utf-8")
+    assert main(
+        ["data", "prepare", "msp-podcast", "--root", str(root), "--labels-csv", str(csv)]
+    ) == 0
+    assert "Prepared msp-podcast: 1 utterances" in capsys.readouterr().out
+
+
+def test_prepare_with_existing_manifest(env, capsys):
+    root = env / "ravdess"
+    _wav(root / "Actor_01" / "03-01-03-01-01-01-01.wav")
+    # First run writes the manifest; second registers it as-is.
+    assert main(["data", "prepare", "ravdess", "--root", str(root)]) == 0
+    manifest = root / "ravdess.manifest.jsonl"
+    assert manifest.exists()
+    assert main(
+        ["data", "prepare", "ravdess", "--root", str(root), "--manifest", str(manifest)]
+    ) == 0
+    rows = _manifest_rows(str(manifest))
+    assert any(row.get("label") == "happy" for row in rows)
+
+
+def test_prepare_unknown_dataset_id_is_a_usage_error(env, capsys):
+    code = main(["data", "prepare", "not-a-dataset", "--root", str(env)])
+    assert code != 0
+
+
+def test_prepare_empty_tree_errors(env):
+    root = env / "mesd"
+    root.mkdir()
+    code = main(["data", "prepare", "mesd", "--root", str(root)])
+    assert code != 0
+
+
+def test_data_list_and_registry_render(env, capsys):
+    assert main(["data", "list"]) == 0
+    listed = capsys.readouterr().out
+    for dataset_id in ("ravdess", "crema-d", "msp-podcast", "coraa-ser"):
+        assert dataset_id in listed
+    assert main(["data", "registry"]) == 0

@@ -67,3 +67,51 @@ def test_infer_many_rejects_fast_profile(trained_medium):
 
     with pytest.raises(ValueError, match="fast"):
         infer_many(["x.wav"], profile="fast", settings=settings)
+
+
+def test_infer_many_contains_mixed_failure_kinds(trained_medium, monkeypatch, tmp_path):
+    """Missing files, undecodable bytes, and empty audio are all contained
+    per-row while healthy rows still succeed (reference containment bar)."""
+    settings, backend, files = trained_medium
+    import ser_tpu._internal.repr.encoders as encoders
+
+    monkeypatch.setattr(encoders, "build_encoder_backend", lambda *a, **k: backend)
+    from ser_tpu.parallel.batch_inference import infer_many
+
+    undecodable = tmp_path / "garbage.wav"
+    undecodable.write_bytes(b"this is not RIFF data at all")
+    truncated = tmp_path / "truncated.wav"
+    truncated.write_bytes(b"RIFF\x00\x00\x00\x00WAVE")
+
+    paths = [
+        str(files[0]),
+        "/missing/a.wav",
+        str(undecodable),
+        str(files[1]),
+        str(truncated),
+        "/missing/b.wav",
+    ]
+    rows = infer_many(paths, profile="medium", settings=settings)
+    assert len(rows) == len(paths)
+    assert [row.result is not None for row in rows] == [
+        True, False, False, True, False, False,
+    ]
+    for row in rows:
+        if row.result is None:
+            assert row.error, f"failed row must carry an error: {row.file_path}"
+        else:
+            assert row.result.segments
+
+
+def test_infer_many_all_failures_returns_rows_not_raise(trained_medium, monkeypatch):
+    settings, backend, _files = trained_medium
+    import ser_tpu._internal.repr.encoders as encoders
+
+    monkeypatch.setattr(encoders, "build_encoder_backend", lambda *a, **k: backend)
+    from ser_tpu.parallel.batch_inference import infer_many
+
+    rows = infer_many(
+        ["/gone/1.wav", "/gone/2.wav", "/gone/3.wav"], profile="medium", settings=settings
+    )
+    assert len(rows) == 3
+    assert all(row.result is None and row.error for row in rows)

@@ -24,3 +24,34 @@ def test_feature_batch_shards_across_devices_and_stays_exact():
 
     single = extract_feature_from_signal(clips[2][0], sr, feature_flags=flags)
     np.testing.assert_allclose(batch[2], single, rtol=2e-4, atol=2e-4)
+
+
+def test_bulk_frames_actually_shard_over_the_data_axis(monkeypatch):
+    """The device array entering the batched DSP program must carry a
+    NamedSharding over the mesh data axis (VERDICT: inspect .sharding)."""
+    import numpy as np
+
+    from ser_tpu.ops import features as features_mod
+    from ser_tpu.ops import dsp as dsp_mod
+
+    captured = {}
+    original = dsp_mod.handcrafted_features_batch
+
+    def capturing(frames, lengths, **kwargs):
+        captured["frames_sharding"] = frames.sharding
+        captured["lengths_sharding"] = lengths.sharding
+        return original(frames, lengths, **kwargs)
+
+    monkeypatch.setattr(dsp_mod, "handcrafted_features_batch", capturing)
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    audio = (0.2 * rng.standard_normal(sr * 9)).astype(np.float32)  # 8+ frames
+    features_mod.extract_frame_features(audio, sr)
+
+    import jax.sharding as shd
+
+    frames_sharding = captured["frames_sharding"]
+    assert isinstance(frames_sharding, shd.NamedSharding)
+    assert frames_sharding.spec[0] is not None  # batch dim is sharded
+    assert len(frames_sharding.mesh.devices.flatten()) == 8
