@@ -73,6 +73,45 @@ def bucket_samples(length: int, sample_rate: int = ENCODER_SAMPLE_RATE) -> int:
     return int(_CHUNK_BUCKETS_SECONDS[-1] * sample_rate)
 
 
+def shard_chunk_batch(batch: np.ndarray, lengths: np.ndarray):
+    """Lays a clip's chunk batch out over the mesh data axis (GSPMD).
+
+    This IS the long-audio sequence-axis sharding (SURVEY §5): a long clip's
+    time axis is split into 30 s segments, and those segments — the batch
+    dimension here — are placed across chips with a NamedSharding so one
+    jitted encode runs segment-parallel over ICI. Rows are padded to a
+    multiple of the data-axis size (full-length silent chunks, dropped by
+    the caller via the true row count).
+
+    Returns ``(batch, lengths, true_rows)``; single-device environments pass
+    through untouched.
+    """
+    import jax
+
+    true_rows = batch.shape[0]
+    if len(jax.devices()) <= 1:
+        return batch, lengths, true_rows
+    from ser_tpu.parallel.mesh import DATA_AXIS, build_mesh
+    from ser_tpu.parallel.sharding import batch_sharding
+
+    mesh = build_mesh()
+    n_data = mesh.shape[DATA_AXIS]
+    remainder = true_rows % n_data
+    if remainder:
+        pad_rows = n_data - remainder
+        batch = np.concatenate(
+            [batch, np.zeros((pad_rows, batch.shape[1]), dtype=batch.dtype)]
+        )
+        # Padded rows are silent full-length chunks: harmless to encode,
+        # excluded from reassembly by true_rows.
+        lengths = np.concatenate(
+            [lengths, np.full(pad_rows, batch.shape[1], dtype=lengths.dtype)]
+        )
+    batch = jax.device_put(batch, batch_sharding(mesh, 2))
+    lengths = jax.device_put(lengths, batch_sharding(mesh, 1))
+    return batch, lengths, true_rows
+
+
 def chunked_encode(
     audio: np.ndarray,
     sample_rate: int,
@@ -100,7 +139,8 @@ def chunked_encode(
         batch[row, :length] = audio16k[start : start + length]
         lengths[row] = length
 
-    embeddings_batch = np.asarray(encode_batch(batch, lengths))
+    sharded_batch, sharded_lengths, true_rows = shard_chunk_batch(batch, lengths)
+    embeddings_batch = np.asarray(encode_batch(sharded_batch, sharded_lengths))[:true_rows]
     if not np.all(np.isfinite(embeddings_batch)):
         # Reference behavior: retry in float32 after a non-finite result.
         logger.warning("Non-finite embeddings from %s; retrying in float32.", backend_id)
@@ -173,7 +213,8 @@ def chunked_encode_many(
         for row, (clip_index, start, length) in enumerate(batch_work):
             batch[row, :length] = resampled[clip_index][start : start + length]
             lengths[row] = length
-        out = np.asarray(encode_batch(batch, lengths))
+        sharded_batch, sharded_lengths, true_rows = shard_chunk_batch(batch, lengths)
+        out = np.asarray(encode_batch(sharded_batch, sharded_lengths))[:true_rows]
         for row in range(len(batch_work)):
             chunk_embeddings[batch_start + row] = out[row]
 
@@ -214,4 +255,5 @@ __all__ = [
     "chunked_encode_many",
     "plan_chunks",
     "resolve_local_model_dir",
+    "shard_chunk_batch",
 ]

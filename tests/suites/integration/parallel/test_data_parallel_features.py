@@ -55,3 +55,55 @@ def test_bulk_frames_actually_shard_over_the_data_axis(monkeypatch):
     assert isinstance(frames_sharding, shd.NamedSharding)
     assert frames_sharding.spec[0] is not None  # batch dim is sharded
     assert len(frames_sharding.mesh.devices.flatten()) == 8
+
+
+def test_long_audio_chunks_shard_over_data_axis_and_stay_exact():
+    """A 70 s clip's 30 s segments (its sequence axis) spread across the mesh
+    and the reassembled EncodedSequence equals an unsharded reference."""
+    import numpy as np
+
+    from ser_tpu._internal.repr import encoder_backend as eb
+
+    captured = {}
+
+    def encode_batch(batch, lengths):
+        captured["sharding"] = getattr(batch, "sharding", None)
+        batch_np = np.asarray(batch)
+        lengths_np = np.asarray(lengths)
+        frames = batch_np.shape[1] // 16000
+        out = np.zeros((batch_np.shape[0], frames, 4), dtype=np.float32)
+        for row in range(batch_np.shape[0]):
+            for frame in range(frames):
+                seg = batch_np[row, frame * 16000 : (frame + 1) * 16000]
+                out[row, frame] = [seg.mean(), seg.std(), seg.max(), float(lengths_np[row])]
+        return out
+
+    rng = np.random.default_rng(0)
+    audio = (0.2 * rng.standard_normal(16000 * 70)).astype(np.float32)  # 3 chunks
+    encoded = eb.chunked_encode(
+        audio,
+        16000,
+        encode_batch=encode_batch,
+        frames_for_length=lambda n: max(1, n // 16000),
+        backend_id="test",
+    )
+    import jax.sharding as shd
+
+    assert isinstance(captured["sharding"], shd.NamedSharding)
+    assert captured["sharding"].spec[0] is not None
+
+    # Single-device equivalence: bypass sharding entirely.
+    batch, lengths, _ = (
+        np.zeros((3, 30 * 16000), dtype=np.float32),
+        np.asarray([480000, 480000, 160000], dtype=np.int32),
+        3,
+    )
+    for row, (start, length) in enumerate(eb.plan_chunks(audio.size)):
+        batch[row, :length] = audio[start : start + length]
+    reference = encode_batch(batch, lengths)
+    valid = np.concatenate([reference[0][:30], reference[1][:30], reference[2][:10]])
+    np.testing.assert_allclose(encoded.embeddings, valid, rtol=1e-6)
+    assert encoded.frame_start_seconds[0] == 0.0
+    import pytest
+
+    assert encoded.frame_end_seconds[-1] == pytest.approx(70.0)
