@@ -70,7 +70,21 @@ def _build_library() -> ctypes.CDLL | None:
     library.ser_decode_wav_mono.restype = ctypes.c_int
     library.ser_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
     library.ser_free.restype = None
+    library.ser_dtw_path.argtypes = [
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    library.ser_dtw_path.restype = ctypes.c_int
     return library
+
+
+def get_native_library() -> ctypes.CDLL | None:
+    """The loaded native library (builds on first use); None when unavailable."""
+    return _lib if native_decoder_available() else None
 
 
 def native_decoder_available() -> bool:
@@ -112,4 +126,9 @@ def decode_wav_mono_native(data: bytes) -> tuple[np.ndarray, int]:
     return array, rate.value
 
 
-__all__ = ["NativeDecodeError", "decode_wav_mono_native", "native_decoder_available"]
+__all__ = [
+    "NativeDecodeError",
+    "decode_wav_mono_native",
+    "get_native_library",
+    "native_decoder_available",
+]

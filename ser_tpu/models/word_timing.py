@@ -45,7 +45,15 @@ def dtw_path(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
     Moves: diagonal, down (next row, same col), right (same row, next col).
     Returns (row_indices, col_indices) from (0, 0) to (N-1, M-1).
+
+    Dispatches to the native C++ dynamic program (one cache-friendly
+    row-major pass, ``ser_tpu/native/seraudio.cpp::ser_dtw_path``) when the
+    toolchain is available; the anti-diagonal-vectorized numpy fallback
+    below computes the identical path (equality pinned in tests).
     """
+    native = _native_dtw_path(cost)
+    if native is not None:
+        return native
     n_rows, n_cols = cost.shape
     total = np.full((n_rows + 1, n_cols + 1), np.inf, dtype=np.float64)
     total[0, 0] = 0.0
@@ -80,6 +88,36 @@ def dtw_path(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         else:
             j -= 1
     return np.asarray(rows[::-1]), np.asarray(cols[::-1])
+
+
+def _native_dtw_path(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
+    """C++ DTW via ctypes; None when the native library is unavailable."""
+    try:
+        from ser_tpu._internal.utils.native_audio import get_native_library
+    except ImportError:  # pragma: no cover - models package used standalone
+        return None
+    library = get_native_library()
+    if library is None:
+        return None
+    import ctypes
+
+    matrix = np.ascontiguousarray(cost, dtype=np.float64)
+    n_rows, n_cols = matrix.shape
+    out_rows = np.empty(n_rows + n_cols, dtype=np.int32)
+    out_cols = np.empty(n_rows + n_cols, dtype=np.int32)
+    out_len = ctypes.c_int64()
+    code = library.ser_dtw_path(
+        matrix.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n_rows,
+        n_cols,
+        out_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.byref(out_len),
+    )
+    if code != 0:
+        return None
+    length = out_len.value
+    return out_rows[:length].astype(np.int64), out_cols[:length].astype(np.int64)
 
 
 @dataclass(frozen=True)

@@ -11,6 +11,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <limits>
 
 namespace {
 
@@ -166,5 +167,83 @@ int ser_decode_wav_mono(const uint8_t* bytes, size_t length, float** out_samples
 }
 
 void ser_free(float* ptr) { std::free(ptr); }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// DTW path search for word-timing alignment (host hot loop).
+//
+// The Python wavefront implementation (ser_tpu/models/word_timing.py)
+// vectorizes over anti-diagonals in numpy; this native version walks the
+// classic row-major dynamic program in one cache-friendly pass. Semantics are
+// identical: moves {diagonal, down, right}, boundary column/row at +inf,
+// traceback from (N-1, M-1) to (0, 0). Exposed via ctypes
+// (ser_tpu/_internal/utils/native_dtw.py) with the numpy path as fallback.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// cost: row-major (n_rows, n_cols) float64. out_rows/out_cols must hold
+// n_rows + n_cols entries; *out_len receives the path length (start→end
+// order). Returns 0 on success, 1 on invalid input, 5 on allocation failure.
+int ser_dtw_path(const double* cost, int64_t n_rows, int64_t n_cols,
+                 int32_t* out_rows, int32_t* out_cols, int64_t* out_len) {
+  if (cost == nullptr || n_rows <= 0 || n_cols <= 0) return 1;
+  const int64_t width = n_cols + 1;
+  double* total = static_cast<double*>(std::malloc(sizeof(double) * 2 * width));
+  // Traceback moves: 0 = diagonal, 1 = down (prev row), 2 = right (prev col).
+  int8_t* trace = static_cast<int8_t*>(std::malloc(sizeof(int8_t) * n_rows * n_cols));
+  if (total == nullptr || trace == nullptr) {
+    std::free(total);
+    std::free(trace);
+    return 5;
+  }
+  const double inf = std::numeric_limits<double>::infinity();
+  double* prev = total;
+  double* curr = total + width;
+  prev[0] = 0.0;
+  for (int64_t j = 1; j < width; ++j) prev[j] = inf;
+  for (int64_t i = 1; i <= n_rows; ++i) {
+    curr[0] = inf;
+    const double* cost_row = cost + (i - 1) * n_cols;
+    int8_t* trace_row = trace + (i - 1) * n_cols;
+    for (int64_t j = 1; j <= n_cols; ++j) {
+      const double diag = prev[j - 1];
+      const double down = prev[j];
+      const double right = curr[j - 1];
+      double best = diag;
+      int8_t move = 0;
+      if (down < best) { best = down; move = 1; }
+      if (right < best) { best = right; move = 2; }
+      curr[j] = cost_row[j - 1] + best;
+      trace_row[j - 1] = move;
+    }
+    double* swap = prev; prev = curr; curr = swap;
+  }
+
+  int64_t i = n_rows - 1;
+  int64_t j = n_cols - 1;
+  int64_t length = 0;
+  const int64_t capacity = n_rows + n_cols;
+  while (length < capacity) {
+    out_rows[length] = static_cast<int32_t>(i);
+    out_cols[length] = static_cast<int32_t>(j);
+    ++length;
+    if (i == 0 && j == 0) break;
+    const int8_t move = trace[i * n_cols + j];
+    if (move == 0) { if (i > 0) --i; if (j > 0) --j; }
+    else if (move == 1) { if (i > 0) --i; else if (j > 0) --j; }
+    else { if (j > 0) --j; else if (i > 0) --i; }
+  }
+  // Reverse in place to start→end order.
+  for (int64_t k = 0; k < length / 2; ++k) {
+    const int32_t tr = out_rows[k]; out_rows[k] = out_rows[length - 1 - k]; out_rows[length - 1 - k] = tr;
+    const int32_t tc = out_cols[k]; out_cols[k] = out_cols[length - 1 - k]; out_cols[length - 1 - k] = tc;
+  }
+  *out_len = length;
+  std::free(total);
+  std::free(trace);
+  return 0;
+}
 
 }  // extern "C"

@@ -130,3 +130,25 @@ def test_empty_inputs_yield_no_words():
         )
         == []
     )
+
+
+def test_native_dtw_matches_numpy_wavefront():
+    """The C++ DTW and the numpy fallback walk the identical path."""
+    from ser_tpu._internal.utils.native_audio import native_decoder_available
+
+    if not native_decoder_available():
+        import pytest as _pytest
+
+        _pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(0)
+    for n, m in ((4, 9), (17, 31), (48, 150), (1, 7), (7, 1)):
+        cost = rng.standard_normal((n, m))
+        native = word_timing._native_dtw_path(cost)
+        assert native is not None
+        # Force the numpy path by computing the wavefront directly.
+        import unittest.mock as mock
+
+        with mock.patch.object(word_timing, "_native_dtw_path", lambda c: None):
+            fallback = word_timing.dtw_path(cost)
+        np.testing.assert_array_equal(native[0], fallback[0])
+        np.testing.assert_array_equal(native[1], fallback[1])
