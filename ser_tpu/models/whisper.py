@@ -537,7 +537,13 @@ class WhisperForTranscription:
         return int(ids[0])
 
     def _decode_chunk_batch(
-        self, encoder_states: jax.Array, language: str, num_frames: np.ndarray
+        self,
+        encoder_states: jax.Array,
+        language: str,
+        num_frames: np.ndarray,
+        *,
+        temperature: float = 0.0,
+        rng_seed: int = 0,
     ) -> tuple[list[list[int]], np.ndarray | None]:
         """KV-cache greedy decode of a batch of 30 s windows.
 
@@ -569,6 +575,8 @@ class WhisperForTranscription:
             prefix_len=self.PREFIX_LEN,
             align_spec=align_spec,
             compute_dtype=self.compute_dtype,
+            temperature=temperature,
+            rng_seed=rng_seed,
         )
         matrix = None
         if align_spec:
@@ -663,6 +671,63 @@ class WhisperForTranscription:
             for entry in timed
         ]
 
+    #: Escalation schedule for degenerate (repetitive) chunk transcripts
+    #: (reference stable-ts temperature fallback semantics).
+    RETRY_TEMPERATURES = (0.2, 0.5, 0.8)
+
+    def _chunk_text(self, tokens: list[int], timestamp_begin: int) -> str:
+        return self.tokenizer.decode(
+            [token for token in tokens if token < timestamp_begin]
+        ).strip()
+
+    def _retry_degenerate_chunks(
+        self,
+        states: jax.Array,
+        language: str,
+        num_frames: np.ndarray,
+        emitted: list[list[int]],
+        matrices: np.ndarray | None,
+    ) -> tuple[list[list[int]], np.ndarray | None]:
+        """Re-decodes repetitive chunks with escalating sampling temperature.
+
+        A greedy decode stuck in a repetition loop compresses extremely well;
+        such chunks re-run with temperature sampling until the output stops
+        looking degenerate or the schedule is exhausted (keeping the least
+        degenerate candidate).
+        """
+        timestamp_begin = self._special("<|0.00|>")
+        bad = [
+            index
+            for index, tokens in enumerate(emitted)
+            if transcript_is_degenerate(self._chunk_text(tokens, timestamp_begin))
+        ]
+        if not bad:
+            return emitted, matrices
+        if matrices is not None:
+            matrices = np.array(matrices)  # jax-backed views are read-only
+        states_np = np.asarray(states)
+        for retry, temperature in enumerate(self.RETRY_TEMPERATURES):
+            retry_states = jnp.asarray(states_np[bad])
+            retry_emitted, retry_matrices = self._decode_chunk_batch(
+                retry_states,
+                language,
+                num_frames[bad],
+                temperature=temperature,
+                rng_seed=retry + 1,
+            )
+            still_bad = []
+            for slot, chunk_index in enumerate(bad):
+                text = self._chunk_text(retry_emitted[slot], timestamp_begin)
+                emitted[chunk_index] = retry_emitted[slot]
+                if matrices is not None and retry_matrices is not None:
+                    matrices[chunk_index] = retry_matrices[slot]
+                if transcript_is_degenerate(text):
+                    still_bad.append(chunk_index)
+            bad = still_bad
+            if not bad:
+                break
+        return emitted, matrices
+
     def transcribe_words(
         self, audio16k: np.ndarray, *, language: str = "en", use_vad: bool = True
     ):
@@ -701,6 +766,9 @@ class WhisperForTranscription:
             dtype=np.int32,
         )
         emitted, matrices = self._decode_chunk_batch(states, language, num_frames)
+        emitted, matrices = self._retry_degenerate_chunks(
+            states, language, num_frames, emitted, matrices
+        )
 
         words: list[TranscriptWord] = []
         for chunk_index, tokens in enumerate(emitted):
@@ -725,6 +793,24 @@ class WhisperForTranscription:
                     self._interpolated_words(segments, chunk_offset_s, chunk_duration)
                 )
         return words
+
+
+def transcript_is_degenerate(
+    text: str, *, max_compression_ratio: float = 2.4
+) -> bool:
+    """Repetition detector: degenerate decode loops compress extremely well.
+
+    The 2.4 gzip-ratio threshold is Whisper's published decode-quality gate
+    (the same signal the reference's stable-ts lane uses to trigger its
+    temperature fallback).
+    """
+    stripped = text.strip()
+    if len(stripped) < 16:
+        return False
+    import zlib
+
+    raw = stripped.encode("utf-8")
+    return len(raw) / max(1, len(zlib.compress(raw))) > max_compression_ratio
 
 
 def _trim_silence(
@@ -757,5 +843,6 @@ __all__ = [
     "load_hf_whisper_decoder_params",
     "load_hf_whisper_encoder_params",
     "log_mel_spectrogram",
+    "transcript_is_degenerate",
     "whisper_config_from_hf_dir",
 ]

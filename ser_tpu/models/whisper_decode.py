@@ -68,7 +68,7 @@ def _attend(q, k, v, *, bias, compute_dtype):
 
 @partial(
     jax.jit,
-    static_argnames=("config", "prefix_len", "align_spec", "compute_dtype"),
+    static_argnames=("config", "prefix_len", "align_spec", "compute_dtype", "temperature"),
 )
 def greedy_decode_kv_cache(
     params: dict,
@@ -80,6 +80,8 @@ def greedy_decode_kv_cache(
     prefix_len: int,
     align_spec: tuple[tuple[int, int], ...] = (),
     compute_dtype=jnp.float32,
+    temperature: float = 0.0,
+    rng_seed: int = 0,
 ):
     """Batched greedy decode over cached attention state, one dispatch total.
 
@@ -92,6 +94,11 @@ def greedy_decode_kv_cache(
       eot: end-of-text id (traced scalar).
       align_spec: static ``((layer, head), ...)`` pairs whose cross-attention
         probabilities are recorded per decoded position.
+      temperature: 0.0 decodes greedily (argmax); > 0 samples from
+        ``softmax(logits / temperature)`` — the retry lane for degenerate
+        outputs (reference stable-ts escalates temperature on repetitive
+        transcripts). Static, so each temperature is its own executable.
+      rng_seed: sampling seed (ignored at temperature 0).
 
     Returns:
       tokens ``(B, max_len)`` with the prefix at the front and generated ids
@@ -184,7 +191,13 @@ def greedy_decode_kv_cache(
 
         x = _layer_norm(params["final_ln"], x, eps)
         logits = jnp.einsum("bqd,vd->bqv", x, params["tok_embed"])[:, 0]
-        next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if temperature > 0.0:
+            step_key = jax.random.fold_in(jax.random.PRNGKey(rng_seed), position)
+            next_token = jax.random.categorical(
+                step_key, logits / temperature, axis=-1
+            ).astype(jnp.int32)
+        else:
+            next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         generating = position + 1 >= prefix_len
         keep = jax.lax.dynamic_index_in_dim(tokens, position + 1, axis=1, keepdims=False)
         write = jnp.where(jnp.logical_and(generating, ~done), next_token, keep)

@@ -226,3 +226,82 @@ def test_alignment_capture_rows_are_probabilities():
     processed = 3 + int(lengths[0])  # prefix rows are recorded too
     sums = align_np[0, :, : max(processed - 1, 1), :].sum(axis=-1)
     np.testing.assert_allclose(sums, 1.0, atol=1e-4)
+
+
+def test_degeneracy_detector_flags_repetition_only():
+    from ser_tpu.models.whisper import transcript_is_degenerate
+
+    assert transcript_is_degenerate("the cat " * 40)
+    assert not transcript_is_degenerate(
+        "kids are talking by the door while dogs are sitting by the door"
+    )
+    assert not transcript_is_degenerate("la la la")  # too short to judge
+
+
+def test_degenerate_chunk_retries_with_temperature(tiny_model, monkeypatch):
+    """A repetitive greedy decode re-runs with escalating temperature and the
+    clean retry replaces it."""
+    ts = FakeTokenizer.SPECIALS["<|0.00|>"]
+    degenerate = [ts, *([7] * 60), ts + 100]
+    clean = [ts, 5, 6, ts + 100]
+    calls = []
+
+    def fake_decode(states, language, num_frames, *, temperature=0.0, rng_seed=0):
+        calls.append(temperature)
+        rows = states.shape[0]
+        if temperature == 0.0:
+            return [list(degenerate) for _ in range(rows)], None
+        return [list(clean) for _ in range(rows)], None
+
+    monkeypatch.setattr(tiny_model, "_decode_chunk_batch", fake_decode)
+    audio = (0.1 * np.random.default_rng(2).standard_normal(16000 * 3)).astype(np.float32)
+    words = tiny_model.transcribe_words(audio, use_vad=False)
+    assert calls[0] == 0.0 and calls[1] == 0.2  # first retry temperature
+    assert [w.word for w in words] == ["w5", "w6"]
+
+
+def test_non_degenerate_decode_never_retries(tiny_model, monkeypatch):
+    ts = FakeTokenizer.SPECIALS["<|0.00|>"]
+    calls = []
+
+    def fake_decode(states, language, num_frames, *, temperature=0.0, rng_seed=0):
+        calls.append(temperature)
+        return [[ts, 5, 6, ts + 50] for _ in range(states.shape[0])], None
+
+    monkeypatch.setattr(tiny_model, "_decode_chunk_batch", fake_decode)
+    audio = (0.1 * np.random.default_rng(3).standard_normal(16000 * 2)).astype(np.float32)
+    tiny_model.transcribe_words(audio, use_vad=False)
+    assert calls == [0.0]
+
+
+def test_sampled_decode_runs_and_differs_from_greedy():
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from ser_tpu.models.whisper_decode import greedy_decode_kv_cache
+
+    config = whisper_model.WhisperConfig.tiny()
+    decoder = whisper_model.WhisperDecoder(config)
+    states = jax.random.normal(
+        jax.random.PRNGKey(11),
+        (1, whisper_model.CHUNK_FRAMES // 2, config.d_model),
+        dtype=jnp.float32,
+    )
+    params = decoder.init(
+        jax.random.PRNGKey(12), np.zeros((1, config.max_target_positions), np.int32), states
+    )["params"]
+    prefix = jnp.asarray([200, 202, 203], dtype=jnp.int32)
+    eot = jnp.asarray(201, dtype=jnp.int32)
+    greedy, g_len, _ = greedy_decode_kv_cache(
+        params, config, states, prefix, eot, prefix_len=3
+    )
+    sampled, s_len, _ = greedy_decode_kv_cache(
+        params, config, states, prefix, eot, prefix_len=3, temperature=1.5, rng_seed=7
+    )
+    assert int(s_len[0]) > 0
+    n = min(int(g_len[0]), int(s_len[0]))
+    assert not np.array_equal(
+        np.asarray(greedy[0, 3 : 3 + n]), np.asarray(sampled[0, 3 : 3 + n])
+    )
