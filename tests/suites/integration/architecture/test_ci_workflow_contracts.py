@@ -1,0 +1,46 @@
+"""CI workflow contracts (reference test strategy: CI workflow contract tests).
+
+Pins that the committed workflow files stay parseable and keep the job graph
+the docs promise; a broken lane should fail here, not on the forge.
+"""
+
+from pathlib import Path
+
+import yaml
+
+WORKFLOWS = Path(__file__).resolve().parents[4] / ".github" / "workflows"
+
+
+def _load(name: str) -> dict:
+    payload = yaml.safe_load((WORKFLOWS / name).read_text(encoding="utf-8"))
+    assert isinstance(payload, dict)
+    return payload
+
+
+def test_ci_workflow_job_graph():
+    ci = _load("ci.yml")
+    jobs = ci["jobs"]
+    assert set(jobs) == {"code-quality", "tests", "contract-gates", "build"}
+    assert jobs["tests"]["needs"] == "code-quality"
+    assert set(jobs["build"]["needs"]) == {"tests", "contract-gates"}
+    # The test lane must force the CPU backend with the virtual mesh.
+    assert ci["env"]["JAX_PLATFORMS"] == "cpu"
+    assert "host_platform_device_count=8" in ci["env"]["XLA_FLAGS"]
+
+
+def test_ci_runs_the_real_gates():
+    ci = _load("ci.yml")
+    rendered = (WORKFLOWS / "ci.yml").read_text(encoding="utf-8")
+    assert "check_public_internal_imports.py" in rendered
+    assert "pytest tests/" in rendered
+    assert "dryrun_multichip(8)" in rendered
+    assert ci["jobs"]["tests"]["strategy"]["matrix"]["python-version"] == ["3.12", "3.13"]
+
+
+def test_tpu_validation_lane_targets_self_hosted_tpu():
+    tpu = _load("tpu-validation.yml")
+    for job in tpu["jobs"].values():
+        assert job["runs-on"] == ["self-hosted", "tpu"]
+    rendered = (WORKFLOWS / "tpu-validation.yml").read_text(encoding="utf-8")
+    assert "bench.py" in rendered
+    assert "gate --candidate" in rendered
