@@ -92,6 +92,12 @@ def build_parser() -> argparse.ArgumentParser:
     consents.add_argument("--accept-policy", action="append", default=[])
     consents.add_argument("--accept-license", action="append", default=[])
 
+    benchmark = subparsers.add_parser(
+        "benchmark", help="Local fast-profile predict latency on one file."
+    )
+    benchmark.add_argument("file", type=str)
+    benchmark.add_argument("--runs", type=int, default=5)
+
     gate = subparsers.add_parser(
         "gate", help="Run the fast-vs-candidate rollout quality gate."
     )
@@ -318,6 +324,12 @@ def main(argv: list[str] | None = None) -> int:
         return _run_doctor(args, settings)
     if args.command == "data":
         return _run_data(args, settings)
+    if args.command == "benchmark":
+        from ser_tpu._internal.runtime.benchmarks import benchmark_fast_predict
+
+        report = benchmark_fast_predict(args.file, runs=args.runs, settings=settings)
+        print(report.to_json())
+        return 0
     if args.command == "gate":
         from ser_tpu._internal.runtime.quality_gate_workflow import (
             run_quality_gate_workflow,

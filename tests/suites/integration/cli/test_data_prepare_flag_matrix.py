@@ -83,3 +83,21 @@ def test_data_list_and_registry_render(env, capsys):
     for dataset_id in ("ravdess", "crema-d", "msp-podcast", "coraa-ser"):
         assert dataset_id in listed
     assert main(["data", "registry"]) == 0
+
+
+def test_benchmark_subcommand_reports_latency_json(env, monkeypatch, capsys):
+    """`ser benchmark <file>` prints the latency report (reference
+    benchmarks.py:21-55 surface, now CLI-exposed)."""
+    import json as _json
+
+    from ser_tpu._internal.runtime import benchmarks
+
+    def fake_benchmark(file_path, *, runs, settings=None):
+        return benchmarks.run_latency_benchmark(lambda: None, runs=runs)
+
+    monkeypatch.setattr(benchmarks, "benchmark_fast_predict", fake_benchmark)
+    code = main(["benchmark", "clip.wav", "--runs", "3"])
+    assert code == 0
+    payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["runs"] == 3
+    assert set(payload) >= {"mean_seconds", "median_seconds", "p95_seconds"}
