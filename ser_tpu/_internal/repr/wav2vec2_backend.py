@@ -57,6 +57,12 @@ class XlsrBackend:
             self._config, self._params = self._resolve_weights(
                 cache_root, model_id, init, config
             )
+        if self._dtype == jnp.bfloat16:
+            # Inference-only backend: bf16 storage halves HBM residency; the
+            # compute path casts to bf16 per op regardless (identical values).
+            from ser_tpu.models.param_utils import cast_params_bf16
+
+            self._params = cast_params_bf16(self._params)
         self._model = wav2vec2.Wav2Vec2Encoder(self._config, compute_dtype=self._dtype)
 
     def _resolve_weights(self, cache_root, model_id, init, config):

@@ -506,12 +506,12 @@ class WhisperForTranscription:
         self.decoder = WhisperDecoder(config, compute_dtype=dtype)
         self.compute_dtype = dtype
         if dtype == jnp.bfloat16:
-            # Inference-only: store params in bf16 directly. The matmul path
-            # casts f32→bf16 per op anyway (identical values), but f32 storage
-            # made the bandwidth-bound decode read 2× the bytes per step —
-            # the decoder re-reads its full weight set for every token.
-            encoder_params = _cast_params_bf16(encoder_params)
-            decoder_params = _cast_params_bf16(decoder_params)
+            # Inference-only: bf16 storage halves the HBM footprint (see
+            # param_utils.cast_params_bf16 for the hoisted-cast rationale).
+            from ser_tpu.models.param_utils import cast_params_bf16
+
+            encoder_params = cast_params_bf16(encoder_params)
+            decoder_params = cast_params_bf16(decoder_params)
         self.encoder_params = encoder_params
         self.decoder_params = decoder_params
         self.tokenizer = tokenizer
@@ -800,18 +800,6 @@ class WhisperForTranscription:
                     self._interpolated_words(segments, chunk_offset_s, chunk_duration)
                 )
         return words
-
-
-def _cast_params_bf16(params: dict) -> dict:
-    """Float params → bfloat16 storage (integer/bool leaves untouched)."""
-    import jax
-
-    def cast(leaf):
-        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
-            return jnp.asarray(leaf, dtype=jnp.bfloat16)
-        return leaf
-
-    return jax.tree_util.tree_map(cast, params)
 
 
 def transcript_is_degenerate(
