@@ -310,6 +310,9 @@ def _bench_transcript() -> tuple[float, str, dict]:
         tokenizer,
         compute_dtype="bfloat16" if on_tpu else "float32",
     )
+    # Random weights always look degenerate; the retry schedule would 4x the
+    # measurement without measuring anything new. One decode = the lane cost.
+    model.RETRY_TEMPERATURES = ()
 
     seconds = float(os.environ.get("SER_BENCH_SECONDS", "60"))
     repeats = int(os.environ.get("SER_BENCH_REPEATS", "3"))

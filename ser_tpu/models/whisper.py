@@ -319,6 +319,27 @@ def alignment_heads_from_hf_dir(model_dir) -> tuple[tuple[int, int], ...] | None
     return tuple((int(layer), int(head)) for layer, head in pairs)
 
 
+def suppress_tokens_from_hf_dir(model_dir) -> tuple[int, ...]:
+    """Published non-speech/special suppression list, if any.
+
+    ``generation_config.json``'s ``suppress_tokens`` (symbols, sounds) are
+    masked every step. ``begin_suppress_tokens`` is deliberately NOT merged:
+    it contains EOT (masking it every step would make decode unstoppable),
+    and timestamp rule 4 already constrains the first generated position.
+    """
+    import json
+    from pathlib import Path
+
+    path = Path(model_dir) / "generation_config.json"
+    if not path.is_file():
+        return ()
+    try:
+        raw = json.loads(path.read_text(encoding="utf-8"))
+    except (OSError, ValueError):
+        return ()
+    return tuple(sorted({int(token) for token in raw.get("suppress_tokens") or []}))
+
+
 def _hf_tensors(model_dir) -> dict[str, np.ndarray]:
     from ser_tpu.models.wav2vec2 import _torch_state_dict
 
@@ -497,6 +518,8 @@ class WhisperForTranscription:
         compute_dtype: str = "float32",
         alignment_heads: tuple[tuple[int, int], ...] | None = None,
         word_timestamps: str = "align",
+        suppress_tokens: tuple[int, ...] = (),
+        apply_timestamp_rules: bool = True,
     ) -> None:
         from ser_tpu.models.whisper_decode import default_alignment_spec
 
@@ -521,6 +544,8 @@ class WhisperForTranscription:
                 config.decoder_layers, config.n_heads
             )
         self.alignment_heads = tuple(tuple(pair) for pair in alignment_heads)
+        self.suppress_tokens = tuple(int(t) for t in suppress_tokens)
+        self.apply_timestamp_rules = apply_timestamp_rules
 
     @classmethod
     def from_pretrained_dir(cls, model_dir, *, compute_dtype: str = "float32"):
@@ -535,6 +560,7 @@ class WhisperForTranscription:
             WhisperTokenizer.from_pretrained(str(model_dir)),
             compute_dtype=compute_dtype,
             alignment_heads=alignment_heads_from_hf_dir(model_dir),
+            suppress_tokens=suppress_tokens_from_hf_dir(model_dir),
         )
 
     def _special(self, token: str) -> int:
@@ -584,6 +610,10 @@ class WhisperForTranscription:
             compute_dtype=self.compute_dtype,
             temperature=temperature,
             rng_seed=rng_seed,
+            suppress_tokens=self.suppress_tokens,
+            timestamp_begin=(
+                self._special("<|0.00|>") if self.apply_timestamp_rules else None
+            ),
         )
         matrix = None
         if align_spec:
@@ -850,6 +880,7 @@ __all__ = [
     "load_hf_whisper_decoder_params",
     "load_hf_whisper_encoder_params",
     "log_mel_spectrogram",
+    "suppress_tokens_from_hf_dir",
     "transcript_is_degenerate",
     "whisper_config_from_hf_dir",
 ]

@@ -66,9 +66,84 @@ def _attend(q, k, v, *, bias, compute_dtype):
     return out, weights
 
 
+def apply_timestamp_rules(
+    logits: jax.Array,
+    *,
+    last_token: jax.Array,
+    penultimate_token: jax.Array,
+    max_timestamp: jax.Array,
+    generated_count: jax.Array,
+    eot: jax.Array,
+    timestamp_begin: int,
+    max_initial_timestamp_index: int = 50,
+) -> jax.Array:
+    """Whisper's timestamp decoding constraints over one step's logits.
+
+    The published rule set (behavior parity with the decoding stack behind
+    the reference's whisper backends):
+      1. after a lone timestamp, only a timestamp or EOT may follow (the
+         pair must close);
+      2. after a closed timestamp pair, a timestamp cannot follow;
+      3. timestamps never decrease (earlier-than-max timestamps masked);
+      4. the FIRST generated token must be a timestamp no later than
+         ``max_initial_timestamp_index``;
+      5. when the total timestamp probability outweighs the best text
+         token, the step must emit a timestamp.
+
+    All inputs are per-row arrays of a (B, V) logits batch; returns masked
+    logits. Pure and jit-safe: used inside the decode loop and unit-tested
+    on synthetic logits.
+    """
+    vocab = logits.shape[-1]
+    neg = jnp.asarray(_NEG_INF, dtype=logits.dtype)
+    token_ids = jnp.arange(vocab)
+    is_ts_col = (token_ids >= timestamp_begin)[None, :]
+    is_text_col = (token_ids < eot)[None, :]
+
+    last_is_ts = (last_token >= timestamp_begin)[:, None]
+    penult_is_ts = (penultimate_token >= timestamp_begin)[:, None]
+    has_last = (generated_count >= 1)[:, None]
+    has_penult = (generated_count >= 2)[:, None]
+
+    # Rule 2: closed pair → no third timestamp in a row.
+    closed_pair = has_last & last_is_ts & has_penult & penult_is_ts
+    logits = jnp.where(closed_pair & is_ts_col, neg, logits)
+    # Rule 1: lone timestamp → text masked (timestamp or EOT only).
+    lone_ts = has_last & last_is_ts & ~(has_penult & penult_is_ts)
+    logits = jnp.where(lone_ts & is_text_col, neg, logits)
+    # Rule 3: non-decreasing timestamps.
+    below_max = is_ts_col & (token_ids[None, :] < max_timestamp[:, None])
+    logits = jnp.where(below_max, neg, logits)
+    # Rule 4: first generated token is an early timestamp.
+    first = (generated_count == 0)[:, None]
+    too_late = token_ids[None, :] > timestamp_begin + max_initial_timestamp_index
+    logits = jnp.where(first & (~is_ts_col | too_late), neg, logits)
+    # Rule 5: aggregated timestamp probability wins → force a timestamp.
+    # The comparison runs on the ALREADY-masked logits against the best
+    # single token below timestamp_begin (incl. EOT/specials), matching the
+    # published rule.
+    logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ts_logprob = jax.nn.logsumexp(
+        jnp.where(is_ts_col, logprobs, -jnp.inf), axis=-1
+    )
+    max_below_logprob = jnp.max(
+        jnp.where(~is_ts_col, logprobs, -jnp.inf), axis=-1
+    )
+    force_ts = (ts_logprob > max_below_logprob)[:, None]
+    return jnp.where(force_ts & ~is_ts_col, neg, logits)
+
+
 @partial(
     jax.jit,
-    static_argnames=("config", "prefix_len", "align_spec", "compute_dtype", "temperature"),
+    static_argnames=(
+        "config",
+        "prefix_len",
+        "align_spec",
+        "compute_dtype",
+        "temperature",
+        "suppress_tokens",
+        "timestamp_begin",
+    ),
 )
 def greedy_decode_kv_cache(
     params: dict,
@@ -82,6 +157,8 @@ def greedy_decode_kv_cache(
     compute_dtype=jnp.float32,
     temperature: float = 0.0,
     rng_seed: int = 0,
+    suppress_tokens: tuple[int, ...] = (),
+    timestamp_begin: int | None = None,
 ):
     """Batched greedy decode over cached attention state, one dispatch total.
 
@@ -99,6 +176,10 @@ def greedy_decode_kv_cache(
         outputs (reference stable-ts escalates temperature on repetitive
         transcripts). Static, so each temperature is its own executable.
       rng_seed: sampling seed (ignored at temperature 0).
+      suppress_tokens: static non-speech/special ids masked every step
+        (a checkpoint's published ``suppress_tokens`` list).
+      timestamp_begin: first timestamp id; when given, the published
+        timestamp decoding rules apply (:func:`apply_timestamp_rules`).
 
     Returns:
       tokens ``(B, max_len)`` with the prefix at the front and generated ids
@@ -143,13 +224,16 @@ def greedy_decode_kv_cache(
         for _ in range(len(align_spec))
     )
     done = jnp.zeros((batch,), dtype=bool)
+    max_ts = jnp.full(
+        (batch,), timestamp_begin if timestamp_begin is not None else 0, dtype=jnp.int32
+    )
 
     def cond(state):
-        position, _, done, _, _, _ = state
+        position, _, done, _, _, _, _ = state
         return jnp.logical_and(position < max_len - 1, ~jnp.all(done))
 
     def body(state):
-        position, tokens, done, self_k, self_v, align = state
+        position, tokens, done, self_k, self_v, align, max_ts = state
         self_k = list(self_k)
         self_v = list(self_v)
         align = list(align)
@@ -191,6 +275,23 @@ def greedy_decode_kv_cache(
 
         x = _layer_norm(params["final_ln"], x, eps)
         logits = jnp.einsum("bqd,vd->bqv", x, params["tok_embed"])[:, 0]
+        logits = logits.astype(jnp.float32)
+        if suppress_tokens:
+            logits = logits.at[:, jnp.asarray(suppress_tokens)].set(_NEG_INF)
+        if timestamp_begin is not None:
+            penultimate = jax.lax.dynamic_index_in_dim(
+                tokens, jnp.maximum(position - 1, 0), axis=1, keepdims=False
+            )
+            logits = apply_timestamp_rules(
+                logits,
+                last_token=token_ids,
+                penultimate_token=penultimate,
+                max_timestamp=max_ts,
+                generated_count=jnp.maximum(position + 1 - prefix_len, 0)
+                * jnp.ones((batch,), dtype=jnp.int32),
+                eot=eot,
+                timestamp_begin=timestamp_begin,
+            )
         if temperature > 0.0:
             step_key = jax.random.fold_in(jax.random.PRNGKey(rng_seed), position)
             next_token = jax.random.categorical(
@@ -202,11 +303,16 @@ def greedy_decode_kv_cache(
         keep = jax.lax.dynamic_index_in_dim(tokens, position + 1, axis=1, keepdims=False)
         write = jnp.where(jnp.logical_and(generating, ~done), next_token, keep)
         tokens = jax.lax.dynamic_update_slice(tokens, write[:, None], (0, position + 1))
+        if timestamp_begin is not None:
+            wrote_ts = jnp.logical_and(
+                jnp.logical_and(generating, ~done), write >= timestamp_begin
+            )
+            max_ts = jnp.where(wrote_ts, jnp.maximum(max_ts, write), max_ts)
         done = jnp.logical_or(done, jnp.logical_and(generating, write == eot))
-        return position + 1, tokens, done, tuple(self_k), tuple(self_v), tuple(align)
+        return position + 1, tokens, done, tuple(self_k), tuple(self_v), tuple(align), max_ts
 
-    state = (jnp.asarray(0, dtype=jnp.int32), tokens, done, self_k, self_v, align)
-    _, tokens, _, _, _, align = jax.lax.while_loop(cond, body, state)
+    state = (jnp.asarray(0, dtype=jnp.int32), tokens, done, self_k, self_v, align, max_ts)
+    _, tokens, _, _, _, align, _ = jax.lax.while_loop(cond, body, state)
 
     generated = tokens[:, prefix_len:]
     is_eot = generated == eot
@@ -286,6 +392,7 @@ def default_alignment_spec(
 
 
 __all__ = [
+    "apply_timestamp_rules",
     "default_alignment_spec",
     "greedy_decode_kv_cache",
     "reduce_alignment_matrix",
