@@ -193,17 +193,34 @@ def greedy_decode_kv_cache(
     max_len = cfg.max_target_positions
     n_heads = cfg.n_heads
     head_dim = cfg.d_model // n_heads
+    d_model = cfg.d_model
     eps = cfg.layer_norm_eps
     cdt = compute_dtype
     n_layers = cfg.decoder_layers
 
     # Cross-attention K/V depend only on encoder states: compute once.
+    # Self-attention Q/K/V kernels concatenate into ONE (d, 3d) matmul per
+    # layer-step: output columns are independent dot products, so the fused
+    # product is bitwise identical to three separate ones, but the loop body
+    # drops two matmul+cast ops per layer — at batch 2 the decode step is
+    # op-overhead-bound (~500 sequential HLO ops), not bandwidth-bound, so
+    # op count is latency (measured via scripts/profile_decode.py).
     cross_k = []
     cross_v = []
+    qkv_fused = []
     for i in range(n_layers):
         lp = params[f"layer_{i}"]["cross"]
         cross_k.append(_split_heads(_dense(lp["k"], encoder_states, cdt), n_heads))
         cross_v.append(_split_heads(_dense(lp["v"], encoder_states, cdt), n_heads))
+        ap = params[f"layer_{i}"]["attn"]
+        kernel = jnp.concatenate(
+            [ap["q"]["kernel"], ap["k"]["kernel"], ap["v"]["kernel"]], axis=1
+        )
+        zero = jnp.zeros((d_model,), dtype=kernel.dtype)
+        bias = jnp.concatenate(
+            [ap["q"].get("bias", zero), ap["k"].get("bias", zero), ap["v"].get("bias", zero)]
+        )
+        qkv_fused.append({"kernel": kernel, "bias": bias})
 
     tokens = jnp.full((batch, max_len), eot, dtype=jnp.int32)
     tokens = tokens.at[:, :prefix_len].set(prefix[None, :prefix_len])
@@ -246,9 +263,10 @@ def greedy_decode_kv_cache(
         for i in range(n_layers):
             lp = params[f"layer_{i}"]
             h = _layer_norm(lp["attn_ln"], x, eps)
-            q = _split_heads(_dense(lp["attn"]["q"], h, cdt), n_heads)
-            k_new = _split_heads(_dense(lp["attn"]["k"], h, cdt), n_heads)
-            v_new = _split_heads(_dense(lp["attn"]["v"], h, cdt), n_heads)
+            qkv = _dense(qkv_fused[i], h, cdt)
+            q = _split_heads(qkv[..., :d_model], n_heads)
+            k_new = _split_heads(qkv[..., d_model : 2 * d_model], n_heads)
+            v_new = _split_heads(qkv[..., 2 * d_model :], n_heads)
             self_k[i] = jax.lax.dynamic_update_slice(
                 self_k[i], k_new, (0, position, 0, 0)
             )
