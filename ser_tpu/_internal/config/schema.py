@@ -258,6 +258,12 @@ class TranscriptionConfig:
     use_vad: bool = field(
         default_factory=lambda: get_profile_catalog()["fast"].transcription_defaults.use_vad
     )
+    # Greedy is the TPU-latency default; "beam" matches the reference quality
+    # lane (its faster-whisper adapter decodes at beam_size=5,
+    # reference transcript/backends/faster_whisper.py:263).
+    decode_strategy: Literal["greedy", "beam"] = "greedy"
+    beam_size: int = 5
+    length_penalty: float = 1.0
     hbm_admission_control_enabled: bool = True
     hbm_admission_min_headroom_mb: float = 256.0
     hbm_admission_safety_margin_mb: float = 256.0

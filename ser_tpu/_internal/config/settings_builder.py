@@ -109,6 +109,19 @@ def build_settings_from_inputs(
         tx_changes["use_demucs"] = inputs.whisper_demucs
     if inputs.whisper_vad is not None:
         tx_changes["use_vad"] = inputs.whisper_vad
+    if inputs.whisper_decode_strategy is not None:
+        if inputs.whisper_decode_strategy not in ("greedy", "beam"):
+            raise ValueError(
+                "WHISPER_DECODE_STRATEGY must be 'greedy' or 'beam', got "
+                f"{inputs.whisper_decode_strategy!r}."
+            )
+        tx_changes["decode_strategy"] = inputs.whisper_decode_strategy
+    if inputs.whisper_beam_size is not None:
+        if not 1 <= inputs.whisper_beam_size <= 16:
+            raise ValueError("WHISPER_BEAM_SIZE must be in [1, 16].")
+        tx_changes["beam_size"] = inputs.whisper_beam_size
+    if inputs.whisper_length_penalty is not None:
+        tx_changes["length_penalty"] = inputs.whisper_length_penalty
     if tx_changes:
         transcription = dataclasses.replace(transcription, **tx_changes)
 

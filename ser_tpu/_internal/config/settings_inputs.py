@@ -118,6 +118,9 @@ class ResolvedSettingsInputs:
     whisper_model: str | None = None
     whisper_demucs: bool | None = None
     whisper_vad: bool | None = None
+    whisper_decode_strategy: str | None = None
+    whisper_beam_size: int | None = None
+    whisper_length_penalty: float | None = None
     # Mesh (TPU-native addition)
     mesh_data_axis_size: int | None = None
     mesh_model_axis_size: int | None = None
@@ -205,6 +208,9 @@ def capture_settings_inputs(env: dict[str, str] | None = None) -> ResolvedSettin
         whisper_model=read_env_str(env, "WHISPER_MODEL"),
         whisper_demucs=read_env_bool(env, "WHISPER_DEMUCS"),
         whisper_vad=read_env_bool(env, "WHISPER_VAD"),
+        whisper_decode_strategy=read_env_str(env, "WHISPER_DECODE_STRATEGY"),
+        whisper_beam_size=read_env_int(env, "WHISPER_BEAM_SIZE"),
+        whisper_length_penalty=read_env_float(env, "WHISPER_LENGTH_PENALTY"),
         mesh_data_axis_size=read_env_int(env, "SER_MESH_DATA_AXIS_SIZE"),
         mesh_model_axis_size=read_env_int(env, "SER_MESH_MODEL_AXIS_SIZE"),
         default_language=read_env_str(env, "SER_DEFAULT_LANGUAGE"),

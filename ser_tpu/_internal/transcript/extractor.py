@@ -36,6 +36,9 @@ class TranscriptionProfile:
     model_name: str
     use_demucs: bool
     use_vad: bool
+    decode_strategy: str = "greedy"
+    beam_size: int = 5
+    length_penalty: float = 1.0
 
 
 def resolve_transcription_profile(
@@ -48,6 +51,9 @@ def resolve_transcription_profile(
         model_name=settings.models.whisper_model.name or defaults.model_name,
         use_demucs=settings.transcription.use_demucs,
         use_vad=settings.transcription.use_vad,
+        decode_strategy=settings.transcription.decode_strategy,
+        beam_size=settings.transcription.beam_size,
+        length_penalty=settings.transcription.length_penalty,
     )
 
 
@@ -64,6 +70,9 @@ def _build_transcriber(resolved: TranscriptionProfile, settings: AppConfig):
         cache_root=settings.models.whisper_download_root,
         use_vad=resolved.use_vad,
         use_demucs=resolved.use_demucs,
+        decode_strategy=resolved.decode_strategy,
+        beam_size=resolved.beam_size,
+        length_penalty=resolved.length_penalty,
     )
 
 

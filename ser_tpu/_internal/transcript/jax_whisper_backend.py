@@ -30,11 +30,17 @@ class JaxWhisperTranscriber:
         cache_root: Path,
         use_vad: bool = True,
         use_demucs: bool = False,
+        decode_strategy: str = "greedy",
+        beam_size: int = 5,
+        length_penalty: float = 1.0,
     ) -> None:
         self._model_name = model_name
         self._cache_root = Path(cache_root)
         self._use_vad = use_vad
         self._use_demucs = use_demucs
+        self._decode_strategy = decode_strategy
+        self._beam_size = beam_size
+        self._length_penalty = length_penalty
         self._model = None
 
     def _assets_dir(self) -> Path | None:
@@ -109,7 +115,11 @@ class JaxWhisperTranscriber:
 
             dtype = "bfloat16" if request is None else request.precision_candidates[0]
             self._model = WhisperForTranscription.from_pretrained_dir(
-                assets, compute_dtype=dtype if dtype in ("bfloat16", "float32") else "float32"
+                assets,
+                compute_dtype=dtype if dtype in ("bfloat16", "float32") else "float32",
+                decode_strategy=self._decode_strategy,
+                beam_size=self._beam_size,
+                length_penalty=self._length_penalty,
             )
 
     def transcribe(self, file_path: str, *, language: str = "en") -> list[TranscriptWord]:

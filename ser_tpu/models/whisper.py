@@ -520,8 +520,14 @@ class WhisperForTranscription:
         word_timestamps: str = "align",
         suppress_tokens: tuple[int, ...] = (),
         apply_timestamp_rules: bool = True,
+        decode_strategy: str = "greedy",
+        beam_size: int = 5,
+        length_penalty: float = 1.0,
     ) -> None:
         from ser_tpu.models.whisper_decode import default_alignment_spec
+
+        if decode_strategy not in ("greedy", "beam"):
+            raise ValueError(f"Unknown decode strategy {decode_strategy!r}")
 
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
         self.config = config
@@ -546,9 +552,20 @@ class WhisperForTranscription:
         self.alignment_heads = tuple(tuple(pair) for pair in alignment_heads)
         self.suppress_tokens = tuple(int(t) for t in suppress_tokens)
         self.apply_timestamp_rules = apply_timestamp_rules
+        self.decode_strategy = decode_strategy
+        self.beam_size = int(beam_size)
+        self.length_penalty = float(length_penalty)
 
     @classmethod
-    def from_pretrained_dir(cls, model_dir, *, compute_dtype: str = "float32"):
+    def from_pretrained_dir(
+        cls,
+        model_dir,
+        *,
+        compute_dtype: str = "float32",
+        decode_strategy: str = "greedy",
+        beam_size: int = 5,
+        length_penalty: float = 1.0,
+    ):
         """Loads config + weights + tokenizer from a local HF checkpoint dir."""
         from transformers import WhisperTokenizer
 
@@ -561,6 +578,9 @@ class WhisperForTranscription:
             compute_dtype=compute_dtype,
             alignment_heads=alignment_heads_from_hf_dir(model_dir),
             suppress_tokens=suppress_tokens_from_hf_dir(model_dir),
+            decode_strategy=decode_strategy,
+            beam_size=beam_size,
+            length_penalty=length_penalty,
         )
 
     def _special(self, token: str) -> int:
@@ -578,15 +598,24 @@ class WhisperForTranscription:
         temperature: float = 0.0,
         rng_seed: int = 0,
     ) -> tuple[list[list[int]], np.ndarray | None]:
-        """KV-cache greedy decode of a batch of 30 s windows.
+        """KV-cache decode (greedy or beam) of a batch of 30 s windows.
 
         Returns per-window emitted token ids and, when alignment capture is
         on, the per-window DTW matrix ``(B, max_len, S)`` — alignment heads
         reduce ON DEVICE (head-average after standardize+medfilt) so only
         the small matrix crosses the host link, not the per-head buffer.
         ``num_frames`` gives each window's audio-covered encoder frames.
+
+        Beam mode (``decode_strategy="beam"``) matches the reference quality
+        lane (faster-whisper decodes at beam_size=5); its alignment comes
+        from a teacher-forced second pass over the winning tokens since the
+        beam loop carries no capture buffers. Temperature retries always
+        sample through the greedy kernel (the ctranslate2 stack likewise
+        switches from beam to sampling above temperature 0).
         """
         from ser_tpu.models.whisper_decode import (
+            alignment_forward,
+            beam_decode_kv_cache,
             greedy_decode_kv_cache,
             reduce_alignment_matrix,
         )
@@ -599,22 +628,49 @@ class WhisperForTranscription:
         align_spec = (
             self.alignment_heads if self.word_timestamps == "align" else ()
         )
-        tokens, lengths, align = greedy_decode_kv_cache(
-            self.decoder_params,
-            self.config,
-            encoder_states,
-            prefix,
-            jnp.asarray(eot, dtype=jnp.int32),
-            prefix_len=self.PREFIX_LEN,
-            align_spec=align_spec,
-            compute_dtype=self.compute_dtype,
-            temperature=temperature,
-            rng_seed=rng_seed,
-            suppress_tokens=self.suppress_tokens,
-            timestamp_begin=(
-                self._special("<|0.00|>") if self.apply_timestamp_rules else None
-            ),
+        timestamp_begin = (
+            self._special("<|0.00|>") if self.apply_timestamp_rules else None
         )
+        use_beam = self.decode_strategy == "beam" and temperature == 0.0
+        if use_beam:
+            tokens, lengths = beam_decode_kv_cache(
+                self.decoder_params,
+                self.config,
+                encoder_states,
+                prefix,
+                jnp.asarray(eot, dtype=jnp.int32),
+                prefix_len=self.PREFIX_LEN,
+                beam_size=self.beam_size,
+                length_penalty=self.length_penalty,
+                compute_dtype=self.compute_dtype,
+                suppress_tokens=self.suppress_tokens,
+                timestamp_begin=timestamp_begin,
+            )
+            align = None
+            if align_spec:
+                align = alignment_forward(
+                    self.decoder_params,
+                    self.config,
+                    encoder_states,
+                    tokens,
+                    align_spec=align_spec,
+                    compute_dtype=self.compute_dtype,
+                )
+        else:
+            tokens, lengths, align = greedy_decode_kv_cache(
+                self.decoder_params,
+                self.config,
+                encoder_states,
+                prefix,
+                jnp.asarray(eot, dtype=jnp.int32),
+                prefix_len=self.PREFIX_LEN,
+                align_spec=align_spec,
+                compute_dtype=self.compute_dtype,
+                temperature=temperature,
+                rng_seed=rng_seed,
+                suppress_tokens=self.suppress_tokens,
+                timestamp_begin=timestamp_begin,
+            )
         matrix = None
         if align_spec:
             matrix = np.asarray(

@@ -133,6 +133,93 @@ def apply_timestamp_rules(
     return jnp.where(force_ts & ~is_ts_col, neg, logits)
 
 
+def _fuse_qkv_params(params: dict, n_layers: int, d_model: int) -> list[dict]:
+    """Concatenated self-attention Q/K/V projections, one (d, 3d) per layer.
+
+    Output columns of a matmul are independent dot products, so the fused
+    product is bitwise identical to three separate projections while
+    dropping two matmul+cast ops from the step body (the decode loop is
+    op-overhead-bound at small batch; measured in scripts/profile_decode.py).
+    """
+    fused = []
+    for i in range(n_layers):
+        ap = params[f"layer_{i}"]["attn"]
+        kernel = jnp.concatenate(
+            [ap["q"]["kernel"], ap["k"]["kernel"], ap["v"]["kernel"]], axis=1
+        )
+        zero = jnp.zeros((d_model,), dtype=kernel.dtype)
+        bias = jnp.concatenate(
+            [ap["q"].get("bias", zero), ap["k"].get("bias", zero), ap["v"].get("bias", zero)]
+        )
+        fused.append({"kernel": kernel, "bias": bias})
+    return fused
+
+
+def _decoder_token_step(
+    params: dict,
+    qkv_fused: list[dict],
+    cross_k: list[jax.Array],
+    cross_v: list[jax.Array],
+    self_k: list[jax.Array],
+    self_v: list[jax.Array],
+    token_ids: jax.Array,
+    position: jax.Array,
+    *,
+    config,
+    compute_dtype,
+    align_spec: tuple[tuple[int, int], ...] = (),
+):
+    """One decoder forward for the token at ``position`` over cached state.
+
+    Shared verbatim by the greedy and beam loops so both decode strategies
+    carry identical numerics. Returns float32 logits ``(rows, V)``, the
+    updated per-layer cache lists, and per-slot alignment rows ``(rows, 1, S)``.
+    """
+    cfg = config
+    cdt = compute_dtype
+    n_heads = cfg.n_heads
+    eps = cfg.layer_norm_eps
+    d_model = cfg.d_model
+    max_len = cfg.max_target_positions
+    rows = token_ids.shape[0]
+
+    self_k = list(self_k)
+    self_v = list(self_v)
+    align_rows: list[jax.Array | None] = [None] * len(align_spec)
+    x = params["tok_embed"][token_ids] + params["pos_embed"][position]
+    x = x[:, None, :]  # (rows, 1, d)
+    key_visible = jnp.arange(max_len) <= position
+    self_bias = jnp.where(key_visible, 0.0, _NEG_INF)[None, None, None, :]
+
+    for i in range(cfg.decoder_layers):
+        lp = params[f"layer_{i}"]
+        h = _layer_norm(lp["attn_ln"], x, eps)
+        qkv = _dense(qkv_fused[i], h, cdt)
+        q = _split_heads(qkv[..., :d_model], n_heads)
+        k_new = _split_heads(qkv[..., d_model : 2 * d_model], n_heads)
+        v_new = _split_heads(qkv[..., 2 * d_model :], n_heads)
+        self_k[i] = jax.lax.dynamic_update_slice(self_k[i], k_new, (0, position, 0, 0))
+        self_v[i] = jax.lax.dynamic_update_slice(self_v[i], v_new, (0, position, 0, 0))
+        out, _ = _attend(q, self_k[i], self_v[i], bias=self_bias, compute_dtype=cdt)
+        x = x + _dense(lp["attn"]["out"], out.reshape(rows, 1, -1), cdt)
+
+        h = _layer_norm(lp["cross_ln"], x, eps)
+        q = _split_heads(_dense(lp["cross"]["q"], h, cdt), n_heads)
+        out, weights = _attend(q, cross_k[i], cross_v[i], bias=None, compute_dtype=cdt)
+        for slot, (layer_index, head_index) in enumerate(align_spec):
+            if layer_index == i:
+                align_rows[slot] = weights[:, head_index, 0][:, None, :]  # (rows,1,S)
+        x = x + _dense(lp["cross"]["out"], out.reshape(rows, 1, -1), cdt)
+
+        h = _layer_norm(lp["mlp_ln"], x, eps)
+        h = jax.nn.gelu(_dense(lp["mlp_in"], h, cdt))
+        x = x + _dense(lp["mlp_out"], h, cdt)
+
+    x = _layer_norm(params["final_ln"], x, eps)
+    logits = jnp.einsum("bqd,vd->bqv", x, params["tok_embed"])[:, 0]
+    return logits.astype(jnp.float32), self_k, self_v, align_rows
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -199,28 +286,16 @@ def greedy_decode_kv_cache(
     n_layers = cfg.decoder_layers
 
     # Cross-attention K/V depend only on encoder states: compute once.
-    # Self-attention Q/K/V kernels concatenate into ONE (d, 3d) matmul per
-    # layer-step: output columns are independent dot products, so the fused
-    # product is bitwise identical to three separate ones, but the loop body
-    # drops two matmul+cast ops per layer — at batch 2 the decode step is
-    # op-overhead-bound (~500 sequential HLO ops), not bandwidth-bound, so
-    # op count is latency (measured via scripts/profile_decode.py).
+    # Self-attention Q/K/V projections fuse per layer (bitwise-identical,
+    # fewer loop-body ops — the step is op-overhead-bound at small batch;
+    # measured in scripts/profile_decode.py).
     cross_k = []
     cross_v = []
-    qkv_fused = []
     for i in range(n_layers):
         lp = params[f"layer_{i}"]["cross"]
         cross_k.append(_split_heads(_dense(lp["k"], encoder_states, cdt), n_heads))
         cross_v.append(_split_heads(_dense(lp["v"], encoder_states, cdt), n_heads))
-        ap = params[f"layer_{i}"]["attn"]
-        kernel = jnp.concatenate(
-            [ap["q"]["kernel"], ap["k"]["kernel"], ap["v"]["kernel"]], axis=1
-        )
-        zero = jnp.zeros((d_model,), dtype=kernel.dtype)
-        bias = jnp.concatenate(
-            [ap["q"].get("bias", zero), ap["k"].get("bias", zero), ap["v"].get("bias", zero)]
-        )
-        qkv_fused.append({"kernel": kernel, "bias": bias})
+    qkv_fused = _fuse_qkv_params(params, n_layers, d_model)
 
     tokens = jnp.full((batch, max_len), eot, dtype=jnp.int32)
     tokens = tokens.at[:, :prefix_len].set(prefix[None, :prefix_len])
@@ -251,49 +326,25 @@ def greedy_decode_kv_cache(
 
     def body(state):
         position, tokens, done, self_k, self_v, align, max_ts = state
-        self_k = list(self_k)
-        self_v = list(self_v)
         align = list(align)
         token_ids = jax.lax.dynamic_index_in_dim(tokens, position, axis=1, keepdims=False)
-        x = params["tok_embed"][token_ids] + params["pos_embed"][position]
-        x = x[:, None, :]  # (B, 1, d)
-        key_visible = jnp.arange(max_len) <= position
-        self_bias = jnp.where(key_visible, 0.0, _NEG_INF)[None, None, None, :]
-
-        for i in range(n_layers):
-            lp = params[f"layer_{i}"]
-            h = _layer_norm(lp["attn_ln"], x, eps)
-            qkv = _dense(qkv_fused[i], h, cdt)
-            q = _split_heads(qkv[..., :d_model], n_heads)
-            k_new = _split_heads(qkv[..., d_model : 2 * d_model], n_heads)
-            v_new = _split_heads(qkv[..., 2 * d_model :], n_heads)
-            self_k[i] = jax.lax.dynamic_update_slice(
-                self_k[i], k_new, (0, position, 0, 0)
+        logits, self_k, self_v, align_rows = _decoder_token_step(
+            params,
+            qkv_fused,
+            cross_k,
+            cross_v,
+            list(self_k),
+            list(self_v),
+            token_ids,
+            position,
+            config=cfg,
+            compute_dtype=cdt,
+            align_spec=align_spec,
+        )
+        for slot, row in enumerate(align_rows):
+            align[slot] = jax.lax.dynamic_update_slice(
+                align[slot], row, (0, position, 0)
             )
-            self_v[i] = jax.lax.dynamic_update_slice(
-                self_v[i], v_new, (0, position, 0, 0)
-            )
-            out, _ = _attend(q, self_k[i], self_v[i], bias=self_bias, compute_dtype=cdt)
-            x = x + _dense(lp["attn"]["out"], out.reshape(batch, 1, -1), cdt)
-
-            h = _layer_norm(lp["cross_ln"], x, eps)
-            q = _split_heads(_dense(lp["cross"]["q"], h, cdt), n_heads)
-            out, weights = _attend(q, cross_k[i], cross_v[i], bias=None, compute_dtype=cdt)
-            for slot, (layer_index, head_index) in enumerate(align_spec):
-                if layer_index == i:
-                    row = weights[:, head_index, 0][:, None, :]  # (B,1,S)
-                    align[slot] = jax.lax.dynamic_update_slice(
-                        align[slot], row, (0, position, 0)
-                    )
-            x = x + _dense(lp["cross"]["out"], out.reshape(batch, 1, -1), cdt)
-
-            h = _layer_norm(lp["mlp_ln"], x, eps)
-            h = jax.nn.gelu(_dense(lp["mlp_in"], h, cdt))
-            x = x + _dense(lp["mlp_out"], h, cdt)
-
-        x = _layer_norm(params["final_ln"], x, eps)
-        logits = jnp.einsum("bqd,vd->bqv", x, params["tok_embed"])[:, 0]
-        logits = logits.astype(jnp.float32)
         if suppress_tokens:
             logits = logits.at[:, jnp.asarray(suppress_tokens)].set(_NEG_INF)
         if timestamp_begin is not None:
@@ -343,6 +394,278 @@ def greedy_decode_kv_cache(
         else jnp.zeros((batch, 0, max_len, enc_len), dtype=jnp.float32)
     )
     return tokens, lengths, align_stacked
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "config",
+        "prefix_len",
+        "beam_size",
+        "length_penalty",
+        "compute_dtype",
+        "suppress_tokens",
+        "timestamp_begin",
+    ),
+)
+def beam_decode_kv_cache(
+    params: dict,
+    config,
+    encoder_states: jax.Array,
+    prefix: jax.Array,
+    eot: jax.Array,
+    *,
+    prefix_len: int,
+    beam_size: int = 5,
+    length_penalty: float = 1.0,
+    compute_dtype=jnp.float32,
+    suppress_tokens: tuple[int, ...] = (),
+    timestamp_begin: int | None = None,
+):
+    """Batched beam-search decode over cached attention state, one dispatch.
+
+    Capability parity with the reference's quality lane: its faster-whisper
+    adapter transcribes with ``beam_size=5`` (reference
+    ``transcript/backends/faster_whisper.py:263``). Beams flatten into the
+    batch row axis (``rows = B*K``) and share the greedy path's
+    ``_decoder_token_step`` verbatim, so per-token numerics match greedy
+    exactly; ``beam_size=1`` therefore reproduces the greedy tokens.
+
+    Per step: token log-probs (after the same suppress/timestamp rules as
+    greedy) add to cumulative beam scores; top-k over the K·V candidates per
+    batch element selects successors, and the self-attention caches gather
+    along the row axis to follow the surviving parents. Finished beams
+    propose only their own continuation (EOT at zero cost). Final selection
+    normalizes by ``length ** length_penalty`` (GNMT-style, the published
+    default of the reference's ctranslate2 stack at 1.0).
+
+    Returns tokens ``(B, max_len)`` and lengths ``(B,)`` of the best beam
+    (same contract as ``greedy_decode_kv_cache`` minus alignment capture —
+    beam word timing runs a teacher-forced :func:`alignment_forward` on the
+    winners afterwards).
+    """
+    cfg = config
+    batch = encoder_states.shape[0]
+    k_beams = beam_size
+    rows = batch * k_beams
+    max_len = cfg.max_target_positions
+    n_heads = cfg.n_heads
+    head_dim = cfg.d_model // n_heads
+    cdt = compute_dtype
+    n_layers = cfg.decoder_layers
+    vocab = cfg.vocab_size
+
+    # Encoder states repeat per beam; cross K/V derive from the repeated rows.
+    states_rows = jnp.repeat(encoder_states, k_beams, axis=0)
+    cross_k = []
+    cross_v = []
+    for i in range(n_layers):
+        lp = params[f"layer_{i}"]["cross"]
+        cross_k.append(_split_heads(_dense(lp["k"], states_rows, cdt), n_heads))
+        cross_v.append(_split_heads(_dense(lp["v"], states_rows, cdt), n_heads))
+    qkv_fused = _fuse_qkv_params(params, n_layers, cfg.d_model)
+
+    tokens = jnp.full((rows, max_len), eot, dtype=jnp.int32)
+    tokens = tokens.at[:, :prefix_len].set(prefix[None, :prefix_len])
+    self_k = tuple(
+        jnp.zeros((rows, max_len, n_heads, head_dim), dtype=cdt)
+        for _ in range(n_layers)
+    )
+    self_v = tuple(
+        jnp.zeros((rows, max_len, n_heads, head_dim), dtype=cdt)
+        for _ in range(n_layers)
+    )
+    # Identical beams must not fill top-k with the same candidate: only beam 0
+    # starts live, the rest at -inf (the standard first-expansion trick).
+    scores = jnp.tile(
+        jnp.asarray([0.0] + [_NEG_INF] * (k_beams - 1), dtype=jnp.float32), batch
+    )
+    finished = jnp.zeros((rows,), dtype=bool)
+    lengths = jnp.zeros((rows,), dtype=jnp.int32)  # emitted tokens per beam
+    max_ts = jnp.full(
+        (rows,), timestamp_begin if timestamp_begin is not None else 0, dtype=jnp.int32
+    )
+
+    def cond(state):
+        position = state[0]
+        finished = state[3]
+        return jnp.logical_and(position < max_len - 1, ~jnp.all(finished))
+
+    def body(state):
+        position, tokens, scores, finished, lengths, self_k, self_v, max_ts = state
+        token_ids = jax.lax.dynamic_index_in_dim(tokens, position, axis=1, keepdims=False)
+        logits, self_k, self_v, _ = _decoder_token_step(
+            params,
+            qkv_fused,
+            cross_k,
+            cross_v,
+            list(self_k),
+            list(self_v),
+            token_ids,
+            position,
+            config=cfg,
+            compute_dtype=cdt,
+        )
+        if suppress_tokens:
+            logits = logits.at[:, jnp.asarray(suppress_tokens)].set(_NEG_INF)
+        if timestamp_begin is not None:
+            penultimate = jax.lax.dynamic_index_in_dim(
+                tokens, jnp.maximum(position - 1, 0), axis=1, keepdims=False
+            )
+            logits = apply_timestamp_rules(
+                logits,
+                last_token=token_ids,
+                penultimate_token=penultimate,
+                max_timestamp=max_ts,
+                generated_count=jnp.maximum(position + 1 - prefix_len, 0)
+                * jnp.ones((rows,), dtype=jnp.int32),
+                eot=eot,
+                timestamp_begin=timestamp_begin,
+            )
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        # Finished beams admit exactly one candidate — themselves: EOT
+        # continuation at zero incremental cost keeps their score comparable.
+        token_is_eot = jnp.arange(vocab)[None, :] == eot
+        logprobs = jnp.where(
+            finished[:, None],
+            jnp.where(token_is_eot, 0.0, _NEG_INF),
+            logprobs,
+        )
+        candidates = scores[:, None] + logprobs  # (rows, V)
+        generating = position + 1 >= prefix_len
+
+        def beam_update():
+            per_batch = candidates.reshape(batch, k_beams * vocab)
+            top_scores, top_idx = jax.lax.top_k(per_batch, k_beams)  # (B, K)
+            parent = top_idx // vocab  # beam index within batch
+            token = (top_idx % vocab).astype(jnp.int32)
+            parent_rows = (
+                parent + jnp.arange(batch, dtype=parent.dtype)[:, None] * k_beams
+            ).reshape(rows)
+            return (
+                top_scores.reshape(rows),
+                parent_rows,
+                token.reshape(rows),
+            )
+
+        def prefix_update():
+            forced = prefix[jnp.minimum(position + 1, prefix_len - 1)]
+            return scores, jnp.arange(rows, dtype=jnp.int32), jnp.full((rows,), forced, jnp.int32)
+
+        new_scores, parent_rows, next_token = jax.lax.cond(
+            generating, beam_update, prefix_update
+        )
+
+        # Reorder every per-beam carry to follow the surviving parents.
+        tokens = jnp.take(tokens, parent_rows, axis=0)
+        finished = jnp.take(finished, parent_rows, axis=0)
+        lengths = jnp.take(lengths, parent_rows, axis=0)
+        max_ts = jnp.take(max_ts, parent_rows, axis=0)
+        self_k = tuple(jnp.take(k, parent_rows, axis=0) for k in self_k)
+        self_v = tuple(jnp.take(v, parent_rows, axis=0) for v in self_v)
+
+        write = jnp.where(finished, eot, next_token)
+        tokens = jax.lax.dynamic_update_slice(tokens, write[:, None], (0, position + 1))
+        emits = jnp.logical_and(generating, ~finished)
+        now_finished = jnp.logical_and(emits, write == eot)
+        lengths = jnp.where(
+            jnp.logical_and(emits, ~now_finished), lengths + 1, lengths
+        )
+        if timestamp_begin is not None:
+            wrote_ts = jnp.logical_and(emits, write >= timestamp_begin)
+            max_ts = jnp.where(wrote_ts, jnp.maximum(max_ts, write), max_ts)
+        finished = jnp.logical_or(finished, now_finished)
+        return (
+            position + 1,
+            tokens,
+            new_scores,
+            finished,
+            lengths,
+            self_k,
+            self_v,
+            max_ts,
+        )
+
+    state = (
+        jnp.asarray(0, dtype=jnp.int32),
+        tokens,
+        scores,
+        finished,
+        lengths,
+        self_k,
+        self_v,
+        max_ts,
+    )
+    _, tokens, scores, finished, lengths, _, _, _ = jax.lax.while_loop(cond, body, state)
+
+    norm = jnp.maximum(lengths.astype(jnp.float32), 1.0) ** length_penalty
+    final = (scores / norm).reshape(batch, k_beams)
+    best = jnp.argmax(final, axis=1)
+    row_index = jnp.arange(batch) * k_beams + best
+    return jnp.take(tokens, row_index, axis=0), jnp.take(lengths, row_index, axis=0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "align_spec", "compute_dtype"),
+)
+def alignment_forward(
+    params: dict,
+    config,
+    encoder_states: jax.Array,
+    tokens: jax.Array,
+    *,
+    align_spec: tuple[tuple[int, int], ...],
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Teacher-forced cross-attention capture over decoded tokens, one pass.
+
+    The beam loop cannot afford per-beam alignment buffers, so beam word
+    timing re-runs the decoder ONCE over the winning token rows with full
+    causal attention and records the alignment heads' cross-attention — the
+    same second teacher-forced pass the reference's torch stacks use for
+    word timestamps (stable-ts semantics). Greedy keeps its free in-loop
+    capture.
+
+    Returns ``(B, n_align, L, S)`` float32 probabilities over the full
+    padded token axis (rows past a sequence's length attend to padding and
+    are masked later by ``reduce_alignment_matrix``).
+    """
+    cfg = config
+    cdt = compute_dtype
+    n_heads = cfg.n_heads
+    eps = cfg.layer_norm_eps
+    batch, seq_len = tokens.shape
+
+    x = params["tok_embed"][tokens] + params["pos_embed"][None, :seq_len]
+    causal = jnp.tril(jnp.ones((seq_len, seq_len), dtype=bool))
+    self_bias = jnp.where(causal, 0.0, _NEG_INF)[None, None, :, :]
+
+    captured: list[jax.Array | None] = [None] * len(align_spec)
+    for i in range(cfg.decoder_layers):
+        lp = params[f"layer_{i}"]
+        h = _layer_norm(lp["attn_ln"], x, eps)
+        q = _split_heads(_dense(lp["attn"]["q"], h, cdt), n_heads)
+        k = _split_heads(_dense(lp["attn"]["k"], h, cdt), n_heads)
+        v = _split_heads(_dense(lp["attn"]["v"], h, cdt), n_heads)
+        out, _ = _attend(q, k, v, bias=self_bias, compute_dtype=cdt)
+        x = x + _dense(lp["attn"]["out"], out.reshape(batch, seq_len, -1), cdt)
+
+        h = _layer_norm(lp["cross_ln"], x, eps)
+        q = _split_heads(_dense(lp["cross"]["q"], h, cdt), n_heads)
+        ck = _split_heads(_dense(lp["cross"]["k"], encoder_states, cdt), n_heads)
+        cv = _split_heads(_dense(lp["cross"]["v"], encoder_states, cdt), n_heads)
+        out, weights = _attend(q, ck, cv, bias=None, compute_dtype=cdt)
+        for slot, (layer_index, head_index) in enumerate(align_spec):
+            if layer_index == i:
+                captured[slot] = weights[:, head_index].astype(jnp.float32)
+        x = x + _dense(lp["cross"]["out"], out.reshape(batch, seq_len, -1), cdt)
+
+        h = _layer_norm(lp["mlp_ln"], x, eps)
+        h = jax.nn.gelu(_dense(lp["mlp_in"], h, cdt))
+        x = x + _dense(lp["mlp_out"], h, cdt)
+
+    return jnp.stack(captured, axis=1)
 
 
 @partial(jax.jit, static_argnames=("prefix_len", "medfilt_width"))
@@ -410,7 +733,9 @@ def default_alignment_spec(
 
 
 __all__ = [
+    "alignment_forward",
     "apply_timestamp_rules",
+    "beam_decode_kv_cache",
     "default_alignment_spec",
     "greedy_decode_kv_cache",
     "reduce_alignment_matrix",

@@ -305,3 +305,162 @@ def test_sampled_decode_runs_and_differs_from_greedy():
     assert not np.array_equal(
         np.asarray(greedy[0, 3 : 3 + n]), np.asarray(sampled[0, 3 : 3 + n])
     )
+
+
+def _tiny_decode_fixture(seed_states=3, seed_params=1, batch=1):
+    import jax
+    import jax.numpy as jnp
+
+    config = whisper_model.WhisperConfig.tiny()
+    decoder = whisper_model.WhisperDecoder(config)
+    states = jax.random.normal(
+        jax.random.PRNGKey(seed_states),
+        (batch, whisper_model.CHUNK_FRAMES // 2, config.d_model),
+        dtype=jnp.float32,
+    )
+    params = decoder.init(
+        jax.random.PRNGKey(seed_params),
+        np.zeros((1, config.max_target_positions), np.int32),
+        states[:1],
+    )["params"]
+    prefix = jnp.asarray([200, 202, 203], dtype=jnp.int32)
+    return config, decoder, params, states, prefix
+
+
+def _teacher_forced_logprob(decoder, params, states, tokens, n_emitted, prefix_len):
+    """Sum of per-token log-probs of the emitted ids under the model."""
+    import jax
+
+    row = np.asarray(tokens)[None, 0] if tokens.ndim == 1 else np.asarray(tokens[:1])
+    logits = decoder.apply({"params": params}, row, states[:1])
+    logprobs = np.asarray(jax.nn.log_softmax(np.asarray(logits, dtype=np.float64), axis=-1))
+    total = 0.0
+    for step in range(n_emitted):
+        position = prefix_len + step  # token at `position` predicted from position-1
+        total += logprobs[0, position - 1, row[0, position]]
+    return total
+
+
+def test_beam_size_one_matches_greedy():
+    """A single-beam search is greedy decoding by construction."""
+    import jax.numpy as jnp
+
+    from ser_tpu.models.whisper_decode import beam_decode_kv_cache, greedy_decode_kv_cache
+
+    config, _, params, states, prefix = _tiny_decode_fixture()
+    eot = jnp.asarray(201, dtype=jnp.int32)
+    greedy, g_len, _ = greedy_decode_kv_cache(
+        params, config, states, prefix, eot, prefix_len=3
+    )
+    beam, b_len = beam_decode_kv_cache(
+        params, config, states, prefix, eot, prefix_len=3, beam_size=1
+    )
+    n = int(g_len[0])
+    assert int(b_len[0]) == n
+    assert np.array_equal(np.asarray(beam[0, 3 : 3 + n]), np.asarray(greedy[0, 3 : 3 + n]))
+
+
+def test_beam_search_scores_at_least_greedy():
+    """Beam-5's winner must score >= the greedy sequence under the model."""
+    import jax.numpy as jnp
+
+    from ser_tpu.models.whisper_decode import beam_decode_kv_cache, greedy_decode_kv_cache
+
+    config, decoder, params, states, prefix = _tiny_decode_fixture(seed_states=5)
+    eot = jnp.asarray(201, dtype=jnp.int32)
+    greedy, g_len, _ = greedy_decode_kv_cache(
+        params, config, states, prefix, eot, prefix_len=3
+    )
+    beam, b_len = beam_decode_kv_cache(
+        params, config, states, prefix, eot, prefix_len=3, beam_size=5
+    )
+    g_score = _teacher_forced_logprob(decoder, params, states, greedy, int(g_len[0]), 3)
+    b_score = _teacher_forced_logprob(decoder, params, states, beam, int(b_len[0]), 3)
+    # length_penalty=1.0 compares mean-ish normalized scores; with random
+    # weights neither sequence ends early, so lengths match and the raw sums
+    # are directly comparable.
+    assert int(b_len[0]) == int(g_len[0])
+    assert b_score >= g_score - 1e-4
+
+
+def test_beam_decode_batch_rows_and_eot_padding():
+    """Rows decode independently; positions past each length are EOT."""
+    import jax.numpy as jnp
+
+    from ser_tpu.models.whisper_decode import beam_decode_kv_cache
+
+    config, _, params, states, prefix = _tiny_decode_fixture(seed_states=9, batch=2)
+    eot = jnp.asarray(201, dtype=jnp.int32)
+    tokens, lengths = beam_decode_kv_cache(
+        params, config, states, prefix, eot, prefix_len=3, beam_size=3
+    )
+    assert tokens.shape[0] == 2
+    toks = np.asarray(tokens)
+    for row in range(2):
+        n = int(lengths[row])
+        tail = toks[row, 3 + n :]
+        assert (tail == 201).all() or n == config.max_target_positions - 3 - 1
+    # Different encoder states -> different streams (independence check).
+    n = min(int(lengths[0]), int(lengths[1]))
+    assert not np.array_equal(toks[0, 3 : 3 + n], toks[1, 3 : 3 + n])
+
+
+def test_alignment_forward_matches_loop_capture():
+    """Teacher-forced capture equals the greedy loop's in-flight capture."""
+    import jax.numpy as jnp
+
+    from ser_tpu.models.whisper_decode import alignment_forward, greedy_decode_kv_cache
+
+    config, _, params, states, prefix = _tiny_decode_fixture(seed_states=13)
+    eot = jnp.asarray(201, dtype=jnp.int32)
+    spec = ((1, 0), (1, 2))
+    tokens, lengths, loop_align = greedy_decode_kv_cache(
+        params, config, states, prefix, eot, prefix_len=3, align_spec=spec
+    )
+    forced = np.asarray(
+        alignment_forward(params, config, states, tokens, align_spec=spec)
+    )
+    # The loop writes capture rows only for positions it processes
+    # (0..max_len-2); the final row exists solely in the teacher-forced pass.
+    n_rows = min(3 + int(lengths[0]), config.max_target_positions - 1)
+    got = forced[0, :, :n_rows, :]
+    want = np.asarray(loop_align)[0, :, :n_rows, :]
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+def test_transcribe_words_beam_mode_end_to_end():
+    """Beam-mode transcription produces structurally valid words."""
+    import jax
+
+    config = whisper_model.WhisperConfig.tiny()
+    encoder_params = whisper_model.init_whisper_encoder_params(config, seed=0)
+    decoder = whisper_model.WhisperDecoder(config)
+    tokens = np.zeros((1, config.max_target_positions), dtype=np.int32)
+    states = np.zeros(
+        (1, whisper_model.CHUNK_FRAMES // 2, config.d_model), dtype=np.float32
+    )
+    decoder_params = decoder.init(jax.random.PRNGKey(0), tokens, states)["params"]
+    model = whisper_model.WhisperForTranscription(
+        config,
+        encoder_params,
+        decoder_params,
+        FakeTokenizer(),
+        decode_strategy="beam",
+        beam_size=2,
+    )
+    model.RETRY_TEMPERATURES = ()
+    rng = np.random.default_rng(1)
+    audio = (0.2 * rng.standard_normal(16000)).astype(np.float32)
+    words = model.transcribe_words(audio, language="en", use_vad=False)
+    for word in words:
+        assert word.end_seconds > word.start_seconds
+    starts = [w.start_seconds for w in words]
+    assert starts == sorted(starts)
+
+
+def test_unknown_decode_strategy_rejected():
+    config = whisper_model.WhisperConfig.tiny()
+    with pytest.raises(ValueError, match="decode strategy"):
+        whisper_model.WhisperForTranscription(
+            config, {}, {}, FakeTokenizer(), decode_strategy="mcts"
+        )

@@ -74,3 +74,42 @@ def test_artifact_names_are_profile_and_model_scoped():
     assert medium_a[0].startswith("ser_model_medium_")
     research = profile_artifact_file_names(profile="accurate-research")
     assert research[0].startswith("ser_model_accurate_research_")
+
+
+def test_env_capture_whisper_decode_strategy():
+    env = {
+        "WHISPER_DECODE_STRATEGY": "beam",
+        "WHISPER_BEAM_SIZE": "4",
+        "WHISPER_LENGTH_PENALTY": "0.8",
+    }
+    settings = build_settings_from_inputs(capture_settings_inputs(env=env))
+    assert settings.transcription.decode_strategy == "beam"
+    assert settings.transcription.beam_size == 4
+    assert settings.transcription.length_penalty == 0.8
+    # Default stays the TPU-latency greedy path.
+    default = build_settings_from_inputs(capture_settings_inputs(env={}))
+    assert default.transcription.decode_strategy == "greedy"
+    assert default.transcription.beam_size == 5
+
+
+def test_env_whisper_decode_strategy_validation():
+    with pytest.raises(ValueError, match="WHISPER_DECODE_STRATEGY"):
+        build_settings_from_inputs(
+            capture_settings_inputs(env={"WHISPER_DECODE_STRATEGY": "mcts"})
+        )
+    with pytest.raises(ValueError, match="WHISPER_BEAM_SIZE"):
+        build_settings_from_inputs(
+            capture_settings_inputs(env={"WHISPER_BEAM_SIZE": "0"})
+        )
+
+
+def test_transcription_profile_carries_beam_settings():
+    from ser_tpu._internal.transcript.extractor import resolve_transcription_profile
+
+    settings = build_settings_from_inputs(
+        capture_settings_inputs(env={"WHISPER_DECODE_STRATEGY": "beam", "WHISPER_BEAM_SIZE": "2"})
+    )
+    resolved = resolve_transcription_profile("fast", settings)
+    assert resolved.decode_strategy == "beam"
+    assert resolved.beam_size == 2
+    assert resolved.length_penalty == 1.0
