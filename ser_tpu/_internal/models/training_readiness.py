@@ -406,10 +406,31 @@ def _smoke_deadline(seconds: float):
         signal.signal(signal.SIGALRM, previous)
 
 
+def _smoke_default_timeout() -> float:
+    """Platform-aware smoke deadline default.
+
+    The deadline exists to catch hangs (reference semantics), but on an
+    accelerator the smoke's FIRST encode includes XLA compilation — on a
+    remote-attached chip that alone can exceed two minutes, which made the
+    120 s CPU default fail `ser --train` out of the box. Accelerator
+    platforms therefore get 420 s; `SER_TRAINING_SMOKE_TIMEOUT_SECONDS`
+    still overrides either way.
+    """
+    try:
+        import jax
+
+        on_accelerator = jax.default_backend() != "cpu"
+    except Exception:  # noqa: BLE001 - readiness must not require a backend
+        on_accelerator = False
+    return 420.0 if on_accelerator else 120.0
+
+
 def _smoke_timeout_seconds() -> float:
     import os
 
-    raw = os.environ.get("SER_TRAINING_SMOKE_TIMEOUT_SECONDS", "120")
+    raw = os.environ.get("SER_TRAINING_SMOKE_TIMEOUT_SECONDS")
+    if raw is None:
+        return _smoke_default_timeout()
     try:
         seconds = float(raw)
     except ValueError as err:
@@ -481,7 +502,9 @@ def run_backend_smoke(
                 FindingScope.RESOURCE,
                 FindingSeverity.BLOCKING,
                 "backend_smoke_timeout",
-                f"{profile} backend smoke on {probe}: {err}",
+                f"{profile} backend smoke on {probe}: {err} "
+                "(first-compile latency counts toward the deadline; raise "
+                "SER_TRAINING_SMOKE_TIMEOUT_SECONDS if the platform compiles slowly)",
             )
         ]
     except Exception as err:  # noqa: BLE001 - any smoke defect blocks training

@@ -230,6 +230,20 @@ def test_backend_smoke_invalid_timeout_env(tmp_path, monkeypatch):
     assert findings[0].reason == "smoke_timeout_invalid"
 
 
+def test_smoke_timeout_default_is_platform_aware(monkeypatch):
+    """CPU keeps the reference-style 120 s; accelerators absorb first-compile."""
+    monkeypatch.delenv("SER_TRAINING_SMOKE_TIMEOUT_SECONDS", raising=False)
+    assert tr._smoke_timeout_seconds() == 120.0  # tests force the CPU platform
+
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert tr._smoke_timeout_seconds() == 420.0
+    # An explicit override beats the platform default either way.
+    monkeypatch.setenv("SER_TRAINING_SMOKE_TIMEOUT_SECONDS", "60")
+    assert tr._smoke_timeout_seconds() == 60.0
+
+
 def test_backend_smoke_failure_is_blocking(tmp_path, monkeypatch):
     _make_corpus(tmp_path)
     settings = _settings(tmp_path)
