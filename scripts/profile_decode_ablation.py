@@ -58,15 +58,9 @@ def main() -> int:
 
     @partial(jax.jit, static_argnames=("skip",))
     def ablated_decode(params, encoder_states, skip=()):
-        cross_k, cross_v = [], []
-        for i in range(cfg.decoder_layers):
-            lp = params[f"layer_{i}"]["cross"]
-            cross_k.append(
-                wd._split_heads(wd._dense(lp["k"], encoder_states, cdt), n_heads)
-            )
-            cross_v.append(
-                wd._split_heads(wd._dense(lp["v"], encoder_states, cdt), n_heads)
-            )
+        cross_k, cross_v = wd._precompute_cross_kv(
+            params, encoder_states, cfg.decoder_layers, n_heads, cdt
+        )
         qkv_fused = wd._fuse_qkv_params(params, cfg.decoder_layers, d_model)
 
         tokens = jnp.zeros((batch, max_len), dtype=jnp.int32)
@@ -106,7 +100,9 @@ def main() -> int:
                 if "cross" not in skip:
                     h = norm(lp["cross_ln"], x)
                     q = wd._split_heads(wd._dense(lp["cross"]["q"], h, cdt), n_heads)
-                    out, _ = wd._attend(q, cross_k[i], cross_v[i], bias=None, compute_dtype=cdt)
+                    out, _ = wd._attend_cross_step(
+                        q, cross_k[i], cross_v[i], compute_dtype=cdt
+                    )
                     x = x + wd._dense(lp["cross"]["out"], out.reshape(batch, 1, -1), cdt)
                 if "mlp" not in skip:
                     h = norm(lp["mlp_ln"], x)

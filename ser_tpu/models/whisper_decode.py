@@ -133,6 +133,65 @@ def apply_timestamp_rules(
     return jnp.where(force_ts & ~is_ts_col, neg, logits)
 
 
+def _precompute_cross_kv(
+    params: dict, encoder_states: jax.Array, n_layers: int, n_heads: int, cdt
+) -> tuple[list[jax.Array], list[jax.Array]]:
+    """Per-layer cross-attention K/V in decode-friendly layouts, once per call.
+
+    K stores as ``(B, H, Dh, S)`` and V as ``(B, H, S, Dh)`` so each decode
+    step contracts them directly — with the natural ``(B, S, H, Dh)`` layout
+    XLA re-transposed K and V inside the loop EVERY step (~0.5 GB of shuffle
+    traffic per token at large-v3 dims; the one-time transpose here is 15 MB
+    per layer). Measured via scripts/profile_decode_ablation.py.
+    """
+    cross_k, cross_v = [], []
+    for i in range(n_layers):
+        lp = params[f"layer_{i}"]["cross"]
+        k = _split_heads(_dense(lp["k"], encoder_states, cdt), n_heads)
+        v = _split_heads(_dense(lp["v"], encoder_states, cdt), n_heads)
+        cross_k.append(jnp.transpose(k, (0, 2, 3, 1)))  # (B, H, Dh, S)
+        cross_v.append(jnp.transpose(v, (0, 2, 1, 3)))  # (B, H, S, Dh)
+    return cross_k, cross_v
+
+
+def _attend_self_step(q, k_t, v_hs, *, bias_row, compute_dtype):
+    """Single-query causal self-attention over the pre-transposed cache.
+
+    ``q``: (rows, 1, H, Dh); ``k_t``: (rows, H, Dh, Smax); ``v_hs``:
+    (rows, H, Smax, Dh); ``bias_row``: (Smax,) additive mask. Same
+    contractions/precision as :func:`_attend`, cache layouts chosen so the
+    step contracts without per-step transposition.
+    """
+    head_dim = q.shape[-1]
+    qh = q[:, 0]
+    scores = jnp.einsum("bhd,bhds->bhs", qh, k_t) / jnp.sqrt(
+        jnp.asarray(head_dim, dtype=compute_dtype)
+    )
+    scores = scores + bias_row[None, None, :].astype(scores.dtype)
+    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhs,bhsd->bhd", weights.astype(compute_dtype), v_hs)
+    return out
+
+
+def _attend_cross_step(q, k_t, v_hs, *, compute_dtype):
+    """Single-query cross-attention over pre-transposed K/V.
+
+    ``q``: (rows, 1, H, Dh); ``k_t``: (rows, H, Dh, S); ``v_hs``:
+    (rows, H, S, Dh). Same contractions as :func:`_attend` (scores over Dh,
+    value-sum over S, f32 softmax) on layouts that need no per-step
+    transposition. Returns out (rows, 1, H·Dh-reshapable) and f32 weights
+    (rows, H, S).
+    """
+    head_dim = q.shape[-1]
+    qh = q[:, 0]  # (rows, H, Dh)
+    scores = jnp.einsum("bhd,bhds->bhs", qh, k_t) / jnp.sqrt(
+        jnp.asarray(head_dim, dtype=compute_dtype)
+    )
+    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhs,bhsd->bhd", weights.astype(compute_dtype), v_hs)
+    return out, weights
+
+
 def _fuse_qkv_params(params: dict, n_layers: int, d_model: int) -> list[dict]:
     """Concatenated self-attention Q/K/V projections, one (d, 3d) per layer.
 
@@ -189,7 +248,7 @@ def _decoder_token_step(
     x = params["tok_embed"][token_ids] + params["pos_embed"][position]
     x = x[:, None, :]  # (rows, 1, d)
     key_visible = jnp.arange(max_len) <= position
-    self_bias = jnp.where(key_visible, 0.0, _NEG_INF)[None, None, None, :]
+    self_bias_row = jnp.where(key_visible, 0.0, _NEG_INF)
 
     for i in range(cfg.decoder_layers):
         lp = params[f"layer_{i}"]
@@ -198,17 +257,26 @@ def _decoder_token_step(
         q = _split_heads(qkv[..., :d_model], n_heads)
         k_new = _split_heads(qkv[..., d_model : 2 * d_model], n_heads)
         v_new = _split_heads(qkv[..., 2 * d_model :], n_heads)
-        self_k[i] = jax.lax.dynamic_update_slice(self_k[i], k_new, (0, position, 0, 0))
-        self_v[i] = jax.lax.dynamic_update_slice(self_v[i], v_new, (0, position, 0, 0))
-        out, _ = _attend(q, self_k[i], self_v[i], bias=self_bias, compute_dtype=cdt)
+        # Caches hold K as (rows, H, Dh, Smax) and V as (rows, H, Smax, Dh);
+        # the new column/row insertions move only size-1 axes (free), and the
+        # attend contracts with no per-step cache transposition.
+        self_k[i] = jax.lax.dynamic_update_slice(
+            self_k[i], k_new[:, 0][..., None], (0, 0, 0, position)
+        )
+        self_v[i] = jax.lax.dynamic_update_slice(
+            self_v[i], jnp.swapaxes(v_new, 1, 2), (0, 0, position, 0)
+        )
+        out = _attend_self_step(
+            q, self_k[i], self_v[i], bias_row=self_bias_row, compute_dtype=cdt
+        )
         x = x + _dense(lp["attn"]["out"], out.reshape(rows, 1, -1), cdt)
 
         h = _layer_norm(lp["cross_ln"], x, eps)
         q = _split_heads(_dense(lp["cross"]["q"], h, cdt), n_heads)
-        out, weights = _attend(q, cross_k[i], cross_v[i], bias=None, compute_dtype=cdt)
+        out, weights = _attend_cross_step(q, cross_k[i], cross_v[i], compute_dtype=cdt)
         for slot, (layer_index, head_index) in enumerate(align_spec):
             if layer_index == i:
-                align_rows[slot] = weights[:, head_index, 0][:, None, :]  # (rows,1,S)
+                align_rows[slot] = weights[:, head_index][:, None, :]  # (rows,1,S)
         x = x + _dense(lp["cross"]["out"], out.reshape(rows, 1, -1), cdt)
 
         h = _layer_norm(lp["mlp_ln"], x, eps)
@@ -285,16 +353,11 @@ def greedy_decode_kv_cache(
     cdt = compute_dtype
     n_layers = cfg.decoder_layers
 
-    # Cross-attention K/V depend only on encoder states: compute once.
-    # Self-attention Q/K/V projections fuse per layer (bitwise-identical,
-    # fewer loop-body ops — the step is op-overhead-bound at small batch;
-    # measured in scripts/profile_decode.py).
-    cross_k = []
-    cross_v = []
-    for i in range(n_layers):
-        lp = params[f"layer_{i}"]["cross"]
-        cross_k.append(_split_heads(_dense(lp["k"], encoder_states, cdt), n_heads))
-        cross_v.append(_split_heads(_dense(lp["v"], encoder_states, cdt), n_heads))
+    # Cross-attention K/V depend only on encoder states: compute once, in
+    # decode-friendly layouts. Self-attention Q/K/V projections fuse per
+    # layer (bitwise-identical, fewer loop-body ops — the step is
+    # op-overhead-bound at small batch; measured in scripts/profile_decode.py).
+    cross_k, cross_v = _precompute_cross_kv(params, encoder_states, n_layers, n_heads, cdt)
     qkv_fused = _fuse_qkv_params(params, n_layers, d_model)
 
     tokens = jnp.full((batch, max_len), eot, dtype=jnp.int32)
@@ -303,12 +366,14 @@ def greedy_decode_kv_cache(
     # each step's dynamic_update_slice then rewrites only its own buffer,
     # which XLA aliases in place; a stacked (layers, ...) tensor measured as
     # a full copy per layer-write on TPU (~GBs of HBM traffic per token).
+    # Layouts: K (rows, H, Dh, Smax) / V (rows, H, Smax, Dh) — see
+    # _attend_self_step.
     self_k = tuple(
-        jnp.zeros((batch, max_len, n_heads, head_dim), dtype=cdt)
+        jnp.zeros((batch, n_heads, head_dim, max_len), dtype=cdt)
         for _ in range(n_layers)
     )
     self_v = tuple(
-        jnp.zeros((batch, max_len, n_heads, head_dim), dtype=cdt)
+        jnp.zeros((batch, n_heads, max_len, head_dim), dtype=cdt)
         for _ in range(n_layers)
     )
     align = tuple(
@@ -457,22 +522,17 @@ def beam_decode_kv_cache(
 
     # Encoder states repeat per beam; cross K/V derive from the repeated rows.
     states_rows = jnp.repeat(encoder_states, k_beams, axis=0)
-    cross_k = []
-    cross_v = []
-    for i in range(n_layers):
-        lp = params[f"layer_{i}"]["cross"]
-        cross_k.append(_split_heads(_dense(lp["k"], states_rows, cdt), n_heads))
-        cross_v.append(_split_heads(_dense(lp["v"], states_rows, cdt), n_heads))
+    cross_k, cross_v = _precompute_cross_kv(params, states_rows, n_layers, n_heads, cdt)
     qkv_fused = _fuse_qkv_params(params, n_layers, cfg.d_model)
 
     tokens = jnp.full((rows, max_len), eot, dtype=jnp.int32)
     tokens = tokens.at[:, :prefix_len].set(prefix[None, :prefix_len])
     self_k = tuple(
-        jnp.zeros((rows, max_len, n_heads, head_dim), dtype=cdt)
+        jnp.zeros((rows, n_heads, head_dim, max_len), dtype=cdt)
         for _ in range(n_layers)
     )
     self_v = tuple(
-        jnp.zeros((rows, max_len, n_heads, head_dim), dtype=cdt)
+        jnp.zeros((rows, n_heads, max_len, head_dim), dtype=cdt)
         for _ in range(n_layers)
     )
     # Identical beams must not fill top-k with the same candidate: only beam 0
