@@ -464,3 +464,35 @@ def test_unknown_decode_strategy_rejected():
         whisper_model.WhisperForTranscription(
             config, {}, {}, FakeTokenizer(), decode_strategy="mcts"
         )
+
+
+def test_beam_decode_with_timestamp_rules_and_suppression():
+    """Rules + suppression compose with beam bookkeeping (non-decreasing
+    stamps, suppressed ids never emitted, EOT padding intact)."""
+    import jax.numpy as jnp
+
+    from ser_tpu.models.whisper_decode import beam_decode_kv_cache
+
+    config, _, params, states, prefix = _tiny_decode_fixture(seed_states=21)
+    eot = jnp.asarray(201, dtype=jnp.int32)
+    ts_begin = 210
+    suppressed = (5, 6, 7)
+    tokens, lengths = beam_decode_kv_cache(
+        params,
+        config,
+        states,
+        prefix,
+        eot,
+        prefix_len=3,
+        beam_size=3,
+        suppress_tokens=suppressed,
+        timestamp_begin=ts_begin,
+    )
+    toks = np.asarray(tokens)[0, 3 : 3 + int(lengths[0])].tolist()
+    assert toks, "beam decode emitted nothing"
+    assert not set(toks) & set(suppressed)
+    stamps = [t for t in toks if t >= ts_begin]
+    assert stamps == sorted(stamps)
+    # Rule 4: the first generated token must be an early timestamp.
+    assert toks[0] >= ts_begin
+    assert toks[0] <= ts_begin + 50
