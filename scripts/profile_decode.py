@@ -30,12 +30,7 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from ser_tpu.models.whisper import (
-        CHUNK_FRAMES,
-        WhisperConfig,
-        WhisperDecoder,
-        init_whisper_encoder_params,
-    )
+    from ser_tpu.models.whisper import CHUNK_FRAMES, WhisperConfig, WhisperDecoder
     from ser_tpu.models.whisper_decode import (
         default_alignment_spec,
         greedy_decode_kv_cache,

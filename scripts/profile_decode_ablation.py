@@ -64,12 +64,13 @@ def main() -> int:
         qkv_fused = wd._fuse_qkv_params(params, cfg.decoder_layers, d_model)
 
         tokens = jnp.zeros((batch, max_len), dtype=jnp.int32)
+        # Shipped cache layouts: K (B, H, Dh, Smax) / V (B, H, Smax, Dh).
         self_k = tuple(
-            jnp.zeros((batch, max_len, n_heads, head_dim), dtype=cdt)
+            jnp.zeros((batch, n_heads, head_dim, max_len), dtype=cdt)
             for _ in range(cfg.decoder_layers)
         )
         self_v = tuple(
-            jnp.zeros((batch, max_len, n_heads, head_dim), dtype=cdt)
+            jnp.zeros((batch, n_heads, max_len, head_dim), dtype=cdt)
             for _ in range(cfg.decoder_layers)
         )
 
@@ -83,7 +84,7 @@ def main() -> int:
             x = params["tok_embed"][token_ids] + params["pos_embed"][position]
             x = x[:, None, :]
             key_visible = jnp.arange(max_len) <= position
-            self_bias = jnp.where(key_visible, 0.0, wd._NEG_INF)[None, None, None, :]
+            self_bias_row = jnp.where(key_visible, 0.0, wd._NEG_INF)
 
             for i in range(cfg.decoder_layers):
                 lp = params[f"layer_{i}"]
@@ -93,9 +94,15 @@ def main() -> int:
                     q = wd._split_heads(qkv[..., :d_model], n_heads)
                     k_new = wd._split_heads(qkv[..., d_model : 2 * d_model], n_heads)
                     v_new = wd._split_heads(qkv[..., 2 * d_model :], n_heads)
-                    self_k[i] = jax.lax.dynamic_update_slice(self_k[i], k_new, (0, position, 0, 0))
-                    self_v[i] = jax.lax.dynamic_update_slice(self_v[i], v_new, (0, position, 0, 0))
-                    out, _ = wd._attend(q, self_k[i], self_v[i], bias=self_bias, compute_dtype=cdt)
+                    self_k[i] = jax.lax.dynamic_update_slice(
+                        self_k[i], k_new[:, 0][..., None], (0, 0, 0, position)
+                    )
+                    self_v[i] = jax.lax.dynamic_update_slice(
+                        self_v[i], jnp.swapaxes(v_new, 1, 2), (0, 0, position, 0)
+                    )
+                    out = wd._attend_self_step(
+                        q, self_k[i], self_v[i], bias_row=self_bias_row, compute_dtype=cdt
+                    )
                     x = x + wd._dense(lp["attn"]["out"], out.reshape(batch, 1, -1), cdt)
                 if "cross" not in skip:
                     h = norm(lp["cross_ln"], x)

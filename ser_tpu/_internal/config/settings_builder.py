@@ -8,6 +8,7 @@ Parity surface: reference ``ser/_internal/config/settings_builder.py:16-27``
 from __future__ import annotations
 
 import dataclasses
+import math
 from collections.abc import Mapping
 from types import MappingProxyType
 
@@ -121,7 +122,13 @@ def build_settings_from_inputs(
             raise ValueError("WHISPER_BEAM_SIZE must be in [1, 16].")
         tx_changes["beam_size"] = inputs.whisper_beam_size
     if inputs.whisper_length_penalty is not None:
-        tx_changes["length_penalty"] = inputs.whisper_length_penalty
+        penalty = inputs.whisper_length_penalty
+        # Negative penalties invert length normalization (the shortest
+        # hypothesis would always win) and non-finite values poison every
+        # beam score — reject rather than silently degrade transcripts.
+        if not math.isfinite(penalty) or not 0.0 <= penalty <= 5.0:
+            raise ValueError("WHISPER_LENGTH_PENALTY must be finite and in [0, 5].")
+        tx_changes["length_penalty"] = penalty
     if tx_changes:
         transcription = dataclasses.replace(transcription, **tx_changes)
 

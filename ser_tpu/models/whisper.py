@@ -549,7 +549,27 @@ class WhisperForTranscription:
             alignment_heads = default_alignment_spec(
                 config.decoder_layers, config.n_heads
             )
-        self.alignment_heads = tuple(tuple(pair) for pair in alignment_heads)
+        # Checkpoint metadata is untrusted: a generation_config.json from a
+        # different model size can name heads this decoder does not have.
+        # Out-of-range pairs drop here (decode would reject them at trace
+        # time); if none survive, fall back to the default spec.
+        valid = tuple(
+            (int(layer), int(head))
+            for layer, head in alignment_heads
+            if 0 <= int(layer) < config.decoder_layers and 0 <= int(head) < config.n_heads
+        )
+        if len(valid) < len(tuple(alignment_heads)):
+            import warnings
+
+            warnings.warn(
+                "Dropping out-of-range alignment head(s) from checkpoint "
+                f"metadata ({len(tuple(alignment_heads)) - len(valid)} of "
+                f"{len(tuple(alignment_heads))}).",
+                stacklevel=2,
+            )
+        if not valid:
+            valid = default_alignment_spec(config.decoder_layers, config.n_heads)
+        self.alignment_heads = valid
         self.suppress_tokens = tuple(int(t) for t in suppress_tokens)
         self.apply_timestamp_rules = apply_timestamp_rules
         self.decode_strategy = decode_strategy

@@ -192,6 +192,26 @@ def _attend_cross_step(q, k_t, v_hs, *, compute_dtype):
     return out, weights
 
 
+def _attend_cross_step_beamed(q, k_t, v_hs, *, beams, compute_dtype):
+    """Cross-attention where K/V are shared by ``beams`` query rows each.
+
+    All beams of a batch element attend the SAME encoder states, so K/V carry
+    only ``B`` rows while q carries ``B·beams`` — materializing per-beam
+    copies would cost ``beams×`` the dominant HBM buffer of the decode
+    (~245 MB/row at large-v3) and the projection FLOPs.
+    """
+    head_dim = q.shape[-1]
+    b = k_t.shape[0]
+    qh = q[:, 0].reshape(b, beams, *q.shape[2:])  # (B, K, H, Dh)
+    scores = jnp.einsum("bkhd,bhds->bkhs", qh, k_t) / jnp.sqrt(
+        jnp.asarray(head_dim, dtype=compute_dtype)
+    )
+    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bkhs,bhsd->bkhd", weights.astype(compute_dtype), v_hs)
+    rows = b * beams
+    return out.reshape(rows, *out.shape[2:]), weights.reshape(rows, *weights.shape[2:])
+
+
 def _fuse_qkv_params(params: dict, n_layers: int, d_model: int) -> list[dict]:
     """Concatenated self-attention Q/K/V projections, one (d, 3d) per layer.
 
@@ -227,12 +247,15 @@ def _decoder_token_step(
     config,
     compute_dtype,
     align_spec: tuple[tuple[int, int], ...] = (),
+    beams: int = 1,
 ):
     """One decoder forward for the token at ``position`` over cached state.
 
     Shared verbatim by the greedy and beam loops so both decode strategies
-    carry identical numerics. Returns float32 logits ``(rows, V)``, the
-    updated per-layer cache lists, and per-slot alignment rows ``(rows, 1, S)``.
+    carry identical numerics (``beams > 1`` only reshapes the cross-attention
+    query grouping; contractions are unchanged). Returns float32 logits
+    ``(rows, V)``, the updated per-layer cache lists, and per-slot alignment
+    rows ``(rows, 1, S)``.
     """
     cfg = config
     cdt = compute_dtype
@@ -241,6 +264,12 @@ def _decoder_token_step(
     d_model = cfg.d_model
     max_len = cfg.max_target_positions
     rows = token_ids.shape[0]
+    for layer_index, head_index in align_spec:
+        if not (0 <= layer_index < cfg.decoder_layers and 0 <= head_index < n_heads):
+            raise ValueError(
+                f"align_spec pair ({layer_index}, {head_index}) is out of range "
+                f"for a {cfg.decoder_layers}-layer, {n_heads}-head decoder."
+            )
 
     self_k = list(self_k)
     self_v = list(self_v)
@@ -273,7 +302,12 @@ def _decoder_token_step(
 
         h = _layer_norm(lp["cross_ln"], x, eps)
         q = _split_heads(_dense(lp["cross"]["q"], h, cdt), n_heads)
-        out, weights = _attend_cross_step(q, cross_k[i], cross_v[i], compute_dtype=cdt)
+        if beams > 1:
+            out, weights = _attend_cross_step_beamed(
+                q, cross_k[i], cross_v[i], beams=beams, compute_dtype=cdt
+            )
+        else:
+            out, weights = _attend_cross_step(q, cross_k[i], cross_v[i], compute_dtype=cdt)
         for slot, (layer_index, head_index) in enumerate(align_spec):
             if layer_index == i:
                 align_rows[slot] = weights[:, head_index][:, None, :]  # (rows,1,S)
@@ -494,20 +528,25 @@ def beam_decode_kv_cache(
     ``transcript/backends/faster_whisper.py:263``). Beams flatten into the
     batch row axis (``rows = B*K``) and share the greedy path's
     ``_decoder_token_step`` verbatim, so per-token numerics match greedy
-    exactly; ``beam_size=1`` therefore reproduces the greedy tokens.
+    exactly. Cross-attention K/V carry only ``B`` rows — every beam of a
+    window attends the same encoder states, and per-beam copies would
+    multiply the decode's dominant HBM buffer by ``K``.
 
-    Per step: token log-probs (after the same suppress/timestamp rules as
-    greedy) add to cumulative beam scores; top-k over the K·V candidates per
-    batch element selects successors, and the self-attention caches gather
-    along the row axis to follow the surviving parents. Finished beams
-    propose only their own continuation (EOT at zero cost). Final selection
-    normalizes by ``length ** length_penalty`` (GNMT-style, the published
-    default of the reference's ctranslate2 stack at 1.0).
+    Finished hypotheses follow the published Whisper beam semantics (the
+    openai BeamSearchDecoder / ctranslate2 behavior behind the reference
+    backends): an EOT candidate whose score (INCLUDING the EOT log-prob)
+    would have made the live top-k is diverted into a per-batch
+    finished-hypothesis POOL — it is never kept in, nor evicted from, the
+    live beam, which always holds K unfinished rows. The loop stops once a
+    batch row has collected ``K`` finished hypotheses (patience 1.0) or the
+    token budget ends. Final selection takes the pool's best by
+    ``score / length ** length_penalty`` (GNMT-style), falling back to the
+    best live beam for rows that never finished.
 
-    Returns tokens ``(B, max_len)`` and lengths ``(B,)`` of the best beam
-    (same contract as ``greedy_decode_kv_cache`` minus alignment capture —
-    beam word timing runs a teacher-forced :func:`alignment_forward` on the
-    winners afterwards).
+    Returns tokens ``(B, max_len)`` and lengths ``(B,)`` of the winning
+    hypothesis (same contract as ``greedy_decode_kv_cache`` minus alignment
+    capture — beam word timing runs a teacher-forced
+    :func:`alignment_forward` on the winners afterwards).
     """
     cfg = config
     batch = encoder_states.shape[0]
@@ -520,9 +559,7 @@ def beam_decode_kv_cache(
     n_layers = cfg.decoder_layers
     vocab = cfg.vocab_size
 
-    # Encoder states repeat per beam; cross K/V derive from the repeated rows.
-    states_rows = jnp.repeat(encoder_states, k_beams, axis=0)
-    cross_k, cross_v = _precompute_cross_kv(params, states_rows, n_layers, n_heads, cdt)
+    cross_k, cross_v = _precompute_cross_kv(params, encoder_states, n_layers, n_heads, cdt)
     qkv_fused = _fuse_qkv_params(params, n_layers, cfg.d_model)
 
     tokens = jnp.full((rows, max_len), eot, dtype=jnp.int32)
@@ -540,19 +577,41 @@ def beam_decode_kv_cache(
     scores = jnp.tile(
         jnp.asarray([0.0] + [_NEG_INF] * (k_beams - 1), dtype=jnp.float32), batch
     )
-    finished = jnp.zeros((rows,), dtype=bool)
-    lengths = jnp.zeros((rows,), dtype=jnp.int32)  # emitted tokens per beam
+    lengths = jnp.zeros((rows,), dtype=jnp.int32)  # emitted tokens per live beam
     max_ts = jnp.full(
         (rows,), timestamp_begin if timestamp_begin is not None else 0, dtype=jnp.int32
     )
+    # Finished-hypothesis pool: the best-so-far per batch element plus a
+    # count for the patience-style stop.
+    best_tokens = jnp.full((batch, max_len), eot, dtype=jnp.int32)
+    best_score = jnp.full((batch,), _NEG_INF, dtype=jnp.float32)  # normalized
+    best_length = jnp.zeros((batch,), dtype=jnp.int32)
+    n_finished = jnp.zeros((batch,), dtype=jnp.int32)
+
+    def length_norm(length):
+        return jnp.maximum(length.astype(jnp.float32), 1.0) ** length_penalty
 
     def cond(state):
         position = state[0]
-        finished = state[3]
-        return jnp.logical_and(position < max_len - 1, ~jnp.all(finished))
+        n_finished = state[10]
+        return jnp.logical_and(
+            position < max_len - 1, ~jnp.all(n_finished >= k_beams)
+        )
 
     def body(state):
-        position, tokens, scores, finished, lengths, self_k, self_v, max_ts = state
+        (
+            position,
+            tokens,
+            scores,
+            lengths,
+            self_k,
+            self_v,
+            max_ts,
+            best_tokens,
+            best_score,
+            best_length,
+            n_finished,
+        ) = state
         token_ids = jax.lax.dynamic_index_in_dim(tokens, position, axis=1, keepdims=False)
         logits, self_k, self_v, _ = _decoder_token_step(
             params,
@@ -565,6 +624,7 @@ def beam_decode_kv_cache(
             position,
             config=cfg,
             compute_dtype=cdt,
+            beams=k_beams,
         )
         if suppress_tokens:
             logits = logits.at[:, jnp.asarray(suppress_tokens)].set(_NEG_INF)
@@ -583,21 +643,51 @@ def beam_decode_kv_cache(
                 timestamp_begin=timestamp_begin,
             )
         logprobs = jax.nn.log_softmax(logits, axis=-1)
-        # Finished beams admit exactly one candidate — themselves: EOT
-        # continuation at zero incremental cost keeps their score comparable.
-        token_is_eot = jnp.arange(vocab)[None, :] == eot
-        logprobs = jnp.where(
-            finished[:, None],
-            jnp.where(token_is_eot, 0.0, _NEG_INF),
-            logprobs,
-        )
-        candidates = scores[:, None] + logprobs  # (rows, V)
         generating = position + 1 >= prefix_len
 
         def beam_update():
-            per_batch = candidates.reshape(batch, k_beams * vocab)
-            top_scores, top_idx = jax.lax.top_k(per_batch, k_beams)  # (B, K)
-            parent = top_idx // vocab  # beam index within batch
+            scores3 = scores.reshape(batch, k_beams)
+            lp3 = logprobs.reshape(batch, k_beams, vocab)
+            # Finished candidates: each live beam proposing EOT, scored WITH
+            # the EOT log-prob (published Whisper beam semantics).
+            eot_scores = scores3 + jnp.take(lp3, eot, axis=2)  # (B, K)
+            token_is_eot = jnp.arange(vocab)[None, None, :] == eot
+            live = jnp.where(token_is_eot, _NEG_INF, scores3[:, :, None] + lp3)
+            top_scores, top_idx = jax.lax.top_k(
+                live.reshape(batch, k_beams * vocab), k_beams
+            )  # (B, K)
+            threshold = top_scores[:, k_beams - 1]
+            # An EOT candidate counts as a finished hypothesis iff it would
+            # have made the live top-k.
+            would_select = eot_scores > threshold[:, None]  # (B, K)
+            lengths3 = lengths.reshape(batch, k_beams)
+            cand_norm = jnp.where(
+                would_select, eot_scores / length_norm(lengths3), _NEG_INF
+            )
+            best_cand = jnp.argmax(cand_norm, axis=1)  # (B,)
+            best_cand_score = jnp.take_along_axis(
+                cand_norm, best_cand[:, None], axis=1
+            )[:, 0]
+            improved = best_cand_score > best_score
+            parent_row = jnp.arange(batch) * k_beams + best_cand
+            cand_tokens = jnp.take(tokens, parent_row, axis=0)  # (B, L)
+            cand_tokens = jax.lax.dynamic_update_slice(
+                cand_tokens,
+                jnp.broadcast_to(eot, (batch, 1)).astype(jnp.int32),
+                (0, position + 1),
+            )
+            new_best_tokens = jnp.where(improved[:, None], cand_tokens, best_tokens)
+            new_best_score = jnp.where(improved, best_cand_score, best_score)
+            new_best_length = jnp.where(
+                improved,
+                jnp.take_along_axis(lengths3, best_cand[:, None], axis=1)[:, 0],
+                best_length,
+            )
+            new_n_finished = n_finished + jnp.sum(
+                would_select.astype(jnp.int32), axis=1
+            )
+
+            parent = top_idx // vocab
             token = (top_idx % vocab).astype(jnp.int32)
             parent_rows = (
                 parent + jnp.arange(batch, dtype=parent.dtype)[:, None] * k_beams
@@ -606,63 +696,100 @@ def beam_decode_kv_cache(
                 top_scores.reshape(rows),
                 parent_rows,
                 token.reshape(rows),
+                new_best_tokens,
+                new_best_score,
+                new_best_length,
+                new_n_finished,
             )
 
         def prefix_update():
             forced = prefix[jnp.minimum(position + 1, prefix_len - 1)]
-            return scores, jnp.arange(rows, dtype=jnp.int32), jnp.full((rows,), forced, jnp.int32)
+            return (
+                scores,
+                jnp.arange(rows, dtype=jnp.int32),
+                jnp.full((rows,), forced, jnp.int32),
+                best_tokens,
+                best_score,
+                best_length,
+                n_finished,
+            )
 
-        new_scores, parent_rows, next_token = jax.lax.cond(
-            generating, beam_update, prefix_update
-        )
+        (
+            new_scores,
+            parent_rows,
+            next_token,
+            best_tokens,
+            best_score,
+            best_length,
+            n_finished,
+        ) = jax.lax.cond(generating, beam_update, prefix_update)
 
         # Reorder every per-beam carry to follow the surviving parents.
         tokens = jnp.take(tokens, parent_rows, axis=0)
-        finished = jnp.take(finished, parent_rows, axis=0)
         lengths = jnp.take(lengths, parent_rows, axis=0)
         max_ts = jnp.take(max_ts, parent_rows, axis=0)
         self_k = tuple(jnp.take(k, parent_rows, axis=0) for k in self_k)
         self_v = tuple(jnp.take(v, parent_rows, axis=0) for v in self_v)
 
-        write = jnp.where(finished, eot, next_token)
-        tokens = jax.lax.dynamic_update_slice(tokens, write[:, None], (0, position + 1))
-        emits = jnp.logical_and(generating, ~finished)
-        now_finished = jnp.logical_and(emits, write == eot)
-        lengths = jnp.where(
-            jnp.logical_and(emits, ~now_finished), lengths + 1, lengths
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, next_token[:, None], (0, position + 1)
         )
+        # Live beams never carry EOT, so every generated write lengthens.
+        lengths = jnp.where(generating, lengths + 1, lengths)
         if timestamp_begin is not None:
-            wrote_ts = jnp.logical_and(emits, write >= timestamp_begin)
-            max_ts = jnp.where(wrote_ts, jnp.maximum(max_ts, write), max_ts)
-        finished = jnp.logical_or(finished, now_finished)
+            wrote_ts = jnp.logical_and(generating, next_token >= timestamp_begin)
+            max_ts = jnp.where(wrote_ts, jnp.maximum(max_ts, next_token), max_ts)
         return (
             position + 1,
             tokens,
             new_scores,
-            finished,
             lengths,
             self_k,
             self_v,
             max_ts,
+            best_tokens,
+            best_score,
+            best_length,
+            n_finished,
         )
 
     state = (
         jnp.asarray(0, dtype=jnp.int32),
         tokens,
         scores,
-        finished,
         lengths,
         self_k,
         self_v,
         max_ts,
+        best_tokens,
+        best_score,
+        best_length,
+        n_finished,
     )
-    _, tokens, scores, finished, lengths, _, _, _ = jax.lax.while_loop(cond, body, state)
+    (
+        _,
+        tokens,
+        scores,
+        lengths,
+        _,
+        _,
+        _,
+        best_tokens,
+        best_score,
+        best_length,
+        n_finished,
+    ) = jax.lax.while_loop(cond, body, state)
 
-    norm = jnp.maximum(lengths.astype(jnp.float32), 1.0) ** length_penalty
-    final = (scores / norm).reshape(batch, k_beams)
-    best = jnp.argmax(final, axis=1)
-    row_index = jnp.arange(batch) * k_beams + best
-    return jnp.take(tokens, row_index, axis=0), jnp.take(lengths, row_index, axis=0)
+    # Rows that never finished fall back to the best live beam.
+    live_final = (scores / length_norm(lengths)).reshape(batch, k_beams)
+    live_best = jnp.argmax(live_final, axis=1)
+    live_rows = jnp.arange(batch) * k_beams + live_best
+    live_tokens = jnp.take(tokens, live_rows, axis=0)
+    live_lengths = jnp.take(lengths, live_rows, axis=0)
+    has_finished = n_finished > 0
+    out_tokens = jnp.where(has_finished[:, None], best_tokens, live_tokens)
+    out_lengths = jnp.where(has_finished, best_length, live_lengths)
+    return out_tokens, out_lengths
 
 
 @partial(
@@ -696,6 +823,12 @@ def alignment_forward(
     n_heads = cfg.n_heads
     eps = cfg.layer_norm_eps
     batch, seq_len = tokens.shape
+    for layer_index, head_index in align_spec:
+        if not (0 <= layer_index < cfg.decoder_layers and 0 <= head_index < n_heads):
+            raise ValueError(
+                f"align_spec pair ({layer_index}, {head_index}) is out of range "
+                f"for a {cfg.decoder_layers}-layer, {n_heads}-head decoder."
+            )
 
     x = params["tok_embed"][tokens] + params["pos_embed"][None, :seq_len]
     causal = jnp.tril(jnp.ones((seq_len, seq_len), dtype=bool))

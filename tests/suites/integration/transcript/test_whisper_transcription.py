@@ -496,3 +496,73 @@ def test_beam_decode_with_timestamp_rules_and_suppression():
     # Rule 4: the first generated token must be an early timestamp.
     assert toks[0] >= ts_begin
     assert toks[0] <= ts_begin + 50
+
+
+def test_beam_finished_pool_prefers_eot_terminated_hypothesis():
+    """When greedy would stop at EOT, the beam pool must return that
+    hypothesis (EOT score included) rather than a never-finished live beam."""
+    import jax.numpy as jnp
+
+    from ser_tpu.models.whisper_decode import beam_decode_kv_cache, greedy_decode_kv_cache
+
+    config, _, params, states, prefix = _tiny_decode_fixture(seed_states=3)
+    # Find the greedy path's natural tokens, then rerun beam-1 with THAT
+    # stream's most frequent token declared as EOT — greedy then terminates
+    # early, and the pool must capture exactly the truncated prefix.
+    g_tokens, g_len, _ = greedy_decode_kv_cache(
+        params, config, states, prefix, jnp.asarray(201, jnp.int32), prefix_len=3
+    )
+    emitted = np.asarray(g_tokens)[0, 3 : 3 + int(g_len[0])].tolist()
+    # Choose an id that appears after position 0 in the greedy stream.
+    eot_id = next(t for t in emitted[1:] if t != emitted[0])
+    g2_tokens, g2_len, _ = greedy_decode_kv_cache(
+        params, config, states, prefix, jnp.asarray(eot_id, jnp.int32), prefix_len=3
+    )
+    b_tokens, b_len = beam_decode_kv_cache(
+        params, config, states, prefix, jnp.asarray(eot_id, jnp.int32),
+        prefix_len=3, beam_size=1,
+    )
+    n = int(g2_len[0])
+    assert int(b_len[0]) == n
+    assert np.asarray(b_tokens)[0, 3 : 3 + n].tolist() == np.asarray(g2_tokens)[
+        0, 3 : 3 + n
+    ].tolist()
+    # The pool hypothesis is EOT-terminated and EOT-padded.
+    assert (np.asarray(b_tokens)[0, 3 + n :] == eot_id).all()
+
+
+def test_alignment_heads_from_wrong_checkpoint_are_filtered():
+    """Out-of-range (layer, head) metadata drops with a warning; an
+    all-invalid list falls back to the default spec."""
+    config = whisper_model.WhisperConfig.tiny()  # 2 layers, 4 heads
+    with pytest.warns(UserWarning, match="alignment head"):
+        model = whisper_model.WhisperForTranscription(
+            config, {}, {}, FakeTokenizer(),
+            alignment_heads=((1, 0), (30, 2), (0, 99)),
+        )
+    assert model.alignment_heads == ((1, 0),)
+    with pytest.warns(UserWarning):
+        model = whisper_model.WhisperForTranscription(
+            config, {}, {}, FakeTokenizer(), alignment_heads=((30, 2),)
+        )
+    assert model.alignment_heads  # default spec restored
+    for layer, head in model.alignment_heads:
+        assert 0 <= layer < config.decoder_layers
+        assert 0 <= head < config.n_heads
+
+
+def test_decode_rejects_out_of_range_align_spec():
+    import jax.numpy as jnp
+
+    from ser_tpu.models.whisper_decode import alignment_forward, greedy_decode_kv_cache
+
+    config, _, params, states, prefix = _tiny_decode_fixture()
+    eot = jnp.asarray(201, dtype=jnp.int32)
+    with pytest.raises(ValueError, match="out of range"):
+        greedy_decode_kv_cache(
+            params, config, states, prefix, eot, prefix_len=3, align_spec=((99, 0),)
+        )
+    with pytest.raises(ValueError, match="out of range"):
+        alignment_forward(
+            params, config, states, jnp.zeros((1, 8), jnp.int32), align_spec=((0, 99),)
+        )

@@ -113,3 +113,11 @@ def test_transcription_profile_carries_beam_settings():
     assert resolved.decode_strategy == "beam"
     assert resolved.beam_size == 2
     assert resolved.length_penalty == 1.0
+
+
+def test_env_whisper_length_penalty_validation():
+    for bad in ("-1", "nan", "99"):
+        with pytest.raises(ValueError, match="WHISPER_LENGTH_PENALTY"):
+            build_settings_from_inputs(
+                capture_settings_inputs(env={"WHISPER_LENGTH_PENALTY": bad})
+            )
