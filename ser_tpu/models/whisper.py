@@ -296,6 +296,25 @@ def whisper_config_from_hf_dir(model_dir) -> WhisperConfig:
     )
 
 
+def _read_generation_config(model_dir) -> dict:
+    """Best-effort parse of a checkpoint's ``generation_config.json``.
+
+    The file is untrusted metadata: missing or unparseable returns {} and
+    callers fall back to their defaults.
+    """
+    import json
+    from pathlib import Path
+
+    path = Path(model_dir) / "generation_config.json"
+    if not path.is_file():
+        return {}
+    try:
+        raw = json.loads(path.read_text(encoding="utf-8"))
+    except (OSError, ValueError):
+        return {}
+    return raw if isinstance(raw, dict) else {}
+
+
 def alignment_heads_from_hf_dir(model_dir) -> tuple[tuple[int, int], ...] | None:
     """Published (layer, head) cross-attention alignment pairs, if any.
 
@@ -303,17 +322,7 @@ def alignment_heads_from_hf_dir(model_dir) -> tuple[tuple[int, int], ...] | None
     ``generation_config.json``; absent (or unreadable) returns None and the
     caller falls back to :func:`whisper_decode.default_alignment_spec`.
     """
-    import json
-    from pathlib import Path
-
-    path = Path(model_dir) / "generation_config.json"
-    if not path.is_file():
-        return None
-    try:
-        raw = json.loads(path.read_text(encoding="utf-8"))
-    except (OSError, ValueError):
-        return None
-    pairs = raw.get("alignment_heads")
+    pairs = _read_generation_config(model_dir).get("alignment_heads")
     if not pairs:
         return None
     return tuple((int(layer), int(head)) for layer, head in pairs)
@@ -327,17 +336,8 @@ def suppress_tokens_from_hf_dir(model_dir) -> tuple[int, ...]:
     it contains EOT (masking it every step would make decode unstoppable),
     and timestamp rule 4 already constrains the first generated position.
     """
-    import json
-    from pathlib import Path
-
-    path = Path(model_dir) / "generation_config.json"
-    if not path.is_file():
-        return ()
-    try:
-        raw = json.loads(path.read_text(encoding="utf-8"))
-    except (OSError, ValueError):
-        return ()
-    return tuple(sorted({int(token) for token in raw.get("suppress_tokens") or []}))
+    tokens = _read_generation_config(model_dir).get("suppress_tokens") or []
+    return tuple(sorted({int(token) for token in tokens}))
 
 
 def _hf_tensors(model_dir) -> dict[str, np.ndarray]:
@@ -760,12 +760,16 @@ class WhisperForTranscription:
         timestamp_begin: int,
         chunk_offset_s: float,
         chunk_duration: float,
+        num_frames: int,
     ):
-        """DTW word timing from the device-reduced matrix (one chunk)."""
+        """DTW word timing from the device-reduced matrix (one chunk).
+
+        ``num_frames`` is the chunk's audio-covered encoder frame count —
+        the same value the device-side reduction already masked with.
+        """
         from ser_tpu.domain import TranscriptWord
         from ser_tpu.models.word_timing import word_timings_from_matrix
 
-        num_frames = max(1, int(chunk_duration * SAMPLE_RATE) // (HOP_LENGTH * 2))
         rows = matrix[
             self.PREFIX_LEN : self.PREFIX_LEN + len(tokens), :num_frames
         ]
@@ -809,6 +813,12 @@ class WhisperForTranscription:
         degenerate candidate).
         """
         timestamp_begin = self._special("<|0.00|>")
+
+        def ratio(tokens: list[int]) -> float:
+            return transcript_compression_ratio(
+                self._chunk_text(tokens, timestamp_begin)
+            )
+
         bad = [
             index
             for index, tokens in enumerate(emitted)
@@ -818,9 +828,12 @@ class WhisperForTranscription:
             return emitted, matrices
         if matrices is not None:
             matrices = np.array(matrices)  # jax-backed views are read-only
-        states_np = np.asarray(states)
+        best_ratio = {index: ratio(emitted[index]) for index in bad}
         for retry, temperature in enumerate(self.RETRY_TEMPERATURES):
-            retry_states = jnp.asarray(states_np[bad])
+            # Gather the bad rows ON DEVICE — pulling the whole states
+            # buffer through the host link costs more than the retry itself
+            # on a remote-attached chip.
+            retry_states = jnp.take(states, jnp.asarray(bad), axis=0)
             retry_emitted, retry_matrices = self._decode_chunk_batch(
                 retry_states,
                 language,
@@ -830,11 +843,17 @@ class WhisperForTranscription:
             )
             still_bad = []
             for slot, chunk_index in enumerate(bad):
-                text = self._chunk_text(retry_emitted[slot], timestamp_begin)
-                emitted[chunk_index] = retry_emitted[slot]
-                if matrices is not None and retry_matrices is not None:
-                    matrices[chunk_index] = retry_matrices[slot]
-                if transcript_is_degenerate(text):
+                candidate_ratio = ratio(retry_emitted[slot])
+                # Keep the LEAST degenerate candidate seen so far; a hotter
+                # sample may be worse than what we already have.
+                if candidate_ratio < best_ratio[chunk_index]:
+                    best_ratio[chunk_index] = candidate_ratio
+                    emitted[chunk_index] = retry_emitted[slot]
+                    if matrices is not None and retry_matrices is not None:
+                        matrices[chunk_index] = retry_matrices[slot]
+                if transcript_is_degenerate(
+                    self._chunk_text(emitted[chunk_index], timestamp_begin)
+                ):
                     still_bad.append(chunk_index)
             bad = still_bad
             if not bad:
@@ -854,8 +873,10 @@ class WhisperForTranscription:
         """
         from ser_tpu.domain import TranscriptWord
 
+        vad_offset_s = 0.0
         if use_vad:
-            audio16k = _trim_silence(audio16k)
+            audio16k, trimmed_samples = _trim_silence(audio16k)
+            vad_offset_s = trimmed_samples / SAMPLE_RATE
         if audio16k.size == 0:
             return []
 
@@ -895,6 +916,7 @@ class WhisperForTranscription:
                     timestamp_begin,
                     chunk_offset_s,
                     chunk_duration,
+                    int(num_frames[chunk_index]),
                 )
             if aligned:
                 words.extend(aligned)
@@ -905,7 +927,28 @@ class WhisperForTranscription:
                 words.extend(
                     self._interpolated_words(segments, chunk_offset_s, chunk_duration)
                 )
+        if vad_offset_s:
+            # Decoded times live on the VAD-trimmed timeline; shift back to
+            # original-audio coordinates so the emotion-timeline join holds.
+            words = [
+                word._replace(
+                    start_seconds=word.start_seconds + vad_offset_s,
+                    end_seconds=word.end_seconds + vad_offset_s,
+                )
+                for word in words
+            ]
         return words
+
+
+def transcript_compression_ratio(text: str) -> float:
+    """gzip compression ratio of the text — the published repetition signal."""
+    stripped = text.strip()
+    if not stripped:
+        return 0.0
+    import zlib
+
+    raw = stripped.encode("utf-8")
+    return len(raw) / max(1, len(zlib.compress(raw)))
 
 
 def transcript_is_degenerate(
@@ -917,31 +960,34 @@ def transcript_is_degenerate(
     (the same signal the reference's stable-ts lane uses to trigger its
     temperature fallback).
     """
-    stripped = text.strip()
-    if len(stripped) < 16:
+    if len(text.strip()) < 16:
         return False
-    import zlib
-
-    raw = stripped.encode("utf-8")
-    return len(raw) / max(1, len(zlib.compress(raw))) > max_compression_ratio
+    return transcript_compression_ratio(text) > max_compression_ratio
 
 
 def _trim_silence(
     audio: np.ndarray, *, frame: int = 512, threshold_db: float = -40.0
-) -> np.ndarray:
-    """Energy-gate VAD: trims leading/trailing silence below the threshold."""
+) -> tuple[np.ndarray, int]:
+    """Energy-gate VAD: trims leading/trailing silence below the threshold.
+
+    Returns the trimmed audio AND the number of leading samples removed —
+    decoded timestamps live on the trimmed timeline and must shift back by
+    this offset to stay in original-audio coordinates (the reference's VAD
+    lanes likewise map timestamps back; the emotion timeline joins by
+    original-audio time).
+    """
     if audio.size < frame:
-        return audio
+        return audio, 0
     n = audio.size // frame
     energy = (audio[: n * frame].reshape(n, frame) ** 2).mean(axis=1)
     ref = float(energy.max())
     if ref <= 0:
-        return audio[:0]  # pure silence: nothing to transcribe
+        return audio[:0], 0  # pure silence: nothing to transcribe
     active = 10.0 * np.log10(energy / ref + 1e-12) > threshold_db
     if not active.any():
-        return audio[:0]
+        return audio[:0], 0
     first, last = np.flatnonzero(active)[[0, -1]]
-    return audio[first * frame : (last + 1) * frame]
+    return audio[first * frame : (last + 1) * frame], int(first * frame)
 
 
 __all__ = [

@@ -79,20 +79,26 @@ def apply_timestamp_rules(
 ) -> jax.Array:
     """Whisper's timestamp decoding constraints over one step's logits.
 
-    The published rule set (behavior parity with the decoding stack behind
-    the reference's whisper backends):
-      1. after a lone timestamp, only a timestamp or EOT may follow (the
-         pair must close);
-      2. after a closed timestamp pair, a timestamp cannot follow;
-      3. timestamps never decrease (earlier-than-max timestamps masked);
-      4. the FIRST generated token must be a timestamp no later than
-         ``max_initial_timestamp_index``;
-      5. when the total timestamp probability outweighs the best text
-         token, the step must emit a timestamp.
+    Vectorized port of the published logits processor (openai
+    ``decoding.ApplyTimestampRules`` / HF ``WhisperTimeStampLogitsProcessor``
+    — the stack behind the reference's whisper backends):
+      1. timestamps come in pairs: after a LONE timestamp only a timestamp
+         or EOT may follow; after a CLOSED pair a timestamp cannot follow.
+         A missing penultimate token counts as a timestamp (``len(seq) < 2
+         or ...`` in the published code), so the token right after the
+         forced initial timestamp is TEXT, not a second stamp;
+      2. timestamps never decrease — and must strictly INCREASE except when
+         closing a pair (the published ``timestamps[-1] + 1`` case, which
+         exists to forbid zero-length segments / infinite loops);
+      3. the FIRST generated token must be a timestamp no later than
+         ``max_initial_timestamp_index``, and ``<|notimestamps|>``
+         (``timestamp_begin - 1``) is always masked;
+      4. when the total timestamp probability outweighs the best
+         non-timestamp token, the step must emit a timestamp.
 
     All inputs are per-row arrays of a (B, V) logits batch; returns masked
     logits. Pure and jit-safe: used inside the decode loop and unit-tested
-    on synthetic logits.
+    on synthetic logits against the published per-sequence semantics.
     """
     vocab = logits.shape[-1]
     neg = jnp.asarray(_NEG_INF, dtype=logits.dtype)
@@ -100,28 +106,34 @@ def apply_timestamp_rules(
     is_ts_col = (token_ids >= timestamp_begin)[None, :]
     is_text_col = (token_ids < eot)[None, :]
 
-    last_is_ts = (last_token >= timestamp_begin)[:, None]
-    penult_is_ts = (penultimate_token >= timestamp_begin)[:, None]
     has_last = (generated_count >= 1)[:, None]
     has_penult = (generated_count >= 2)[:, None]
+    last_is_ts = has_last & (last_token >= timestamp_begin)[:, None]
+    # Published semantics: a missing penultimate counts as a timestamp.
+    penult_is_ts = ~has_penult | (penultimate_token >= timestamp_begin)[:, None]
 
-    # Rule 2: closed pair → no third timestamp in a row.
-    closed_pair = has_last & last_is_ts & has_penult & penult_is_ts
-    logits = jnp.where(closed_pair & is_ts_col, neg, logits)
-    # Rule 1: lone timestamp → text masked (timestamp or EOT only).
-    lone_ts = has_last & last_is_ts & ~(has_penult & penult_is_ts)
-    logits = jnp.where(lone_ts & is_text_col, neg, logits)
-    # Rule 3: non-decreasing timestamps.
-    below_max = is_ts_col & (token_ids[None, :] < max_timestamp[:, None])
-    logits = jnp.where(below_max, neg, logits)
-    # Rule 4: first generated token is an early timestamp.
+    # <|notimestamps|> never decodes on the timestamped path.
+    logits = jnp.where((token_ids == timestamp_begin - 1)[None, :], neg, logits)
+    # Pair rules.
+    closing = last_is_ts & ~penult_is_ts  # lone stamp: must close the pair
+    closed = last_is_ts & penult_is_ts  # pair closed: next is non-timestamp
+    logits = jnp.where(closed & is_ts_col, neg, logits)
+    logits = jnp.where(closing & is_text_col, neg, logits)
+    # Monotonicity: mask stamps below the last one; strictly below-or-equal
+    # unless the step is closing a pair (rule 4 forces the first generated
+    # token to be a timestamp, so once anything was generated a last stamp
+    # exists and ``max_timestamp`` is live).
+    cut = max_timestamp[:, None] + jnp.where(closing, 0, 1)
+    below = is_ts_col & (token_ids[None, :] < cut)
+    logits = jnp.where(has_last & below, neg, logits)
+    # Initial token: an early timestamp.
     first = (generated_count == 0)[:, None]
     too_late = token_ids[None, :] > timestamp_begin + max_initial_timestamp_index
     logits = jnp.where(first & (~is_ts_col | too_late), neg, logits)
-    # Rule 5: aggregated timestamp probability wins → force a timestamp.
-    # The comparison runs on the ALREADY-masked logits against the best
-    # single token below timestamp_begin (incl. EOT/specials), matching the
-    # published rule.
+    # Aggregated timestamp probability wins → force a timestamp. The
+    # comparison runs on the ALREADY-masked logits against the best single
+    # token below timestamp_begin (incl. EOT/specials), per the published
+    # rule.
     logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     ts_logprob = jax.nn.logsumexp(
         jnp.where(is_ts_col, logprobs, -jnp.inf), axis=-1

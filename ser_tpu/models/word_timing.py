@@ -31,8 +31,13 @@ _APPEND_PUNCT = "\"'.。,，!！?？:：”)]}、"
 
 
 def median_filter(x: np.ndarray, width: int) -> np.ndarray:
-    """Median filter along the last axis with reflect padding (odd width)."""
-    if width < 3 or x.shape[-1] <= width:
+    """Median filter along the last axis with reflect padding (odd width).
+
+    Skips only when the axis cannot support the reflect pad (length <=
+    width//2) — the published behavior (openai whisper ``timing.py``), so
+    short post-VAD chunks filter identically to the reference stack.
+    """
+    if width < 3 or x.shape[-1] <= width // 2:
         return x
     pad = width // 2
     padded = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")

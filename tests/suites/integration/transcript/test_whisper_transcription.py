@@ -66,9 +66,35 @@ def test_silence_with_vad_yields_empty(tiny_model):
 def test_vad_trims_leading_silence():
     audio = np.zeros(16000, dtype=np.float32)
     audio[8000:12000] = 0.5
-    trimmed = whisper_model._trim_silence(audio)
+    trimmed, offset = whisper_model._trim_silence(audio)
     assert trimmed.size < audio.size
     assert np.abs(trimmed).max() == pytest.approx(0.5)
+    # The reported offset maps trimmed coordinates back to the original:
+    # sample 0 of the trimmed audio is sample `offset` of the input.
+    assert 0 < offset <= 8000
+    assert audio[offset : offset + trimmed.size].tolist() == trimmed.tolist()
+
+
+def test_vad_offset_shifts_words_to_original_timeline(tiny_model, monkeypatch):
+    """Words decode on the trimmed timeline but report in original-audio
+    coordinates — the emotion-timeline join depends on it."""
+    ts = FakeTokenizer.SPECIALS["<|0.00|>"]
+    scripted = [ts, 5, ts + 50]  # one word spanning [0.0, 1.0] of the chunk
+    monkeypatch.setattr(
+        tiny_model,
+        "_decode_chunk_batch",
+        lambda states, language, num_frames: ([scripted], None),
+    )
+    lead_s = 2.0
+    audio = np.zeros(int(16000 * (lead_s + 1.5)), dtype=np.float32)
+    rng = np.random.default_rng(2)
+    audio[int(16000 * lead_s) :] = 0.3 * rng.standard_normal(
+        audio.size - int(16000 * lead_s)
+    ).astype(np.float32)
+    words = tiny_model.transcribe_words(audio, use_vad=True)
+    assert words, "scripted decode produced no words"
+    # VAD trims ~2 s of leading silence; the word must NOT start near 0.
+    assert words[0].start_seconds == pytest.approx(lead_s, abs=0.1)
 
 
 def test_timestamp_token_segmentation_interpolation_fallback(tiny_model, monkeypatch):
@@ -566,3 +592,26 @@ def test_decode_rejects_out_of_range_align_spec():
         alignment_forward(
             params, config, states, jnp.zeros((1, 8), jnp.int32), align_spec=((0, 99),)
         )
+
+
+def test_retry_keeps_least_degenerate_candidate(tiny_model, monkeypatch):
+    """If every temperature retry is WORSE than the original, the original
+    stays — the schedule must never trade down."""
+    ts = FakeTokenizer.SPECIALS["<|0.00|>"]
+    original = [ts] + [7, 8] * 20  # degenerate but the best available
+    worse = [ts] + [9] * 60  # even more compressible
+    calls = {"n": 0}
+
+    def scripted(states, language, num_frames, temperature=0.0, rng_seed=0):
+        if temperature == 0.0:
+            return [original], None
+        calls["n"] += 1
+        return [worse], None
+
+    monkeypatch.setattr(tiny_model, "_decode_chunk_batch", scripted)
+    audio = (0.2 * np.random.default_rng(3).standard_normal(16000)).astype(np.float32)
+    words = tiny_model.transcribe_words(audio, use_vad=False)
+    assert calls["n"] == len(tiny_model.RETRY_TEMPERATURES)  # all retries ran
+    # The kept stream is the original: words decode to alternating w7/w8.
+    texts = {w.word for w in words}
+    assert texts == {"w7", "w8"}

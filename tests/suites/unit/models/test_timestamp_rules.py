@@ -49,10 +49,38 @@ def test_closed_pair_blocks_third_timestamp():
     assert np.all(out[:EOT] > -1e29)
 
 
-def test_timestamps_never_decrease():
+def test_timestamps_strictly_increase_after_text():
+    """Published `timestamps[-1] + 1` case: when not closing a pair, a repeat
+    of the last stamp is illegal (zero-length segments would loop forever)."""
     out = _apply(np.zeros(VOCAB), last=7, penult=8, max_ts=TS_BEGIN + 6)
+    assert np.all(out[TS_BEGIN : TS_BEGIN + 7] < -1e29)
+    assert np.all(out[TS_BEGIN + 7 :] > -1e29)
+
+
+def test_closing_timestamp_may_repeat_the_opening_stamp():
+    """While closing a pair the published rule masks only BELOW the last
+    stamp, so <|t|><|t|> (an empty segment marker) stays legal."""
+    logits = np.zeros(VOCAB)
+    logits[EOT] = 12.0  # keep rule 5 quiet
+    out = _apply(logits, last=TS_BEGIN + 6, penult=5, max_ts=TS_BEGIN + 6, count=4)
     assert np.all(out[TS_BEGIN : TS_BEGIN + 6] < -1e29)
-    assert np.all(out[TS_BEGIN + 6 :] > -1e29)
+    assert out[TS_BEGIN + 6] > -1e29
+
+
+def test_token_after_forced_initial_timestamp_is_text():
+    """Published `len(seq) < 2 or ...`: a missing penultimate counts as a
+    timestamp, so the step after the forced initial stamp must emit TEXT —
+    not a second stamp (the inverted reading burned a decode slot on every
+    transcription and started segments with a doubled stamp)."""
+    out = _apply(np.zeros(VOCAB), last=TS_BEGIN + 2, penult=0, count=1,
+                 max_ts=TS_BEGIN + 2)
+    assert np.all(out[TS_BEGIN:] < -1e29)  # no second stamp
+    assert np.all(out[:EOT] > -1e29)  # text legal
+
+
+def test_notimestamps_token_is_always_masked():
+    out = _apply(np.zeros(VOCAB), last=4, penult=5)
+    assert out[TS_BEGIN - 1] < -1e29
 
 
 def test_aggregate_timestamp_probability_forces_timestamp():
@@ -62,7 +90,9 @@ def test_aggregate_timestamp_probability_forces_timestamp():
     logits[3] = 2.5
     out = _apply(logits, last=4, penult=5)
     assert np.all(out[:TS_BEGIN] < -1e29)  # text (incl. best) masked
-    assert np.all(out[TS_BEGIN:] > -1e29)
+    # max_ts=TS_BEGIN and not closing → TS_BEGIN itself is also masked
+    # (strict increase); later stamps survive and rule 5 forces them.
+    assert np.all(out[TS_BEGIN + 1 :] > -1e29)
 
 
 def test_dominant_text_token_is_not_forced():
