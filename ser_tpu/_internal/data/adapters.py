@@ -9,7 +9,6 @@ labels CSV. CSV-labeled corpora go through the ``auto_csv`` path in
 
 from __future__ import annotations
 
-from collections.abc import Callable
 from pathlib import Path
 
 from ser_tpu._internal.data.manifest import Utterance
@@ -27,7 +26,9 @@ _CREMA_EMOTIONS = {
 # EmoDB: 03a01Fa.wav → speaker(2) text(3) emotion(1) version(1)
 _EMODB_EMOTIONS = {
     "W": "angry",       # Wut
-    "L": "calm",        # Langeweile (boredom → closest primary class)
+    "L": "neutral",     # Langeweile/boredom → neutral, matching the reference
+    #                     mapping (catalog/public_datasets.py:95) and the
+    #                     token-inference path so both prepare routes agree.
     "E": "disgust",     # Ekel
     "A": "fearful",     # Angst
     "F": "happy",       # Freude
@@ -100,31 +101,6 @@ def parse_jl_corpus(path: Path) -> Utterance | None:
     )
 
 
-#: Filename-strategy registry; datasets not listed need a labels CSV/manifest.
-FILENAME_ADAPTERS: dict[str, Callable[[Path], Utterance | None]] = {
-    "crema-d": parse_crema_d,
-    "emodb-2.0": parse_emodb,
-    "jl-corpus": parse_jl_corpus,
-}
-
-
-def build_manifest_from_filenames(
-    dataset_id: str, root: Path, *, glob: str = "**/*.wav"
-) -> list[Utterance]:
-    """Walks a corpus root and parses every file the adapter recognizes."""
-    adapter = FILENAME_ADAPTERS.get(dataset_id)
-    if adapter is None:
-        raise KeyError(
-            f"No filename adapter for {dataset_id!r}; provide labels_csv_path. "
-            f"Adapters exist for: {', '.join(sorted(FILENAME_ADAPTERS))}."
-        )
-    utterances = []
-    for path in sorted(root.glob(glob)):
-        utterance = adapter(path)
-        if utterance is not None:
-            utterances.append(utterance)
-    return utterances
-
-
-__all__ = ["FILENAME_ADAPTERS", "build_manifest_from_filenames",
-           "parse_crema_d", "parse_emodb", "parse_jl_corpus"]
+# The one manifest-building walk lives in strategies.DatasetStrategy.build;
+# these parsers plug into it via strategies._wrap_adapter.
+__all__ = ["parse_crema_d", "parse_emodb", "parse_jl_corpus"]

@@ -86,10 +86,16 @@ def fetch_from_provider(provider_id: str, **_format_args) -> None:
 
 
 def _safe_members(names: list[str], destination: Path) -> None:
-    """Rejects path-traversal members before extraction."""
+    """Rejects path-traversal members before extraction.
+
+    The containment check is separator-aware: a plain ``startswith`` would
+    approve members landing in a SIBLING directory whose name merely has the
+    destination as a string prefix (``/data/mesd`` vs ``/data/mesd-evil``).
+    """
+    root = destination.resolve()
     for name in names:
         target = (destination / name).resolve()
-        if not str(target).startswith(str(destination.resolve())):
+        if target != root and not target.is_relative_to(root):
             raise ArchiveError(f"Archive member escapes destination: {name!r}")
 
 
@@ -174,6 +180,11 @@ def fetch_url(
             return FetchResult(str(destination), 0, False, digest)
         destination.unlink()  # stale/corrupt: refetch
 
+    # Resume ONLY when a digest will vouch for the spliced result: a remote
+    # file that changed between attempts would otherwise splice old+new
+    # bytes into a silently corrupt download.
+    if staging.exists() and expected_sha256 is None:
+        staging.unlink()
     offset = staging.stat().st_size if staging.exists() else 0
     resumed = offset > 0
     parsed = urlparse(url)
@@ -186,19 +197,28 @@ def fetch_url(
                 sink.write(chunk)
                 fetched += len(chunk)
     elif parsed.scheme in ("http", "https"):
+        from urllib.error import HTTPError
+
         request = Request(url)
         if offset:
             request.add_header("Range", f"bytes={offset}-")
-        with urlopen(request, timeout=timeout_seconds) as response:  # noqa: S310
-            if offset and response.status == 200:
-                # Server ignored the Range request: restart from zero.
-                staging.unlink()
-                offset, resumed = 0, False
-                staging.touch()
-            with staging.open("ab") as sink:
-                for chunk in iter(lambda: response.read(chunk_bytes), b""):
-                    sink.write(chunk)
-                    fetched += len(chunk)
+        try:
+            with urlopen(request, timeout=timeout_seconds) as response:  # noqa: S310
+                if offset and response.status == 200:
+                    # Server ignored the Range request: restart from zero.
+                    staging.unlink()
+                    offset, resumed = 0, False
+                    staging.touch()
+                with staging.open("ab") as sink:
+                    for chunk in iter(lambda: response.read(chunk_bytes), b""):
+                        sink.write(chunk)
+                        fetched += len(chunk)
+        except HTTPError as err:
+            if not (err.code == 416 and offset):
+                raise
+            # 416 with a non-empty .part: a prior run wrote the whole file
+            # but crashed before the rename. Fall through to digest
+            # validation of the staging file as-is.
     else:
         raise ValueError(f"Unsupported URL scheme {parsed.scheme!r} for {url}.")
 
@@ -230,6 +250,12 @@ def fetch_and_materialize(
     )
 
 
+#: Completion sentinel written after a successful extraction — a non-empty
+#: destination WITHOUT it is a partial (interrupted) extraction, not a
+#: materialized dataset.
+MATERIALIZED_SENTINEL = ".ser-materialized"
+
+
 def materialize_dataset(
     *,
     dataset_id: str,
@@ -238,16 +264,31 @@ def materialize_dataset(
 ) -> Path:
     """Materializes a dataset from a staged local archive (or verifies in-place).
 
-    Returns the dataset root ready for ``prepare_dataset``.
+    Returns the dataset root ready for ``prepare_dataset``. Our own
+    extractions mark completion with :data:`MATERIALIZED_SENTINEL`; a
+    non-empty destination without the marker re-extracts when an archive is
+    available (an interrupted extraction must not silently truncate the
+    manifest), and is accepted as an operator-staged tree otherwise.
     """
+    sentinel = destination / MATERIALIZED_SENTINEL
     if destination.exists() and any(destination.iterdir()):
-        logger.info("Dataset %s already materialized at %s", dataset_id, destination)
-        return destination
+        if sentinel.exists() or archive_path is None:
+            logger.info("Dataset %s already materialized at %s", dataset_id, destination)
+            return destination
+        logger.warning(
+            "Dataset %s at %s has no completion marker (interrupted "
+            "extraction?); re-extracting from %s",
+            dataset_id,
+            destination,
+            archive_path,
+        )
+        shutil.rmtree(destination)
     if archive_path is None:
         from ser_tpu._internal.data.catalog import get_dataset_spec
 
         fetch_from_provider(get_dataset_spec(dataset_id).provider)
     members = extract_archive(archive_path, destination)
+    sentinel.write_text(f"{dataset_id}\n", encoding="utf-8")
     logger.info("Extracted %d members for %s into %s", len(members), dataset_id, destination)
     return destination
 
@@ -257,6 +298,7 @@ __all__ = [
     "ChecksumMismatchError",
     "DatasetDownloadUnavailableError",
     "FetchResult",
+    "MATERIALIZED_SENTINEL",
     "PROVIDERS",
     "extract_archive",
     "fetch_and_materialize",

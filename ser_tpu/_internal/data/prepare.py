@@ -39,9 +39,12 @@ from ser_tpu._internal.data.manifest import (
 )
 type ComplianceMode = Literal["advisory", "enforced"]
 
-
-class DatasetDownloadUnavailableError(RuntimeError):
-    """Raised when a network download would be required."""
+# One exception type across the acquisition surface: a second identically
+# named class here made `except downloads.DatasetDownloadUnavailableError`
+# silently miss the one raised by prepare_dataset.
+from ser_tpu._internal.data.downloads import (  # noqa: E402
+    DatasetDownloadUnavailableError,
+)
 
 
 @dataclass(frozen=True)

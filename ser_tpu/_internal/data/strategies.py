@@ -148,9 +148,19 @@ def coraa_ser_label(path: Path) -> tuple[str, str] | None:
 
 
 def _wrap_adapter(parse: Callable[[Path], Utterance | None]):
-    def resolver(path: Path) -> tuple[str, str] | None:
+    """Adapter → resolver, keeping the adapter's parsed speaker id.
+
+    Filename adapters (CREMA-D actor field, EmoDB's leading speaker digits)
+    know the corpus's real speaker convention; discarding it for the generic
+    ``_speaker_hint`` collapsed e.g. every EmoDB utterance onto its parent
+    directory name, silently breaking speaker-disjoint splits.
+    """
+
+    def resolver(path: Path) -> tuple[str, str, str | None] | None:
         utterance = parse(path)
-        return (utterance.label, utterance.raw_label) if utterance is not None else None
+        if utterance is None:
+            return None
+        return utterance.label, utterance.raw_label, utterance.speaker_id
 
     return resolver
 
@@ -175,10 +185,15 @@ class DatasetStrategy:
             )
         utterances = []
         for path in sorted(root.glob(self.audio_glob)):
-            resolved = self.resolver(path)
+            # Resolve labels from the path RELATIVE to the corpus root: an
+            # emotion word in an ancestor directory OUTSIDE the staged tree
+            # (/srv/happy-lab/...) must never label the corpus.
+            relative = path.relative_to(root)
+            resolved = self.resolver(relative)
             if resolved is None:
                 continue
-            label, raw = resolved
+            label, raw, *extra = resolved
+            speaker = extra[0] if extra else None
             utterances.append(
                 Utterance(
                     sample_id=path.stem,
@@ -186,7 +201,7 @@ class DatasetStrategy:
                     audio_path=str(path),
                     label=label,
                     raw_label=raw,
-                    speaker_id=_speaker_hint(path),
+                    speaker_id=speaker if speaker is not None else _speaker_hint(relative),
                     language=self.language,
                 )
             )
@@ -229,11 +244,18 @@ STRATEGY_IDS: tuple[str, ...] = tuple(sorted({*STRATEGIES, "ravdess"}))
 
 
 def get_strategy(dataset_id: str) -> DatasetStrategy:
+    if dataset_id == "ravdess":
+        raise KeyError(
+            "ravdess routes through the built-in RAVDESS preparer "
+            "(prepare.prepare_dataset applies the settings-owned code→emotion "
+            "map); it has no generic strategy."
+        )
     try:
         return STRATEGIES[dataset_id]
     except KeyError as err:
+        known = ", ".join(sorted(STRATEGIES))
         raise KeyError(
-            f"No dataset strategy for {dataset_id!r}; known: {', '.join(STRATEGY_IDS)}."
+            f"No dataset strategy for {dataset_id!r}; known: {known}."
         ) from err
 
 

@@ -5,7 +5,6 @@ from pathlib import Path
 import pytest
 
 from ser_tpu._internal.data.adapters import (
-    build_manifest_from_filenames,
     parse_crema_d,
     parse_emodb,
     parse_jl_corpus,
@@ -29,6 +28,8 @@ def test_emodb_parsing():
     assert utterance.speaker_id == "03"
     assert utterance.language == "de"
     assert parse_emodb(Path("/d/03a01Wa.wav")).label == "angry"
+    # Boredom maps to neutral like the reference catalog (not calm).
+    assert parse_emodb(Path("/d/03a01La.wav")).label == "neutral"
     assert parse_emodb(Path("/d/x.wav")) is None
 
 
@@ -40,19 +41,24 @@ def test_jl_corpus_parsing():
     assert parse_jl_corpus(Path("/d/male2_excited_2b_1.wav")).label == "surprised"
 
 
-def test_build_manifest_walks_tree(tmp_path):
+def test_strategy_build_walks_tree_and_keeps_adapter_speaker(tmp_path):
+    from ser_tpu._internal.data.strategies import get_strategy
+
     (tmp_path / "sub").mkdir()
     (tmp_path / "sub" / "1001_DFA_HAP_XX.wav").write_bytes(b"RIFF")
     (tmp_path / "1002_IEO_SAD_LO.wav").write_bytes(b"RIFF")
     (tmp_path / "notes.txt").write_text("ignore")
-    utterances = build_manifest_from_filenames("crema-d", tmp_path)
+    utterances = get_strategy("crema-d").build(tmp_path)
     assert sorted(u.label for u in utterances) == ["happy", "sad"]
+    assert sorted(u.speaker_id for u in utterances) == ["1001", "1002"]
     utterances[0].validate()
 
 
-def test_unknown_adapter_raises(tmp_path):
-    with pytest.raises(KeyError, match="labels_csv_path"):
-        build_manifest_from_filenames("msp-podcast", tmp_path)
+def test_csv_only_strategy_raises(tmp_path):
+    from ser_tpu._internal.data.strategies import get_strategy
+
+    with pytest.raises(ValueError, match="labels_csv_path"):
+        get_strategy("msp-podcast").build(tmp_path)
 
 
 def test_prepare_dataset_uses_adapter(tmp_path):

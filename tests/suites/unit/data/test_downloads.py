@@ -69,3 +69,78 @@ def test_materialize_without_archive_raises(tmp_path):
         materialize_dataset(
             dataset_id="ravdess", archive_path=None, destination=tmp_path / "empty"
         )
+
+
+def test_resume_without_checksum_restarts_from_scratch(tmp_path):
+    """A .part can only resume when a digest will vouch for the splice."""
+    from ser_tpu._internal.data.downloads import fetch_url
+
+    source = tmp_path / "src.bin"
+    source.write_bytes(b"B" * 100)
+    destination = tmp_path / "out.bin"
+    # Stale partial content that does NOT match the current source.
+    (tmp_path / "out.bin.part").write_bytes(b"A" * 40)
+    result = fetch_url(source.as_uri(), destination)
+    assert result.resumed is False
+    assert destination.read_bytes() == b"B" * 100
+
+
+def test_resume_with_checksum_splices_and_verifies(tmp_path):
+    from hashlib import sha256
+
+    from ser_tpu._internal.data.downloads import fetch_url
+
+    payload = b"C" * 100
+    source = tmp_path / "src.bin"
+    source.write_bytes(payload)
+    destination = tmp_path / "out.bin"
+    (tmp_path / "out.bin.part").write_bytes(payload[:37])
+    result = fetch_url(
+        source.as_uri(), destination, expected_sha256=sha256(payload).hexdigest()
+    )
+    assert result.resumed is True
+    assert result.bytes_fetched == 63
+    assert destination.read_bytes() == payload
+
+
+def test_partial_extraction_is_reextracted(tmp_path):
+    """A non-empty destination without the completion marker re-extracts;
+    with the marker (or with no archive) it is accepted as materialized."""
+    import zipfile
+
+    from ser_tpu._internal.data.downloads import (
+        MATERIALIZED_SENTINEL,
+        materialize_dataset,
+    )
+
+    archive = tmp_path / "corpus.zip"
+    with zipfile.ZipFile(archive, "w") as handle:
+        handle.writestr("a/x.wav", "RIFF")
+        handle.writestr("a/y.wav", "RIFF")
+    destination = tmp_path / "dataset"
+    # Simulate an interrupted extraction: one file, no sentinel.
+    (destination / "a").mkdir(parents=True)
+    (destination / "a" / "x.wav").write_text("partial")
+    root = materialize_dataset(
+        dataset_id="mesd", archive_path=archive, destination=destination
+    )
+    assert (root / "a" / "y.wav").exists()
+    assert (root / MATERIALIZED_SENTINEL).exists()
+    # Operator-staged tree (no archive): accepted as-is even without marker.
+    staged = tmp_path / "staged"
+    (staged / "b").mkdir(parents=True)
+    (staged / "b" / "z.wav").write_text("RIFF")
+    assert (
+        materialize_dataset(dataset_id="mesd", archive_path=None, destination=staged)
+        == staged
+    )
+
+
+def test_sibling_prefix_member_rejected(tmp_path):
+    from ser_tpu._internal.data.downloads import ArchiveError, _safe_members
+
+    destination = tmp_path / "mesd"
+    destination.mkdir()
+    (tmp_path / "mesd-evil").mkdir()
+    with pytest.raises(ArchiveError, match="escapes"):
+        _safe_members(["../mesd-evil/x.wav"], destination)

@@ -152,3 +152,35 @@ def test_generated_labels_csv_synonyms_are_canonicalized(tmp_path):
 
     rows = [json.loads(l) for l in open(result.manifest_path, encoding="utf-8")]
     assert any(r.get("label") == "angry" and r.get("raw_label") == "anger" for r in rows)
+
+
+def test_emotion_word_outside_corpus_root_cannot_label(tmp_path):
+    """Labels resolve from the path RELATIVE to the staged root — an emotion
+    word in an ancestor directory must not relabel the corpus."""
+    from ser_tpu._internal.data.strategies import get_strategy
+
+    root = tmp_path / "happy-lab" / "cafe"
+    (root / "colere").mkdir(parents=True)
+    (root / "colere" / "042.wav").write_bytes(b"RIFF")
+    utterances = get_strategy("cafe").build(root)
+    assert [u.label for u in utterances] == ["angry"]  # colere, NOT 'happy'
+
+
+def test_emodb_strategy_keeps_adapter_speaker(tmp_path):
+    from ser_tpu._internal.data.strategies import get_strategy
+
+    wav_dir = tmp_path / "wav"
+    wav_dir.mkdir()
+    (wav_dir / "03a01Fa.wav").write_bytes(b"RIFF")
+    (wav_dir / "16b10Wb.wav").write_bytes(b"RIFF")
+    utterances = get_strategy("emodb-2.0").build(tmp_path)
+    assert sorted(u.speaker_id for u in utterances) == ["03", "16"]
+
+
+def test_get_strategy_ravdess_names_the_builtin_route():
+    import pytest
+
+    from ser_tpu._internal.data.strategies import get_strategy
+
+    with pytest.raises(KeyError, match="built-in RAVDESS preparer"):
+        get_strategy("ravdess")
