@@ -59,9 +59,21 @@ def extract_ravdess_speaker_id_from_path(file_path: str) -> str | None:
 
 
 def discover_dataset_files(settings: AppConfig | None = None) -> list[str]:
-    """Sorted dataset audio files per the configured glob pattern."""
+    """Sorted dataset audio files: the configured glob UNION manifest rows.
+
+    Manifest-configured corpora live wherever their ``audio_path`` columns
+    point — often outside the RAVDESS ``Actor_*`` glob — and must still be
+    visible to training readiness and the loaders.
+    """
     settings = _resolve_settings(settings)
-    return sorted(glob.glob(settings.dataset.glob_pattern))
+    files = set(glob.glob(settings.dataset.glob_pattern))
+    if settings.dataset.manifest_paths:
+        try:
+            for utterance in load_utterances(settings=settings) or []:
+                files.add(str(utterance.audio_path))
+        except Exception as err:  # noqa: BLE001 - manifest defects surface later
+            logger.warning("Manifest discovery unavailable: %s", err)
+    return sorted(files)
 
 
 def load_labeled_clips(

@@ -74,6 +74,12 @@ class ReadinessReport:
     findings: tuple[ReadinessFinding, ...]
     quarantined_files: tuple[str, ...]
     usable_files: tuple[str, ...]
+    #: Corpus/label/speaker attribution per usable file (manifest-aware) and
+    #: the normalized-PCM digest captured during the media probe — prepared
+    #: plans reuse both instead of re-deriving labels from RAVDESS filename
+    #: codes (wrong for manifest corpora) or re-decoding the corpus.
+    usable_records: tuple["FileRecord", ...] = ()
+    usable_digests: tuple[str, ...] = ()
 
     @property
     def blocking(self) -> bool:
@@ -123,38 +129,45 @@ class QuarantinePolicy:
 
 @dataclass(frozen=True)
 class FileRecord:
-    """One dataset file with its corpus and (optional) primary label."""
+    """One dataset file with its corpus and (optional) label + speaker."""
 
     path: str
     corpus: str
     label: str | None
+    speaker: str | None = None
 
 
 def _file_records(files: list[str], settings: AppConfig) -> list[FileRecord]:
-    """Attributes corpus + label per file.
+    """Attributes corpus + label + speaker per file.
 
-    Manifest-configured datasets carry explicit corpus/label; the RAVDESS
-    glob path derives labels from the filename adapter with corpus
-    ``ravdess``.
+    Manifest-configured datasets carry explicit corpus/label/speaker; the
+    RAVDESS glob path derives labels from the filename adapter with corpus
+    ``ravdess``. Manifest rows match discovered files on RESOLVED paths —
+    relative manifest paths vs absolute glob paths must not silently drop
+    the attribution (that would fold every corpus into a fictitious
+    'ravdess' and mis-scope the per-corpus quarantine budgets).
     """
-    by_path: dict[str, tuple[str, str]] = {}
+    by_path: dict[str, tuple[str, str, str | None]] = {}
     if settings.dataset.manifest_paths:
         try:
             for utterance in loader.load_utterances(settings=settings) or []:
-                by_path[str(utterance.audio_path)] = (utterance.corpus, utterance.label)
+                key = str(Path(utterance.audio_path).resolve())
+                by_path[key] = (utterance.corpus, utterance.label, utterance.speaker_id)
         except Exception as err:  # noqa: BLE001 - manifest defects surface later
             logger.warning("Manifest attribution unavailable: %s", err)
     emotion_map = dict(settings.emotions)
     records = []
     for file in files:
-        if file in by_path:
-            corpus, label = by_path[file]
+        resolved = str(Path(file).resolve())
+        if resolved in by_path:
+            corpus, label, speaker = by_path[resolved]
         else:
             corpus = "ravdess"
             label = emotion_map.get(
                 loader.extract_ravdess_emotion_code(Path(file).name) or ""
             )
-        records.append(FileRecord(path=file, corpus=corpus, label=label))
+            speaker = loader.extract_ravdess_speaker_id_from_path(file)
+        records.append(FileRecord(path=file, corpus=corpus, label=label, speaker=speaker))
     return records
 
 
@@ -184,47 +197,63 @@ def _config_findings(settings: AppConfig) -> list[ReadinessFinding]:
 
 def _media_findings(
     records: list[FileRecord], settings: AppConfig
-) -> tuple[list[ReadinessFinding], list[str], list[str]]:
-    """Probes each file's decodability; applies the full quarantine taxonomy."""
+) -> tuple[list[ReadinessFinding], list[FileRecord], list[FileRecord], list[str]]:
+    """Probes each file's decodability; applies the full quarantine taxonomy.
+
+    Probes run on a bounded thread pool (the data-loader's worker budget —
+    audio decode releases the GIL in the native fast path), and each usable
+    clip's normalized-PCM digest is captured from the ALREADY-decoded audio
+    so prepared plans do not re-decode the corpus. Returns findings,
+    quarantined records, usable records, and usable digests (aligned).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
     findings: list[ReadinessFinding] = []
     quarantined: list[FileRecord] = []
     usable: list[FileRecord] = []
+    usable_digests: list[str] = []
     per_reason: Counter[str] = Counter()
-    for record in records:
+    probe_config = dataclasses.replace(
+        settings.audio_read, max_retries=1, retry_delay_seconds=0.0
+    )
+
+    def probe(record: FileRecord):
         try:
-            audio, sr = read_audio_file(
-                record.path,
-                audio_read_config=dataclasses.replace(
-                    settings.audio_read, max_retries=1, retry_delay_seconds=0.0
-                ),
-            )
+            audio, sr = read_audio_file(record.path, audio_read_config=probe_config)
             if audio.size < int(0.1 * sr):
                 raise ValueError("clip shorter than 100 ms")
-            usable.append(record)
+            return record, normalized_pcm_sha256(audio), None
         except Exception as err:  # noqa: BLE001 - every defect becomes a finding
-            reason = type(err).__name__
-            per_reason[reason] += 1
-            quarantined.append(record)
-            findings.append(
-                ReadinessFinding(
-                    FindingScope.MEDIA,
-                    FindingSeverity.WARNING,
-                    f"undecodable:{reason}",
-                    f"{record.path}: {err}",
-                    sample_id=Path(record.path).stem,
-                )
+            return record, None, err
+
+    max_workers = max(1, int(getattr(settings.data_loader, "max_workers", 1) or 1))
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        results = list(pool.map(probe, records))  # preserves input order
+
+    for record, digest, err in results:
+        if err is None:
+            usable.append(record)
+            usable_digests.append(digest)
+            continue
+        reason = type(err).__name__
+        per_reason[reason] += 1
+        quarantined.append(record)
+        findings.append(
+            ReadinessFinding(
+                FindingScope.MEDIA,
+                FindingSeverity.WARNING,
+                f"undecodable:{reason}",
+                f"{record.path}: {err}",
+                sample_id=record.path,
             )
+        )
 
     findings.extend(
         _quarantine_budget_findings(
             records, quarantined, per_reason, QuarantinePolicy.from_settings(settings)
         )
     )
-    return (
-        findings,
-        [record.path for record in quarantined],
-        [record.path for record in usable],
-    )
+    return findings, quarantined, usable, usable_digests
 
 
 def _quarantine_budget_findings(
@@ -299,14 +328,14 @@ def _quarantine_budget_findings(
     return findings
 
 
-def _split_findings(usable: list[str], settings: AppConfig) -> list[ReadinessFinding]:
+def _split_findings(
+    usable: list[FileRecord], settings: AppConfig
+) -> list[ReadinessFinding]:
     findings = []
-    emotion_map = dict(settings.emotions)
-    labels = [
-        emotion_map.get(loader.extract_ravdess_emotion_code(Path(f).name) or "")
-        for f in usable
-    ]
-    labeled = [label for label in labels if label is not None]
+    # Labels come from the attribution pass (manifest-aware); a manifest
+    # corpus whose filenames are not RAVDESS-coded must not be blocked for
+    # "insufficient classes" it plainly has.
+    labeled = [record.label for record in usable if record.label is not None]
     counts = Counter(labeled)
     if len(counts) < 2:
         findings.append(
@@ -329,7 +358,7 @@ def _split_findings(usable: list[str], settings: AppConfig) -> list[ReadinessFin
                 )
             )
     speakers = {
-        loader.extract_ravdess_speaker_id_from_path(f) or Path(f).stem for f in usable
+        record.speaker or Path(record.path).stem for record in usable
     }
     if len(speakers) < 2:
         findings.append(
@@ -361,11 +390,20 @@ def run_training_readiness(
             )
         )
         return ReadinessReport(profile, tuple(findings), (), ())
-    media, quarantined, usable = _media_findings(_file_records(files, settings), settings)
+    media, quarantined, usable, digests = _media_findings(
+        _file_records(files, settings), settings
+    )
     findings.extend(media)
     findings.extend(_split_findings(usable, settings))
     findings.extend(_recipe_findings(settings))
-    return ReadinessReport(profile, tuple(findings), tuple(quarantined), tuple(usable))
+    return ReadinessReport(
+        profile,
+        tuple(findings),
+        tuple(record.path for record in quarantined),
+        tuple(record.path for record in usable),
+        usable_records=tuple(usable),
+        usable_digests=tuple(digests),
+    )
 
 
 # --------------------------------------------------------------------------- #
@@ -610,22 +648,34 @@ def _settings_digest(settings: AppConfig, profile: ProfileName) -> str:
     return sha256(payload.encode("utf-8")).hexdigest()
 
 
+def _labeled_usable(report: ReadinessReport) -> list[tuple[FileRecord, str]]:
+    """(record, digest) for usable files that carry a label.
+
+    Labels/digests come from the readiness attribution + media probe
+    (manifest-aware; no re-decode). Reports built before the record fields
+    existed fall back to empty — callers then raise their no-clips error.
+    """
+    if report.usable_records and len(report.usable_digests) == len(report.usable_records):
+        return [
+            (record, digest)
+            for record, digest in zip(report.usable_records, report.usable_digests)
+            if record.label is not None
+        ]
+    return []
+
+
 def _prepare_fast_features(
     report: ReadinessReport, settings: AppConfig
 ) -> tuple[np.ndarray, list[str], list[str], list[str]]:
     from ser_tpu.ops.features import extract_feature_vectors_batch
 
-    emotion_map = dict(settings.emotions)
     clips, labels, digests, kept_files = [], [], [], []
-    for file in report.usable_files:
-        label = emotion_map.get(loader.extract_ravdess_emotion_code(Path(file).name) or "")
-        if label is None:
-            continue
-        audio, sr = read_audio_file(file, audio_read_config=settings.audio_read)
+    for record, digest in _labeled_usable(report):
+        audio, sr = read_audio_file(record.path, audio_read_config=settings.audio_read)
         clips.append((audio, sr))
-        labels.append(label)
-        digests.append(normalized_pcm_sha256(audio))
-        kept_files.append(file)
+        labels.append(record.label)
+        digests.append(digest)
+        kept_files.append(record.path)
     if not clips:
         raise RuntimeError("No usable labeled clips to prepare.")
     features = extract_feature_vectors_batch(clips, feature_flags=settings.feature_flags)
@@ -639,15 +689,10 @@ def _prepare_encoder_features(
     from ser_tpu._internal.models.encoder_training import _windowed_dataset
     from ser_tpu._internal.repr.encoders import build_encoder_backend
 
-    emotion_map = dict(settings.emotions)
     files, digests = [], []
-    for file in report.usable_files:
-        label = emotion_map.get(loader.extract_ravdess_emotion_code(Path(file).name) or "")
-        if label is None:
-            continue
-        audio, _sr = read_audio_file(file, audio_read_config=settings.audio_read)
-        digests.append(normalized_pcm_sha256(audio))
-        files.append((file, label, loader.extract_ravdess_speaker_id_from_path(file)))
+    for record, digest in _labeled_usable(report):
+        digests.append(digest)
+        files.append((record.path, record.label, record.speaker))
     if not files:
         raise RuntimeError("No usable labeled clips to prepare.")
     backend = build_encoder_backend(profile, settings=settings)
@@ -719,37 +764,77 @@ def write_quarantine_ledger(
     ledger_dir = settings.tmp_folder / "quarantine"
     ledger_dir.mkdir(parents=True, exist_ok=True)
     ledger_path = ledger_dir / f"{report.profile}.jsonl"
+    # Findings key by FULL path — stems collide across Actor_* directories
+    # and would mis-audit one exclusion's reason onto another.
     media_findings = {
         finding.sample_id: finding
         for finding in report.findings
         if finding.scope is FindingScope.MEDIA and finding.sample_id
     }
+    existing = {
+        (row.get("file"), row.get("reason"), row.get("message"))
+        for row in _read_ledger_rows(ledger_path)
+    }
     import time as _time
 
     with ledger_path.open("a", encoding="utf-8") as handle:
         for file in report.quarantined_files:
-            finding = media_findings.get(Path(file).stem)
+            finding = media_findings.get(file)
+            row = {
+                "file": file,
+                "scope": "media",
+                "reason": finding.reason if finding else "unknown",
+                "message": finding.message if finding else "",
+            }
+            # Append-only audit trail WITHOUT rerun spam: an identical
+            # exclusion already on record is not re-appended (re-appending
+            # also churned the plan digest on every dry-run).
+            if (row["file"], row["reason"], row["message"]) in existing:
+                continue
             handle.write(
-                json.dumps(
-                    {
-                        "file": file,
-                        "scope": "media",
-                        "reason": finding.reason if finding else "unknown",
-                        "message": finding.message if finding else "",
-                        "recorded_at_unix": _time.time(),
-                    }
-                )
-                + "\n"
+                json.dumps({**row, "recorded_at_unix": _time.time()}) + "\n"
             )
     return ledger_path
 
 
+def _read_ledger_rows(ledger_path: Path) -> list[dict]:
+    if not ledger_path.exists():
+        return []
+    rows = []
+    for line in ledger_path.read_text(encoding="utf-8").splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            rows.append(json.loads(line))
+        except ValueError:
+            rows.append({"file": line, "scope": "?", "reason": "?", "message": line})
+    return rows
+
+
 def quarantine_ledger_digest(settings: AppConfig, profile: ProfileName) -> str | None:
-    """Content digest of the profile's quarantine ledger (None when absent)."""
+    """Digest of the profile's CURRENT exclusion set (None when absent).
+
+    Canonicalized over the stable fields (file/scope/reason/message), sorted
+    and deduplicated — per-record timestamps and historical duplicates must
+    not invalidate a prepared plan whose effective exclusions are unchanged
+    (the documented "stable across prepare/train reruns" contract).
+    """
     ledger_path = settings.tmp_folder / "quarantine" / f"{profile}.jsonl"
     if not ledger_path.exists():
         return None
-    return sha256(ledger_path.read_bytes()).hexdigest()
+    canonical = sorted(
+        {
+            (
+                row.get("file", ""),
+                row.get("scope", ""),
+                row.get("reason", ""),
+                row.get("message", ""),
+            )
+            for row in _read_ledger_rows(ledger_path)
+        }
+    )
+    return sha256(json.dumps(canonical).encode("utf-8")).hexdigest()
 
 
 class PreparedPlanError(ValueError):
@@ -759,8 +844,18 @@ class PreparedPlanError(ValueError):
 def load_prepared_plan(
     plan_path: Path, *, settings: AppConfig, profile: ProfileName
 ) -> tuple[np.ndarray, list[str]]:
-    """Validates a prepared plan's digests and returns (features, labels)."""
-    plan = json.loads(Path(plan_path).read_text(encoding="utf-8"))
+    """Validates a prepared plan's digests and returns (features, labels).
+
+    Every defect in the plan file or its payload raises
+    :class:`PreparedPlanError` (the CLI's documented exit-code-2 surface) —
+    a truncated JSON or a missing sibling NPZ must not traceback.
+    """
+    try:
+        plan = json.loads(Path(plan_path).read_text(encoding="utf-8"))
+    except (OSError, ValueError) as err:
+        raise PreparedPlanError(f"Cannot read prepared plan {plan_path}: {err}") from err
+    if not isinstance(plan, dict):
+        raise PreparedPlanError("Prepared plan must be a JSON object.")
     if plan.get("plan_schema_version") != PLAN_SCHEMA_VERSION:
         raise PreparedPlanError("Unsupported prepared-plan schema version.")
     if plan.get("profile") != profile:
@@ -783,9 +878,18 @@ def load_prepared_plan(
             f"Prepared plan backend fingerprint {plan.get('backend')} does not match "
             f"the active runtime {expected_backend}. Re-run --prepare-only."
         )
-    with np.load(plan["payload"], allow_pickle=True) as payload:
-        features = payload["features"]
-        labels = [str(label) for label in payload["labels"]]
+    payload_path = plan.get("payload")
+    if not payload_path:
+        raise PreparedPlanError("Prepared plan names no feature payload.")
+    try:
+        with np.load(payload_path, allow_pickle=True) as payload:
+            features = payload["features"]
+            labels = [str(label) for label in payload["labels"]]
+    except (OSError, KeyError, ValueError) as err:
+        raise PreparedPlanError(
+            f"Prepared feature payload {payload_path} is missing or unreadable: {err}. "
+            "Re-run --prepare-only."
+        ) from err
     if len(plan.get("files", ())) != len(plan.get("sample_digests", ())):
         raise PreparedPlanError("Prepared plan file/digest lists are inconsistent.")
     if features.shape[0] != plan.get("rows", features.shape[0]):

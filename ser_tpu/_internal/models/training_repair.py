@@ -199,17 +199,36 @@ def apply_training_repairs(
 
 
 def run_training_repair(*, settings: AppConfig, profile: ProfileName) -> int:
-    """``--repair`` flow: apply the allowlist, then re-run readiness."""
-    from ser_tpu._internal.models.training_readiness import run_training_readiness
+    """``--repair`` flow: apply the allowlist, then re-verify readiness.
+
+    The verification includes the backend smoke — a repair prompted by a
+    hung/miswired backend must not report success without exercising the
+    component it repaired (``ensure_entrypoint_readiness`` always smokes).
+    """
+    from ser_tpu._internal.models.training_readiness import (
+        FindingSeverity,
+        run_backend_smoke,
+        run_training_readiness,
+    )
 
     for record in apply_training_repairs(settings=settings, profile=profile):
         print(record.render())
     report = run_training_readiness(settings=settings, profile=profile)
+    blocking = report.blocking
+    if not blocking and report.usable_files:
+        smoke = run_backend_smoke(
+            settings=settings, profile=profile, usable_files=report.usable_files
+        )
+        for finding in smoke:
+            print(f"repair: smoke {finding.reason}: {finding.message}")
+        blocking = blocking or any(
+            finding.severity is FindingSeverity.BLOCKING for finding in smoke
+        )
     print(
         f"repair: post-repair readiness usable={len(report.usable_files)} "
-        f"quarantined={len(report.quarantined_files)} blocking={report.blocking}"
+        f"quarantined={len(report.quarantined_files)} blocking={blocking}"
     )
-    return 2 if report.blocking else 0
+    return 2 if blocking else 0
 
 
 __all__ = [

@@ -277,3 +277,79 @@ def test_prepared_plan_rejects_backend_fingerprint_change(tmp_path, monkeypatch)
     plan_path.write_text(json.dumps(plan))
     with pytest.raises(tr.PreparedPlanError):
         tr.load_prepared_plan(plan_path, settings=settings, profile="fast")
+
+
+def test_quarantine_ledger_digest_stable_across_reruns(tmp_path):
+    """Re-running readiness on an unchanged corpus must not churn the ledger
+    digest (the prepared-plan 'stable across prepare/train reruns' contract)
+    nor spam duplicate audit rows."""
+    _make_corpus(tmp_path, corrupt=1)
+    settings = _settings(tmp_path)
+    report = tr.run_training_readiness(settings=settings, profile="fast")
+    ledger = tr.write_quarantine_ledger(report, settings=settings)
+    assert ledger is not None
+    digest_1 = tr.quarantine_ledger_digest(settings, "fast")
+    rows_1 = ledger.read_text().strip().splitlines()
+
+    report2 = tr.run_training_readiness(settings=settings, profile="fast")
+    tr.write_quarantine_ledger(report2, settings=settings)
+    assert tr.quarantine_ledger_digest(settings, "fast") == digest_1
+    assert ledger.read_text().strip().splitlines() == rows_1
+
+
+def test_manifest_labels_drive_split_findings(tmp_path):
+    """Manifest corpora with non-RAVDESS filenames must not be blocked for
+    'insufficient classes' the manifest plainly attributes."""
+    import json as _json
+
+    ds = tmp_path / "ds"
+    ds.mkdir(parents=True)
+    sr = 16000
+    t = np.arange(int(1.0 * sr)) / sr
+    rows = []
+    for i, label in enumerate(["angry", "happy", "angry", "happy"]):
+        name = f"clip_{i}.wav"
+        write_wav(ds / name, (0.4 * np.sin(2 * np.pi * (120 + 40 * i) * t)).astype(np.float32), sr)
+        rows.append(
+            {
+                "sample_id": f"clip_{i}",
+                "corpus": "crema-d",
+                "audio_path": str(ds / name),
+                "label": label,
+                "raw_label": label,
+                "speaker_id": f"spk{i % 2}",
+                "language": "en",
+            }
+        )
+    manifest = tmp_path / "manifest.jsonl"
+    with manifest.open("w") as handle:
+        handle.write(_json.dumps({"manifest_schema_version": 2}) + "\n")
+        for row in rows:
+            handle.write(_json.dumps(row) + "\n")
+    settings = _settings(tmp_path, SER_DATASET_MANIFESTS=str(manifest))
+    report = tr.run_training_readiness(settings=settings, profile="fast")
+    reasons = {f.reason for f in report.findings}
+    assert "insufficient_classes" not in reasons
+    assert not report.blocking
+    labels = {record.label for record in report.usable_records}
+    assert labels == {"angry", "happy"}
+    corpora = {record.corpus for record in report.usable_records}
+    assert corpora == {"crema-d"}
+
+
+def test_prepared_plan_missing_payload_is_validation_error(tmp_path):
+    import json as _json
+
+    _make_corpus(tmp_path)
+    settings = _settings(tmp_path)
+    report = tr.run_training_readiness(settings=settings, profile="fast")
+    plan_path = tr.write_prepared_plan(
+        settings=settings, profile="fast", report=report, plan_dir=tmp_path / "plan"
+    )
+    (tmp_path / "plan" / "prepared_features.npz").unlink()
+    with pytest.raises(tr.PreparedPlanError, match="payload"):
+        tr.load_prepared_plan(plan_path, settings=settings, profile="fast")
+    # Truncated JSON is also a validation error, not a traceback.
+    plan_path.write_text("{not json")
+    with pytest.raises(tr.PreparedPlanError, match="Cannot read"):
+        tr.load_prepared_plan(plan_path, settings=settings, profile="fast")
