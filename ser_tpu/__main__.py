@@ -295,8 +295,10 @@ def _run_transcription_calibration(settings) -> int:
             logger.error("%s", err)
             return EXIT_VALIDATION
     recommendation = recommend_default(candidates)
+    from ser_tpu._internal.transcript.profiling import default_calibration_report_path
+
     report_path = settings.transcription.calibration_report_path or (
-        settings.tmp_folder / "transcription_calibration.json"
+        default_calibration_report_path(settings.tmp_folder)
     )
     path = save_calibration_report(recommendation, candidates, report_path)
     print(

@@ -25,26 +25,42 @@ class RuntimeEnvironmentPlan:
 
 
 def build_runtime_environment_plan(settings: AppConfig) -> RuntimeEnvironmentPlan:
-    """Builds the cache-root env plan for the active settings snapshot."""
+    """Builds the cache-root env plan for the active settings snapshot.
+
+    Caveat shared with the reference design: huggingface_hub snapshots
+    ``HF_HOME``/``HF_HUB_OFFLINE`` at FIRST import, so the plan only steers
+    libraries not yet imported when the scope opens. The model loaders pass
+    explicit cache paths as the primary mechanism; the env plan is
+    belt-and-suspenders for transitive library lookups.
+    """
     return RuntimeEnvironmentPlan(
         set_vars={
             "HF_HOME": str(settings.models.huggingface_cache_root),
             "HF_HUB_OFFLINE": "1",  # this runtime never downloads at inference time
-            "SER_TMP_ACTIVE": str(settings.tmp_folder),
         }
     )
 
 
 @contextmanager
 def temporary_process_env(plan: RuntimeEnvironmentPlan) -> Iterator[None]:
-    """Applies one env plan for the scope, restoring previous values after."""
+    """Applies one env plan for the scope, restoring previous values after.
+
+    Originals are saved on FIRST sight of a key only — a key in both
+    ``set_vars`` and ``unset_vars`` would otherwise have its saved value
+    clobbered by the plan's own, leaking the delta past the scope.
+    """
     saved: dict[str, str | None] = {}
+
+    def remember(key: str) -> None:
+        if key not in saved:
+            saved[key] = os.environ.get(key)
+
     try:
         for key, value in plan.set_vars.items():
-            saved[key] = os.environ.get(key)
+            remember(key)
             os.environ[key] = value
         for key in plan.unset_vars:
-            saved[key] = os.environ.get(key)
+            remember(key)
             os.environ.pop(key, None)
         yield
     finally:

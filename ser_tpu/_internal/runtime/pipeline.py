@@ -96,6 +96,13 @@ class RuntimePipeline:
     def _run_inference_in_env(self, request: InferenceRequest) -> InferenceExecution:
         timings: dict[str, float] = {}
         profile = self.active_profile
+        # Validate the subtitle export request BEFORE any compute: a blank
+        # path or un-derivable format is an input error, and surfacing it
+        # after minutes of inference+transcription discards all results.
+        subtitles_utils.resolve_subtitle_export_request(
+            output_path=request.subtitle_output_path,
+            subtitle_format=request.subtitle_format,
+        )
         with phases.timed_phase(phases.PHASE_WORKFLOW_TOTAL, timings):
             with phases.timed_phase(phases.PHASE_EMOTION_SETUP, timings):
                 capability = resolve_runtime_capability(

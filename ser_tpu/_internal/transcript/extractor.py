@@ -93,9 +93,12 @@ def _run_setup_gates(
         )
 
     from ser_tpu._internal.transcript.hbm_admission import admit_transcription_model
+    from ser_tpu._internal.transcript.profiling import default_calibration_report_path
 
     decision = admit_transcription_model(
-        resolved.model_name, config=settings.transcription
+        resolved.model_name,
+        config=settings.transcription,
+        default_report_path=default_calibration_report_path(settings.tmp_folder),
     )
     if not decision.admitted:
         raise TranscriptionUnavailableError(

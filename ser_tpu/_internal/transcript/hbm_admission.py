@@ -68,29 +68,39 @@ def device_free_memory_mb() -> float | None:
 
 
 def calibration_admission_override(
-    model_name: str, config: TranscriptionConfig
+    model_name: str,
+    config: TranscriptionConfig,
+    *,
+    default_report_path=None,
 ) -> str | None:
     """Admit reason from a fresh calibration report proving the model runs.
 
     Reference ``mps_admission.py`` honors calibration-report overrides
     (overrides owner at reference ``transcript/mps_admission.py:329``): a
     recent, sufficiently confident recommendation for this exact model is
-    direct evidence it loads and runs on this device, trumping the estimate.
+    direct evidence it loads and runs on this device, relaxing the
+    footprint-estimate margins. When no explicit report path is configured,
+    the calibration CLI's default output location
+    (``default_calibration_report_path``) is consulted — otherwise the
+    report the CLI just wrote would never be read.
     """
-    if not config.calibration_overrides_enabled or config.calibration_report_path is None:
+    if not config.calibration_overrides_enabled:
+        return None
+    report_path = config.calibration_report_path or default_report_path
+    if report_path is None:
         return None
     import time
 
     from ser_tpu._internal.transcript.profiling import load_calibration_report
 
-    report = load_calibration_report(config.calibration_report_path)
+    report = load_calibration_report(report_path)
     if report is None or report.model_name != model_name:
         return None
     age_hours = (time.time() - report.generated_at_unix) / 3600.0
     if age_hours > config.calibration_report_max_age_hours:
         return None
     rank = {"low": 0, "medium": 1, "high": 2}
-    if rank[report.confidence] < rank[config.calibration_min_confidence]:
+    if rank[report.confidence] < rank.get(config.calibration_min_confidence, 2):
         return None
     return (
         f"calibration report confirms {model_name!r} runs here "
@@ -102,26 +112,37 @@ def admit_transcription_model(
     model_name: str,
     *,
     config: TranscriptionConfig,
+    default_report_path=None,
 ) -> AdmissionDecision:
-    """Decides whether loading ``model_name`` fits in device memory."""
+    """Decides whether loading ``model_name`` fits in device memory.
+
+    A valid calibration override is evidence the model runs on THIS device,
+    so it waives the headroom + safety MARGINS — but never the live
+    free-memory check: calibration ran without the emotion encoder
+    resident, and admitting into HBM that is already occupied would cause
+    exactly the OOM this gate exists to prevent.
+    """
     footprint = estimate_model_footprint_mb(model_name)
     if not config.hbm_admission_control_enabled:
         return AdmissionDecision(True, "admission control disabled", footprint, None)
-    override = calibration_admission_override(model_name, config)
-    if override is not None:
-        return AdmissionDecision(True, override, footprint, None)
+    override = calibration_admission_override(
+        model_name, config, default_report_path=default_report_path
+    )
     free = device_free_memory_mb()
     if free is None:
-        return AdmissionDecision(
-            True, "device memory stats unavailable; admitting", footprint, None
-        )
-    required = (
-        footprint + config.hbm_admission_min_headroom_mb + config.hbm_admission_safety_margin_mb
+        reason = override or "device memory stats unavailable; admitting"
+        return AdmissionDecision(True, reason, footprint, None)
+    margins = 0.0 if override else (
+        config.hbm_admission_min_headroom_mb + config.hbm_admission_safety_margin_mb
     )
+    required = footprint + margins
     if free >= required:
-        return AdmissionDecision(
-            True, f"{free:.0f} MB free >= {required:.0f} MB required", footprint, free
+        reason = (
+            f"{override}; {free:.0f} MB free >= {required:.0f} MB footprint"
+            if override
+            else f"{free:.0f} MB free >= {required:.0f} MB required"
         )
+        return AdmissionDecision(True, reason, footprint, free)
     return AdmissionDecision(
         False,
         f"{free:.0f} MB free < {required:.0f} MB required for {model_name!r}; "

@@ -78,7 +78,9 @@ class CalibrationRecommendation:
     generated_at_unix: float
 
     def to_dict(self) -> dict:
-        return vars(self)
+        import dataclasses
+
+        return dataclasses.asdict(self)
 
 
 def profile_transcription_candidate(
@@ -88,9 +90,17 @@ def profile_transcription_candidate(
     backend_id: str,
     model_name: str,
 ) -> TranscriptionCandidateReport:
-    """Measures WER + latency for one candidate over labeled samples."""
+    """Measures WER + latency for one candidate over labeled samples.
+
+    The first transcribe on a fresh backend lazily loads weights and pays
+    XLA compilation (minutes over a remote-compile tunnel) — an UNTIMED
+    warmup call runs first so p50/p95 measure steady-state latency, not the
+    one-time setup the persisted recommendation would otherwise mistake for
+    model speed.
+    """
     if not samples:
         raise ValueError("Need at least one labeled sample to profile.")
+    transcribe(samples[0][0])  # warmup: load + compile outside the timers
     wers, latencies = [], []
     for audio_path, reference in samples:
         start = time.perf_counter()
@@ -167,10 +177,22 @@ def load_calibration_report(path: str | Path) -> CalibrationRecommendation | Non
         return None
     try:
         raw = json.loads(target.read_text(encoding="utf-8"))["recommendation"]
-        return CalibrationRecommendation(**raw)
-    except (OSError, KeyError, TypeError, json.JSONDecodeError) as err:
+        report = CalibrationRecommendation(**raw)
+        # Value validation: a hand-edited or version-skewed report must read
+        # as no-report, not crash the admission gate downstream.
+        if report.confidence not in ("high", "medium", "low"):
+            raise TypeError(f"invalid confidence {report.confidence!r}")
+        float(report.generated_at_unix)
+        float(report.mean_wer)
+        return report
+    except (OSError, KeyError, TypeError, ValueError, json.JSONDecodeError) as err:
         logger.warning("Unreadable calibration report %s: %s", path, err)
         return None
+
+
+def default_calibration_report_path(tmp_folder) -> "Path":
+    """The writer's default report location (shared with admission)."""
+    return Path(tmp_folder) / "transcription_calibration.json"
 
 
 __all__ = [

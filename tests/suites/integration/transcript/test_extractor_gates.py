@@ -103,9 +103,14 @@ def test_admission_denial_blocks_model_load(tmp_path, stubbed, monkeypatch):
 
 
 def test_calibration_report_overrides_admission_denial(tmp_path, stubbed, monkeypatch):
+    """A fresh report waives the headroom+safety MARGINS — free memory must
+    still cover the bare footprint (calibration ran without the emotion
+    encoder resident; overriding the live check would OOM)."""
     from ser_tpu._internal.transcript import hbm_admission
 
-    monkeypatch.setattr(hbm_admission, "device_free_memory_mb", lambda: 64.0)
+    # distil-large-v3 footprint is 3780 MB; defaults add 512 MB of margins.
+    # 3900 MB free: denied without a report, admitted with one.
+    monkeypatch.setattr(hbm_admission, "device_free_memory_mb", lambda: 3900.0)
     settings = _settings(tmp_path)
     model_name = settings.models.whisper_model.name or "distil-large-v3"
     report_path = tmp_path / "calibration.json"
@@ -167,3 +172,97 @@ def test_isolation_routing_is_config_driven(tmp_path):
     )
     # Tests force CPU, so the opt-in is honored here.
     assert should_use_process_isolated_path("jax_whisper", settings=isolated)
+
+
+def test_calibration_override_never_bypasses_live_memory_check(tmp_path, monkeypatch):
+    import time as _time
+
+    from ser_tpu._internal.transcript import hbm_admission
+
+    monkeypatch.setattr(hbm_admission, "device_free_memory_mb", lambda: 64.0)
+    settings = _settings(tmp_path)
+    report_path = tmp_path / "calibration.json"
+    report_path.write_text(
+        json.dumps(
+            {
+                "recommendation": {
+                    "backend_id": "jax_whisper",
+                    "model_name": "distil-large-v3",
+                    "confidence": "high",
+                    "mean_wer": 0.08,
+                    "p50_latency_seconds": 0.4,
+                    "generated_at_unix": _time.time(),
+                }
+            }
+        )
+    )
+    config = dataclasses.replace(
+        settings.transcription, calibration_report_path=report_path
+    )
+    decision = hbm_admission.admit_transcription_model(
+        "distil-large-v3", config=config
+    )
+    assert decision.admitted is False  # 64 MB cannot hold a 3.7 GB model
+
+
+def test_corrupt_calibration_report_reads_as_no_override(tmp_path):
+    from ser_tpu._internal.transcript import hbm_admission
+
+    settings = _settings(tmp_path)
+    report_path = tmp_path / "calibration.json"
+    report_path.write_text(
+        json.dumps(
+            {
+                "recommendation": {
+                    "backend_id": "jax_whisper",
+                    "model_name": "distil-large-v3",
+                    "confidence": "HIGH",  # invalid casing must not KeyError
+                    "mean_wer": 0.08,
+                    "p50_latency_seconds": 0.4,
+                    "generated_at_unix": "yesterday",  # non-numeric
+                }
+            }
+        )
+    )
+    config = dataclasses.replace(
+        settings.transcription, calibration_report_path=report_path
+    )
+    assert (
+        hbm_admission.calibration_admission_override("distil-large-v3", config)
+        is None
+    )
+
+
+def test_admission_consults_default_calibration_path(tmp_path, monkeypatch):
+    """The report the calibration CLI writes at its default location is
+    honored without configuring calibration_report_path explicitly."""
+    import time as _time
+
+    from ser_tpu._internal.transcript import hbm_admission
+    from ser_tpu._internal.transcript.profiling import default_calibration_report_path
+
+    monkeypatch.setattr(hbm_admission, "device_free_memory_mb", lambda: 3900.0)
+    settings = _settings(tmp_path)
+    report_path = default_calibration_report_path(settings.tmp_folder)
+    report_path.parent.mkdir(parents=True, exist_ok=True)
+    report_path.write_text(
+        json.dumps(
+            {
+                "recommendation": {
+                    "backend_id": "jax_whisper",
+                    "model_name": "distil-large-v3",
+                    "confidence": "high",
+                    "mean_wer": 0.08,
+                    "p50_latency_seconds": 0.4,
+                    "generated_at_unix": _time.time(),
+                }
+            }
+        )
+    )
+    decision = hbm_admission.admit_transcription_model(
+        "distil-large-v3",
+        config=settings.transcription,
+        default_report_path=report_path,
+    )
+    assert decision.admitted is True
+    assert "calibration report" in decision.reason
