@@ -34,19 +34,34 @@ def temporal_pooling_windows(
     if np.isclose(effective_window, clip_duration):
         return [PoolingWindow(start_seconds=clip_start, end_seconds=clip_end)]
 
-    # Vectorized window plan: every stride-spaced start whose window fits.
+    # Vectorized window plan over SEQUENTIALLY-ACCUMULATED cursors:
+    # np.cumsum reproduces the reference's `cursor += stride` float sequence
+    # bit for bit, where `stride * arange(n)` does not (non-dyadic strides
+    # like 0.1 s round differently per element, shifting serialized window
+    # timestamps and — on long clips — the fitting count itself).
     epsilon = 1e-9
-    n_fitting = int(
+    estimate = int(
         np.floor((clip_end + epsilon - effective_window - clip_start) / window_stride_seconds)
     ) + 1
-    if n_fitting <= 0:
+    starts = np.empty(0)
+    if estimate > 0:
+        count = estimate + 2  # fp-drift margin over the closed-form estimate
+        while True:
+            cursors = np.cumsum(
+                np.concatenate(([clip_start], np.full(count, window_stride_seconds)))
+            )
+            keep = cursors + effective_window <= clip_end + epsilon
+            if not keep[-1]:
+                starts = cursors[keep]
+                break
+            count *= 2  # estimate fell short of the accumulated drift
+    if starts.size == 0:
         return [
             PoolingWindow(
                 start_seconds=max(clip_start, clip_end - effective_window),
                 end_seconds=clip_end,
             )
         ]
-    starts = clip_start + window_stride_seconds * np.arange(n_fitting)
     windows = [
         PoolingWindow(start_seconds=float(s), end_seconds=float(min(clip_end, s + effective_window)))
         for s in starts

@@ -34,7 +34,10 @@ from pathlib import Path
 
 import numpy as np
 
+from ser_tpu._internal.utils.logger import get_logger
 from ser_tpu.models.wav2vec2 import Wav2Vec2Config
+
+logger = get_logger(__name__)
 
 _AUDIO = "modality_encoders.AUDIO."
 _SKIP_PREFIXES = ("decoder.", "_ema", "ema.", "proj.", "regression_head.")
@@ -47,17 +50,33 @@ def load_funasr_state_dict(model_dir: str | Path) -> dict[str, np.ndarray]:
     path = Path(model_dir) / "model.pt"
     if not path.is_file():
         raise FileNotFoundError(f"No FunASR checkpoint (model.pt) in {model_dir}.")
-    raw = torch.load(str(path), map_location="cpu", weights_only=True)
+    try:
+        raw = torch.load(str(path), map_location="cpu", weights_only=True)
+    except Exception:
+        # Genuine fairseq envelopes carry non-tensor objects (omegaconf cfg,
+        # optimizer state) that the weights_only unpickler rejects. The
+        # checkpoint is operator-staged (trusted input by the same policy
+        # that lets us run its weights), so retry with full unpickling.
+        logger.warning(
+            "weights_only load of %s failed; retrying with full unpickling "
+            "(fairseq-style envelope).",
+            path,
+        )
+        raw = torch.load(str(path), map_location="cpu", weights_only=False)
     if isinstance(raw, dict) and "model" in raw and isinstance(raw["model"], dict):
         raw = raw["model"]  # fairseq-style envelope
     state: dict[str, np.ndarray] = {}
     for key, value in raw.items():
+        if not hasattr(value, "shape"):
+            continue  # envelope scalars/objects
         if key.startswith("model."):
             key = key[len("model.") :]
         if any(key.startswith(prefix) for prefix in _SKIP_PREFIXES):
             continue
         if key.startswith(_AUDIO + "decoder."):
             continue
+        if value.dtype == torch.bfloat16:
+            value = value.float()  # numpy has no bf16; convert via f32
         state[key] = np.asarray(value)
     return state
 
@@ -107,13 +126,18 @@ def config_from_funasr_state(state: dict[str, np.ndarray]) -> Wav2Vec2Config:
 
     pos_prefix = _AUDIO + "relative_positional_encoder."
     pos_depth = _count_blocks(state, pos_prefix)
-    if pos_depth:
-        pos_kernel = int(state[f"{pos_prefix}0.0.weight"].shape[2])
-        pos_groups_in = int(state[f"{pos_prefix}0.0.weight"].shape[1])
-        pos_groups = max(1, hidden // pos_groups_in)
-        num_pos = pos_kernel * pos_depth
-    else:
-        num_pos, pos_groups, pos_depth = 128, 16, 1
+    if pos_depth == 0:
+        # Weights for a positional encoder cannot be invented; a layout
+        # without one is unsupported and must fail loudly here rather than
+        # as a raw KeyError mid-conversion.
+        raise KeyError(
+            "Checkpoint serializes no relative_positional_encoder blocks; "
+            "the data2vec-2.0 conv positional encoder is required."
+        )
+    pos_kernel = int(state[f"{pos_prefix}0.0.weight"].shape[2])
+    pos_groups_in = int(state[f"{pos_prefix}0.0.weight"].shape[1])
+    pos_groups = max(1, hidden // pos_groups_in)
+    num_pos = pos_kernel * pos_depth
 
     return Wav2Vec2Config(
         hidden_size=hidden,
@@ -187,9 +211,25 @@ def load_funasr_emotion2vec_params(
 
     Returns ``(inferred config, flax param tree)`` for ``Wav2Vec2Encoder``.
     """
-    state = load_funasr_state_dict(model_dir)
-    config = config_from_funasr_state(state)
+    raw_state = load_funasr_state_dict(model_dir)
+    config = config_from_funasr_state(raw_state)
     hidden = config.hidden_size
+
+    class _Tracking(dict):
+        """Records consumed keys so layout variants fail loudly, not silently."""
+
+        consumed: set[str] = set()
+
+        def __getitem__(self, key):
+            self.consumed.add(key)
+            return super().__getitem__(key)
+
+        def get(self, key, default=None):
+            self.consumed.add(key)
+            return super().get(key, default)
+
+    state = _Tracking(raw_state)
+    state.consumed = set()
 
     params: dict = {"feature_encoder": {}, "pos_embed": {}}
     fe = params["feature_encoder"]
@@ -228,11 +268,20 @@ def load_funasr_emotion2vec_params(
                 "bias": state[_AUDIO + "project_features.1.bias"],
             }
 
+    # Param naming must match the encoder's module choice: depth > 1 builds
+    # StackedConvPositionalEmbedding (`pos_conv_{i}`); depth 1 builds the
+    # single wav2vec2-style ConvPositionalEmbedding (`pos_conv`).
     pos_prefix = _AUDIO + "relative_positional_encoder."
-    for i in range(config.conv_pos_depth):
-        params["pos_embed"][f"pos_conv_{i}"] = {
-            "kernel": _conv_kernel(state[f"{pos_prefix}{i}.0.weight"]),
-            "bias": state[f"{pos_prefix}{i}.0.bias"],
+    if config.conv_pos_depth > 1:
+        for i in range(config.conv_pos_depth):
+            params["pos_embed"][f"pos_conv_{i}"] = {
+                "kernel": _conv_kernel(state[f"{pos_prefix}{i}.0.weight"]),
+                "bias": state[f"{pos_prefix}{i}.0.bias"],
+            }
+    else:
+        params["pos_embed"]["pos_conv"] = {
+            "kernel": _conv_kernel(state[f"{pos_prefix}0.0.weight"]),
+            "bias": state[f"{pos_prefix}0.0.bias"],
         }
 
     layer = 0
@@ -251,6 +300,25 @@ def load_funasr_emotion2vec_params(
             "scale": state["norm.weight"],
             "bias": state["norm.bias"],
         }
+
+    # A layout variant whose tensors were silently dropped would produce
+    # embeddings that are quietly wrong — the opposite of the loud
+    # missing-key policy above. Positional-encoder LayerNorms are the one
+    # known-benign leftover (the module applies them non-affinely).
+    pos_ln = _AUDIO + "relative_positional_encoder."
+    unconsumed = {
+        key
+        for key in raw_state
+        if key not in state.consumed
+        and not (key.startswith(pos_ln) and ".0." not in key)
+    }
+    if unconsumed:
+        preview = ", ".join(sorted(unconsumed)[:8])
+        raise KeyError(
+            f"Checkpoint layout variant not understood: {len(unconsumed)} "
+            f"unconsumed tensor(s) (e.g. {preview}). Refusing to load a "
+            "partial conversion."
+        )
     return config, params
 
 

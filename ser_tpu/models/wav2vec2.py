@@ -21,6 +21,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+def _gelu(x):
+    """Exact (erf) GELU — the reference stacks (HF GELUActivation,
+    openai whisper, fairseq F.gelu) all use exact GELU; flax's default is
+    the tanh approximation, which deviates ~1e-3 and compounds over
+    dozens of layers on converted checkpoints."""
+    import jax.nn
+
+    return jax.nn.gelu(x, approximate=False)
+
 
 @dataclass(frozen=True)
 class Wav2Vec2Config:
@@ -105,7 +114,7 @@ class ConvFeatureEncoder(nn.Module):
                 x = nn.GroupNorm(
                     num_groups=dim, epsilon=cfg.layer_norm_eps, name="conv_gn"
                 )(x)
-            x = nn.gelu(x)
+            x = _gelu(x)
         return x
 
 
@@ -127,7 +136,7 @@ class ConvPositionalEmbedding(nn.Module):
         )(hidden)
         if k % 2 == 0:
             pos = pos[:, :-1, :]
-        return hidden + nn.gelu(pos)
+        return hidden + _gelu(pos)
 
 
 class StackedConvPositionalEmbedding(nn.Module):
@@ -161,7 +170,7 @@ class StackedConvPositionalEmbedding(nn.Module):
                 use_scale=False,
                 name=f"pos_ln_{i}",
             )(pos)
-            pos = nn.gelu(pos)
+            pos = _gelu(pos)
         return hidden + pos
 
 
@@ -204,7 +213,7 @@ class TransformerLayer(nn.Module):
         residual = hidden
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ffn_ln")(hidden)
         x = nn.Dense(cfg.intermediate_size, dtype=self.compute_dtype, name="ffn_in")(x)
-        x = nn.gelu(x)
+        x = _gelu(x)
         x = nn.Dense(cfg.hidden_size, dtype=self.compute_dtype, name="ffn_out")(x)
         return residual + x.astype(residual.dtype)
 
@@ -281,7 +290,13 @@ def _torch_state_dict(model_dir) -> dict[str, np.ndarray]:
     merged = {}
     for file in bin_files:
         state = torch.load(str(file), map_location="cpu", weights_only=True)
-        merged.update({k: v.numpy() for k, v in state.items()})
+        merged.update(
+            {
+                # numpy has no bf16: bf16-exported checkpoints convert via f32.
+                k: (v.float() if v.dtype == torch.bfloat16 else v).numpy()
+                for k, v in state.items()
+            }
+        )
     return merged
 
 
@@ -345,13 +360,24 @@ def load_hf_wav2vec2_params(model_dir, config: Wav2Vec2Config) -> dict:
     }
 
     # HF stores the pos-conv kernel weight-normalized: weight = g * v / ||v||.
-    try:
-        weight = t("encoder.pos_conv_embed.conv.weight")
-    except KeyError:
-        g = t("encoder.pos_conv_embed.conv.weight_g")
-        v = t("encoder.pos_conv_embed.conv.weight_v")
+    # Three on-disk layouts exist: plain `weight`, legacy `weight_g/weight_v`,
+    # and torch >= 2.1 parametrized `parametrizations.weight.original0/1`.
+    def pos_conv_weight():
+        base = "encoder.pos_conv_embed.conv"
+        try:
+            return t(f"{base}.weight")
+        except KeyError:
+            pass
+        try:
+            g = t(f"{base}.weight_g")
+            v = t(f"{base}.weight_v")
+        except KeyError:
+            g = t(f"{base}.parametrizations.weight.original0")
+            v = t(f"{base}.parametrizations.weight.original1")
         norm = np.linalg.norm(v, axis=(0, 1), keepdims=True)
-        weight = g * v / np.maximum(norm, 1e-12)
+        return g * v / np.maximum(norm, 1e-12)
+
+    weight = pos_conv_weight()
     params["pos_embed"]["pos_conv"] = {
         "kernel": weight.transpose(2, 1, 0),
         "bias": t("encoder.pos_conv_embed.conv.bias"),

@@ -29,6 +29,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+def _gelu(x):
+    """Exact (erf) GELU — the reference stacks (HF GELUActivation,
+    openai whisper, fairseq F.gelu) all use exact GELU; flax's default is
+    the tanh approximation, which deviates ~1e-3 and compounds over
+    dozens of layers on converted checkpoints."""
+    import jax.nn
+
+    return jax.nn.gelu(x, approximate=False)
+
 from ser_tpu.ops import filters as ops_filters
 
 N_FFT = 400
@@ -179,7 +188,7 @@ class EncoderBlock(nn.Module):
         )(h, h)
         h = norm(name="mlp_ln")(x)
         h = nn.Dense(4 * cfg.d_model, dtype=self.compute_dtype, name="mlp_in")(h)
-        h = nn.gelu(h)
+        h = _gelu(h)
         return x + nn.Dense(cfg.d_model, dtype=self.compute_dtype, name="mlp_out")(h)
 
 
@@ -194,9 +203,9 @@ class WhisperEncoder(nn.Module):
     def __call__(self, mel: jax.Array) -> jax.Array:
         cfg = self.config
         x = nn.Conv(cfg.d_model, kernel_size=(3,), padding=1, dtype=self.compute_dtype, name="conv1")(mel)
-        x = nn.gelu(x)
+        x = _gelu(x)
         x = nn.Conv(cfg.d_model, kernel_size=(3,), strides=(2,), padding=1, dtype=self.compute_dtype, name="conv2")(x)
-        x = nn.gelu(x)
+        x = _gelu(x)
         x = x.astype(self.compute_dtype)
         positions = jnp.asarray(_sinusoids(x.shape[1], cfg.d_model))
         x = x + positions[None].astype(x.dtype)
@@ -226,7 +235,7 @@ class DecoderBlock(nn.Module):
         x = x + attn(name="cross")(h, encoder_states)
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="mlp_ln")(x)
         h = nn.Dense(4 * cfg.d_model, dtype=self.compute_dtype, name="mlp_in")(h)
-        h = nn.gelu(h)
+        h = _gelu(h)
         return x + nn.Dense(cfg.d_model, dtype=self.compute_dtype, name="mlp_out")(h)
 
 

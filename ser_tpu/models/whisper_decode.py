@@ -326,7 +326,7 @@ def _decoder_token_step(
         x = x + _dense(lp["cross"]["out"], out.reshape(rows, 1, -1), cdt)
 
         h = _layer_norm(lp["mlp_ln"], x, eps)
-        h = jax.nn.gelu(_dense(lp["mlp_in"], h, cdt))
+        h = jax.nn.gelu(_dense(lp["mlp_in"], h, cdt), approximate=False)
         x = x + _dense(lp["mlp_out"], h, cdt)
 
     x = _layer_norm(params["final_ln"], x, eps)
@@ -867,7 +867,7 @@ def alignment_forward(
         x = x + _dense(lp["cross"]["out"], out.reshape(batch, seq_len, -1), cdt)
 
         h = _layer_norm(lp["mlp_ln"], x, eps)
-        h = jax.nn.gelu(_dense(lp["mlp_in"], h, cdt))
+        h = jax.nn.gelu(_dense(lp["mlp_in"], h, cdt), approximate=False)
         x = x + _dense(lp["mlp_out"], h, cdt)
 
     return jnp.stack(captured, axis=1)

@@ -153,3 +153,52 @@ def test_backend_loads_funasr_checkpoint_without_random_init(tmp_path, monkeypat
     assert encoded.backend_id == "emotion2vec"
     assert encoded.embeddings.shape[1] == HIDDEN
     assert np.isfinite(encoded.embeddings).all()
+
+
+def test_depth_one_positional_encoder_converts_and_runs(tmp_path):
+    """A single relative_positional_encoder block must map to the encoder's
+    'pos_conv' module name (depth 1 selects ConvPositionalEmbedding)."""
+    import jax.numpy as jnp
+
+    model_dir = build_synthetic_checkpoint(tmp_path)
+    import torch as _torch
+
+    payload = _torch.load(model_dir / "model.pt", weights_only=True)
+    audio = "modality_encoders.AUDIO."
+    for key in list(payload):
+        if key.startswith(f"{audio}relative_positional_encoder.1."):
+            del payload[key]
+    _torch.save(payload, model_dir / "model.pt")
+
+    config, params = e2v.load_funasr_emotion2vec_params(model_dir)
+    assert config.conv_pos_depth == 1
+    assert "pos_conv" in params["pos_embed"]
+    encoder = Wav2Vec2Encoder(config)
+    out = encoder.apply(
+        {"params": params}, jnp.zeros((1, 1600), dtype=jnp.float32)
+    )
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unknown_layout_tensor_fails_loudly(tmp_path):
+    model_dir = build_synthetic_checkpoint(tmp_path)
+    import torch as _torch
+
+    payload = _torch.load(model_dir / "model.pt", weights_only=True)
+    payload["modality_encoders.AUDIO.post_extract_proj.weight"] = _torch.zeros(
+        (HIDDEN, HIDDEN)
+    )
+    _torch.save(payload, model_dir / "model.pt")
+    with pytest.raises(KeyError, match="unconsumed"):
+        e2v.load_funasr_emotion2vec_params(model_dir)
+
+
+def test_bf16_checkpoint_converts(tmp_path):
+    model_dir = build_synthetic_checkpoint(tmp_path)
+    import torch as _torch
+
+    payload = _torch.load(model_dir / "model.pt", weights_only=True)
+    payload = {k: v.to(_torch.bfloat16) for k, v in payload.items()}
+    _torch.save(payload, model_dir / "model.pt")
+    config, params = e2v.load_funasr_emotion2vec_params(model_dir)
+    assert params["feature_projection"]["kernel"].dtype == np.float32
