@@ -65,11 +65,18 @@ def _decode_wav_bytes(data: bytes) -> tuple[NDArray[np.float32], int]:
     if channels <= 0 or sample_rate <= 0:
         raise AudioDecodeError("WAV file has invalid channel count or sample rate.")
 
+    def _whole(width: int) -> bytes:
+        # A truncated data chunk (interrupted copy) trims to whole samples —
+        # the 24-bit path and the native C++ decoder already do; frombuffer
+        # would raise on a ragged tail instead.
+        usable_len = (len(payload) // width) * width
+        return payload[:usable_len]
+
     if format_tag == _WAVE_FORMAT_PCM:
         if bits == 8:
             samples = (np.frombuffer(payload, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
         elif bits == 16:
-            samples = np.frombuffer(payload, dtype="<i2").astype(np.float32) / 32768.0
+            samples = np.frombuffer(_whole(2), dtype="<i2").astype(np.float32) / 32768.0
         elif bits == 24:
             raw = np.frombuffer(payload, dtype=np.uint8)
             usable = (raw.size // 3) * 3
@@ -79,14 +86,14 @@ def _decode_wav_bytes(data: bytes) -> tuple[NDArray[np.float32], int]:
             signed = np.where(signed >= 1 << 23, signed - (1 << 24), signed)
             samples = signed.astype(np.float32) / float(1 << 23)
         elif bits == 32:
-            samples = np.frombuffer(payload, dtype="<i4").astype(np.float32) / float(1 << 31)
+            samples = np.frombuffer(_whole(4), dtype="<i4").astype(np.float32) / float(1 << 31)
         else:
             raise AudioDecodeError(f"Unsupported PCM bit depth: {bits}.")
     elif format_tag == _WAVE_FORMAT_IEEE_FLOAT:
         if bits == 32:
-            samples = np.frombuffer(payload, dtype="<f4").astype(np.float32)
+            samples = np.frombuffer(_whole(4), dtype="<f4").astype(np.float32)
         elif bits == 64:
-            samples = np.frombuffer(payload, dtype="<f8").astype(np.float32)
+            samples = np.frombuffer(_whole(8), dtype="<f8").astype(np.float32)
         else:
             raise AudioDecodeError(f"Unsupported float bit depth: {bits}.")
     else:
@@ -220,7 +227,14 @@ def write_wav(
     sample_rate: int,
 ) -> None:
     """Writes mono float32 samples as 16-bit PCM WAV (used by dataset tooling)."""
-    clipped = np.clip(np.asarray(audio, dtype=np.float32), -1.0, 1.0)
+    audio = np.asarray(audio, dtype=np.float32)
+    if audio.ndim != 1:
+        raise ValueError(
+            f"write_wav takes mono (N,) samples, got shape {audio.shape}; "
+            "mix down before writing (the header would claim mono over an "
+            "interleaved payload)."
+        )
+    clipped = np.clip(audio, -1.0, 1.0)
     pcm = (clipped * 32767.0).astype("<i2")
     payload = pcm.tobytes()
     header = b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"

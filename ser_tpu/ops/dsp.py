@@ -268,12 +268,8 @@ def chroma_per_column(
 
 
 def _db_compress(x: jax.Array, col_mask: jax.Array) -> jax.Array:
-    """power_to_db(ref=1) over per-band (B, K, T) values with masked top_db clamp."""
-    log_spec = 10.0 * jnp.log10(jnp.maximum(_AMIN, jnp.abs(x)))
-    neg = jnp.finfo(log_spec.dtype).min
-    masked = jnp.where(col_mask[:, None, :], log_spec, neg)
-    peak = jnp.max(masked, axis=(-2, -1))
-    return jnp.maximum(log_spec, (peak - _TOP_DB)[:, None, None])
+    """Masked dB compression — one implementation, shared with power_to_db."""
+    return power_to_db(x, col_mask, ref=1.0)
 
 
 def spectral_contrast_per_column(
@@ -326,13 +322,45 @@ def _median_filter_axis(x: jax.Array, width: int, axis: int) -> jax.Array:
     return jnp.moveaxis(med, -1, axis)
 
 
-def harmonic_mask(mag: jax.Array, kernel_size: int = 31, power: float = 2.0) -> jax.Array:
+def _median_filter_time_clamped(x: jax.Array, width: int, col_mask: jax.Array) -> jax.Array:
+    """Running median along time whose windows never read masked columns.
+
+    ``x``: (B, F, T); ``col_mask``: (B, T) with valid columns as a prefix.
+    Window indices clamp to ``[0, valid_len - 1]`` per row (edge replication
+    at the TRUE signal end): a pad-oblivious filter read the zero columns
+    past the valid region, making the last ~half-kernel columns' masks — and
+    therefore tonnetz — depend on the zero-pad bucket length.
+    """
+    half = width // 2
+    n_cols = x.shape[-1]
+    valid = jnp.maximum(jnp.sum(col_mask.astype(jnp.int32), axis=-1), 1)  # (B,)
+    offsets = jnp.arange(-half, half + 1)
+    idx = jnp.arange(n_cols)[None, :, None] + offsets[None, None, :]  # (1, T, W)
+    idx = jnp.clip(idx, 0, (valid - 1)[:, None, None])  # (B, T, W)
+    xt = jnp.swapaxes(x, 1, 2)  # (B, T, F)
+    gathered = jnp.take_along_axis(
+        xt[:, :, None, :], idx[:, :, :, None], axis=1
+    )  # (B, T, W, F)
+    med = jnp.sort(gathered, axis=2)[:, :, half, :]
+    return jnp.swapaxes(med, 1, 2)
+
+
+def harmonic_mask(
+    mag: jax.Array,
+    kernel_size: int = 31,
+    power: float = 2.0,
+    col_mask: jax.Array | None = None,
+) -> jax.Array:
     """Soft harmonic HPSS mask over a magnitude spectrogram (B, F, T).
 
     librosa ``decompose.hpss`` with margin=1: harmonic/percussive median
-    enhancement then a power-2 soft mask.
+    enhancement then a power-2 soft mask. With ``col_mask`` given, the
+    time-axis median respects the true signal length (bucket-invariant).
     """
-    harm = _median_filter_axis(mag, kernel_size, axis=-1)
+    if col_mask is not None:
+        harm = _median_filter_time_clamped(mag, kernel_size, col_mask)
+    else:
+        harm = _median_filter_axis(mag, kernel_size, axis=-1)
     perc = _median_filter_axis(mag, kernel_size, axis=-2)
     z = jnp.maximum(harm, perc)
     bad = z < _TINY
@@ -344,7 +372,12 @@ def harmonic_mask(mag: jax.Array, kernel_size: int = 31, power: float = 2.0) -> 
 
 
 def tonnetz_per_column(
-    mag: jax.Array, sr: int, n_fft: int, *, lowband_hz: float = 5500.0
+    mag: jax.Array,
+    sr: int,
+    n_fft: int,
+    *,
+    lowband_hz: float = 5500.0,
+    col_mask: jax.Array | None = None,
 ) -> jax.Array:
     """Per-column tonal centroid features (6 dims) from the shared STFT.
 
@@ -356,7 +389,7 @@ def tonnetz_per_column(
     """
     n_bins_keep = min(mag.shape[1], int(lowband_hz / (sr / n_fft)) + 16)
     low = mag[:, :n_bins_keep, :]
-    harmonic = low * harmonic_mask(low)
+    harmonic = low * harmonic_mask(low, col_mask=col_mask)
 
     cq_fb = np.asarray(filters.log_frequency_filterbank(sr, n_fft))[:, :n_bins_keep]
     fold = filters.cq_to_chroma_fold()
@@ -420,7 +453,11 @@ def handcrafted_features_batch(
             _masked_mean_cols(spectral_contrast_per_column(s_db, col_mask, sr, n_fft), col_mask)
         )
     if tonnetz:
-        parts.append(_masked_mean_cols(tonnetz_per_column(mag, sr, n_fft), col_mask))
+        parts.append(
+            _masked_mean_cols(
+                tonnetz_per_column(mag, sr, n_fft, col_mask=col_mask), col_mask
+            )
+        )
     if not parts:
         return jnp.zeros((frames.shape[0], 0), dtype=jnp.float32)
     return jnp.concatenate(parts, axis=-1)

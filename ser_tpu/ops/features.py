@@ -31,6 +31,11 @@ _FFT_MIN_WINDOW = 512
 _FULL_NFFT = 2048
 _HOP = 512
 _LENGTH_BUCKET = 16384  # whole-clip lengths round up to this multiple (~0.34 s @ 48 kHz)
+#: Device-batch row cap: bounds transient HBM (the STFT window gather and the
+#: 31-way HPSS median stack scale with rows x frame length) so hour-long
+#: clips cannot OOM a single dispatch. The chunked calls share one compiled
+#: program per (rows, length) shape.
+_MAX_DEVICE_ROWS = 128
 
 
 def feature_dim(flags: FeatureFlags) -> int:
@@ -157,7 +162,16 @@ def _features_small(audio: np.ndarray, sample_rate: int, flags: FeatureFlags) ->
     if flags.tonnetz:
         mag_t = dsp.stft_magnitude(signal, _FULL_NFFT, _HOP)
         mask_t = mask_for(mag_t.shape[-1], _HOP)
-        parts.append(mean(dsp.tonnetz_per_column(mag_t, sample_rate, _FULL_NFFT), mask_t))
+        # col_mask keeps the HPSS time-median's boundary handling identical
+        # to the batched/bucketed path (clamped at the true signal end).
+        parts.append(
+            mean(
+                dsp.tonnetz_per_column(
+                    mag_t, sample_rate, _FULL_NFFT, col_mask=mask_t
+                ),
+                mask_t,
+            )
+        )
     if not parts:
         return np.empty(0, dtype=np.float64)
     return np.concatenate(parts).astype(np.float64)
@@ -226,12 +240,18 @@ def extract_frame_features(
     bulk = lengths >= _FULL_NFFT
     if np.any(bulk):
         bulk_idx = np.flatnonzero(bulk)
-        frames = np.zeros((bulk_idx.size, frame_length), dtype=np.float32)
-        for row, i in enumerate(bulk_idx):
-            frames[row, : lengths[i]] = audio[starts[i] : ends[i]]
-        features[bulk_idx] = _batched_features(
-            frames, lengths[bulk_idx].astype(np.int32), sample_rate, flags
-        )
+        # Bounded device batches: an unbounded batch scales HBM with clip
+        # duration (an hour of 3 s frames is thousands of rows; the STFT
+        # window gather alone would be tens of GB). Chunks re-use one
+        # compiled program per (chunk_rows, frame_length) shape.
+        for chunk_start in range(0, bulk_idx.size, _MAX_DEVICE_ROWS):
+            chunk = bulk_idx[chunk_start : chunk_start + _MAX_DEVICE_ROWS]
+            frames = np.zeros((chunk.size, frame_length), dtype=np.float32)
+            for row, i in enumerate(chunk):
+                frames[row, : lengths[i]] = audio[starts[i] : ends[i]]
+            features[chunk] = _batched_features(
+                frames, lengths[chunk].astype(np.int32), sample_rate, flags
+            )
     for i in np.flatnonzero(~bulk):
         features[i] = _features_small(audio[starts[i] : ends[i]], sample_rate, flags).astype(
             np.float32
@@ -262,7 +282,7 @@ def extract_feature_vectors_batch(
     dim = feature_dim(flags)
     out = np.zeros((len(clips), dim), dtype=np.float64)
 
-    groups: dict[tuple[int, int], list[int]] = {}
+    groups: dict[tuple[int, int], list[tuple[int, np.ndarray]]] = {}
     for index, (audio, sr) in enumerate(clips):
         audio = np.asarray(audio, dtype=np.float32)
         _validate(audio, sr)
@@ -271,18 +291,22 @@ def extract_feature_vectors_batch(
             out[index] = _features_small(prepared, sr, flags)
             continue
         bucket = int(np.ceil(prepared.size / _LENGTH_BUCKET)) * _LENGTH_BUCKET
-        groups.setdefault((sr, bucket), []).append(index)
+        # Keep the prepared array: re-converting/re-padding in the assembly
+        # loop doubled the host-side copy cost over dataset-sized calls.
+        groups.setdefault((sr, bucket), []).append((index, prepared))
 
-    for (sr, bucket), indices in groups.items():
-        frames = np.zeros((len(indices), bucket), dtype=np.float32)
-        lengths = np.zeros(len(indices), dtype=np.int32)
-        for row, index in enumerate(indices):
-            clip = pad_audio_for_fft(np.asarray(clips[index][0], dtype=np.float32))
-            frames[row, : clip.size] = clip
-            lengths[row] = clip.size
-        out[np.asarray(indices)] = _batched_features(frames, lengths, sr, flags).astype(
-            np.float64
-        )
+    for (sr, bucket), members in groups.items():
+        for chunk_start in range(0, len(members), _MAX_DEVICE_ROWS):
+            chunk = members[chunk_start : chunk_start + _MAX_DEVICE_ROWS]
+            frames = np.zeros((len(chunk), bucket), dtype=np.float32)
+            lengths = np.zeros(len(chunk), dtype=np.int32)
+            for row, (_, prepared) in enumerate(chunk):
+                frames[row, : prepared.size] = prepared
+                lengths[row] = prepared.size
+            indices = np.asarray([index for index, _ in chunk])
+            out[indices] = _batched_features(frames, lengths, sr, flags).astype(
+                np.float64
+            )
     return out
 
 

@@ -82,3 +82,63 @@ def test_validation_errors():
     bad[5] = np.nan
     with pytest.raises(ValueError):
         features.extract_feature_from_signal(bad, SR)
+
+
+def test_tonnetz_invariant_to_length_bucket():
+    """The HPSS time-median must not read zero-pad columns: the same clip in
+    a wider bucket previously shifted tonnetz ~10% (train/serve skew when a
+    clip's length crossed a bucket boundary)."""
+    import jax.numpy as jnp
+
+    from ser_tpu.ops.dsp import handcrafted_features_batch
+
+    rng = np.random.default_rng(0)
+    clip = rng.standard_normal(16384).astype(np.float32)
+    outputs = []
+    for width in (16384, 32768):
+        buffer = np.zeros((1, width), np.float32)
+        buffer[0, : clip.size] = clip
+        outputs.append(
+            np.asarray(
+                handcrafted_features_batch(
+                    jnp.asarray(buffer),
+                    jnp.asarray([clip.size]),
+                    sr=48000,
+                    n_fft=2048,
+                    hop_length=512,
+                    mfcc=False,
+                    chroma=False,
+                    mel=False,
+                    contrast=False,
+                    tonnetz=True,
+                )
+            )
+        )
+    np.testing.assert_array_equal(outputs[0], outputs[1])
+
+
+def test_bulk_extraction_chunks_match_single_batch(monkeypatch):
+    """Row-capped device batches must be feature-identical to one batch."""
+    from ser_tpu.ops import features as feats
+
+    rng = np.random.default_rng(1)
+    clips = [
+        (rng.standard_normal(24000).astype(np.float32) * 0.3, 16000)
+        for _ in range(5)
+    ]
+    full = feats.extract_feature_vectors_batch(clips)
+    monkeypatch.setattr(feats, "_MAX_DEVICE_ROWS", 2)
+    chunked = feats.extract_feature_vectors_batch(clips)
+    np.testing.assert_array_equal(full, chunked)
+
+
+def test_frame_extraction_chunks_match_single_batch(monkeypatch):
+    from ser_tpu.ops import features as feats
+
+    rng = np.random.default_rng(2)
+    audio = (0.3 * rng.standard_normal(16000 * 8)).astype(np.float32)
+    full, s1, e1 = feats.extract_frame_features(audio, 16000)
+    monkeypatch.setattr(feats, "_MAX_DEVICE_ROWS", 3)
+    chunked, s2, e2 = feats.extract_frame_features(audio, 16000)
+    np.testing.assert_array_equal(full, chunked)
+    np.testing.assert_array_equal(s1, s2)

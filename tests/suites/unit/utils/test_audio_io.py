@@ -122,3 +122,30 @@ def test_nan_scrub(tmp_path):
     audio, _ = read_audio_file(str(path), audio_read_config=FAST_RETRY)
     assert np.all(np.isfinite(audio))
     assert audio[50] == pytest.approx(1.0)  # peak-normalized survivor
+
+
+def test_truncated_16bit_payload_trims_to_whole_samples(tmp_path):
+    """An interrupted copy that cuts the data chunk mid-sample decodes the
+    whole samples instead of failing the read (matching the 24-bit path and
+    the native decoder)."""
+    import numpy as np
+
+    from ser_tpu._internal.utils.audio_io import read_audio_file, write_wav
+
+    path = tmp_path / "ok.wav"
+    write_wav(path, np.linspace(-0.5, 0.5, 1000, dtype=np.float32), 16000)
+    data = path.read_bytes()
+    (tmp_path / "cut.wav").write_bytes(data[:-3])  # ragged 16-bit tail
+    audio, sr = read_audio_file(str(tmp_path / "cut.wav"))
+    assert sr == 16000
+    assert audio.size in (998, 999)
+
+
+def test_write_wav_rejects_multichannel():
+    import numpy as np
+    import pytest
+
+    from ser_tpu._internal.utils.audio_io import write_wav
+
+    with pytest.raises(ValueError, match="mono"):
+        write_wav("/tmp/never.wav", np.zeros((100, 2), dtype=np.float32), 16000)
