@@ -50,30 +50,46 @@ def _windowed_dataset(
     min_std = settings.medium_training.min_window_std
     max_windows = settings.medium_training.max_windows_per_clip
 
-    # Decode + cache-probe everything first, then batch-encode the misses in
-    # large cross-clip chunk batches (TPU path) instead of per-utterance calls.
-    decoded: dict[str, tuple[np.ndarray, int]] = {}
+    # Cache-probe then batch-encode misses in cross-clip chunk batches (TPU
+    # path). Waveform residency is BOUNDED: decoded audio lives only until
+    # its chunk encodes — holding every waveform of a large manifest corpus
+    # simultaneously risked host OOM before any pooling happened.
+    encode_chunk_clips = 64  # plenty for the cross-clip attention budget
     encoded_by_path: dict[str, object] = {}
+    encode_many = getattr(backend, "encode_sequences", None)
+    pending: list[str] = []
+    pending_audio: dict[str, tuple[np.ndarray, int]] = {}
+
+    def flush_pending() -> None:
+        if not pending:
+            return
+        if callable(encode_many):
+            for path, encoded in zip(
+                pending, encode_many([pending_audio[p] for p in pending])
+            ):
+                encoded_by_path[path] = encoded
+        else:
+            for path in pending:
+                audio, sr = pending_audio[path]
+                encoded_by_path[path] = backend.encode_sequence(audio, sr)
+        if cache is not None:
+            for path in pending:
+                cache.store(path, encoded_by_path[path], audio=pending_audio[path][0])
+        pending.clear()
+        pending_audio.clear()
+
     for path, _label, _speaker in files:
         audio, sr = read_audio_file(path, audio_read_config=settings.audio_read)
-        decoded[path] = (audio, sr)
         if cache is not None:
             hit = cache.load(path, audio=audio)
             if hit is not None:
                 encoded_by_path[path] = hit
-    misses = [path for path, _, _ in files if path not in encoded_by_path]
-    if misses:
-        encode_many = getattr(backend, "encode_sequences", None)
-        if callable(encode_many):
-            for path, encoded in zip(misses, encode_many([decoded[p] for p in misses])):
-                encoded_by_path[path] = encoded
-        else:
-            for path in misses:
-                audio, sr = decoded[path]
-                encoded_by_path[path] = backend.encode_sequence(audio, sr)
-        if cache is not None:
-            for path in misses:
-                cache.store(path, encoded_by_path[path], audio=decoded[path][0])
+                continue
+        pending.append(path)
+        pending_audio[path] = (audio, sr)
+        if len(pending) >= encode_chunk_clips:
+            flush_pending()
+    flush_pending()
 
     rows, labels, sample_ids = [], [], []
     for path, label, _speaker in files:
@@ -134,6 +150,8 @@ def train_encoder_profile_model(
 def _train_encoder_profile_model_ready(
     *, profile, settings, backend, spec, started
 ) -> dict[str, Any]:
+    from ser_tpu._internal.repr.encoders import resolved_model_id
+
     if backend is None:
         from ser_tpu._internal.repr.encoders import build_encoder_backend
 
@@ -168,7 +186,7 @@ def _train_encoder_profile_model_ready(
     cache = EmbeddingCache(
         root=settings.tmp_folder / "embedding-cache",
         backend_id=spec.backend_id,
-        model_id=spec.model.default_model_id or "none",
+        model_id=resolved_model_id(profile, settings) or "none",
         revision="local",
         device=runtime.device_kind,
         dtype=runtime.dtype,
@@ -200,7 +218,8 @@ def _train_encoder_profile_model_ready(
         y_true=y_test, y_pred=y_pred, sample_ids=test_ids
     )
 
-    model_id = spec.model.default_model_id
+    # The RESOLVED id (settings override wins) — the id the backend loaded.
+    model_id = resolved_model_id(profile, settings)
     report: dict[str, Any] = {
         "profile": profile,
         "backend_id": spec.backend_id,

@@ -58,6 +58,37 @@ def frame_confidence_and_probabilities(
     return confidences, probabilities
 
 
+def predict_frames(
+    model: Any,
+    feature_matrix: np.ndarray,
+    frame_count: int,
+    *,
+    logger: logging.Logger,
+) -> tuple[list[str], list[float], list[dict[str, float] | None]]:
+    """Labels + confidences + probability maps from ONE model forward.
+
+    ``predict`` followed by ``predict_proba`` runs two identical forwards
+    (each a device dispatch on the JAX head — ~30 ms over a remote link);
+    for softmax classifiers the label is the argmax of the probabilities,
+    so one ``predict_proba`` call serves both. Models without a usable
+    probability path fall back to ``predict`` + unit confidence.
+    """
+    confidences, probabilities = frame_confidence_and_probabilities(
+        model=model,
+        feature_matrix=feature_matrix,
+        frame_count=frame_count,
+        logger=logger,
+    )
+    if probabilities and all(row is not None for row in probabilities):
+        predicted = [
+            max(row, key=row.get)  # type: ignore[arg-type]
+            for row in probabilities
+        ]
+        return predicted, confidences, probabilities
+    predicted = [str(item) for item in model.predict(feature_matrix)]
+    return predicted, confidences, probabilities
+
+
 def aggregate_probabilities(
     probabilities: list[dict[str, float] | None],
 ) -> dict[str, float] | None:
@@ -125,15 +156,14 @@ def predict_emotions_detailed_with_model(
             )
 
     matrix = np.asarray(vectors, dtype=np.float64)
-    predicted = [str(item) for item in model.predict(matrix)]
+    predicted, confidences, probabilities = predict_frames(
+        model, matrix, len(feature_frames), logger=logger
+    )
     if len(predicted) != len(feature_frames):
         raise RuntimeError(
             "Frame/prediction length mismatch. "
             f"Got {len(feature_frames)} frames and {len(predicted)} predictions."
         )
-    confidences, probabilities = frame_confidence_and_probabilities(
-        model=model, feature_matrix=matrix, frame_count=len(feature_frames), logger=logger
-    )
 
     frames = [
         FramePrediction(

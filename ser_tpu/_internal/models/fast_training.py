@@ -141,17 +141,46 @@ def train_from_prepared(
 
     from ser_tpu._internal.config.schema import profile_artifact_file_names
     from ser_tpu._internal.models.training_readiness import load_prepared_plan
+    from ser_tpu._internal.repr.encoders import resolved_model_id
     from ser_tpu.profiles import get_profile_catalog
 
-    features, labels = load_prepared_plan(plan_path, settings=settings, profile=profile)
-    spec = get_profile_catalog()[profile]
-    x_train, x_test, y_train, y_test = train_test_split(
-        features,
-        labels,
-        test_size=settings.training.test_size,
-        random_state=settings.training.random_state,
-        stratify=labels if settings.training.stratify_split else None,
+    features, labels, groups = load_prepared_plan(
+        plan_path, settings=settings, profile=profile
     )
+    spec = get_profile_catalog()[profile]
+    if groups is not None and len(set(groups)) >= 2:
+        # Group-disjoint resume split: encoder plans carry PER-WINDOW rows,
+        # and sibling windows of one clip/speaker in both train and test
+        # inflate the reported metrics (the full training path splits
+        # speaker-disjoint; resume must match).
+        from sklearn.model_selection import GroupShuffleSplit
+
+        splitter = GroupShuffleSplit(
+            n_splits=1,
+            test_size=settings.training.test_size,
+            random_state=settings.training.random_state,
+        )
+        train_idx, test_idx = next(splitter.split(features, labels, groups))
+        x_train, x_test = features[train_idx], features[test_idx]
+        y_train = [labels[i] for i in train_idx]
+        y_test = [labels[i] for i in test_idx]
+    else:
+        try:
+            x_train, x_test, y_train, y_test = train_test_split(
+                features,
+                labels,
+                test_size=settings.training.test_size,
+                random_state=settings.training.random_state,
+                stratify=labels if settings.training.stratify_split else None,
+            )
+        except ValueError:
+            # Tiny classes: fall back to unstratified, like loader.load_data.
+            x_train, x_test, y_train, y_test = train_test_split(
+                features,
+                labels,
+                test_size=settings.training.test_size,
+                random_state=settings.training.random_state,
+            )
     model = JaxMLPClassifier.from_config(settings.nn)
     model.fit(x_train, y_train)
     y_pred = [str(item) for item in model.predict(x_test)]
@@ -172,7 +201,9 @@ def train_from_prepared(
         backend_id=spec.backend_id,
         profile=profile,
         pooling_strategy="mean" if profile == "fast" else "mean_std",
-        backend_model_id=spec.model.default_model_id,
+        backend_model_id=resolved_model_id(profile, settings)
+        if profile != "fast"
+        else spec.model.default_model_id,
         seed=settings.nn.random_state,
         provenance={"framework": "ser_tpu", "trainer": "prepared_plan"},
     )

@@ -666,45 +666,51 @@ def _labeled_usable(report: ReadinessReport) -> list[tuple[FileRecord, str]]:
 
 def _prepare_fast_features(
     report: ReadinessReport, settings: AppConfig
-) -> tuple[np.ndarray, list[str], list[str], list[str]]:
+) -> tuple[np.ndarray, list[str], list[str], list[str], list[str]]:
     from ser_tpu.ops.features import extract_feature_vectors_batch
 
-    clips, labels, digests, kept_files = [], [], [], []
+    clips, labels, digests, kept_files, groups = [], [], [], [], []
     for record, digest in _labeled_usable(report):
         audio, sr = read_audio_file(record.path, audio_read_config=settings.audio_read)
         clips.append((audio, sr))
         labels.append(record.label)
         digests.append(digest)
         kept_files.append(record.path)
+        groups.append(record.speaker or Path(record.path).stem)
     if not clips:
         raise RuntimeError("No usable labeled clips to prepare.")
     features = extract_feature_vectors_batch(clips, feature_flags=settings.feature_flags)
-    return features, labels, digests, kept_files
+    return features, labels, digests, kept_files, groups
 
 
 def _prepare_encoder_features(
     report: ReadinessReport, settings: AppConfig, profile: ProfileName
-) -> tuple[np.ndarray, list[str], list[str], list[str]]:
+) -> tuple[np.ndarray, list[str], list[str], list[str], list[str]]:
     """Pooled per-window embeddings via the SELECTED backend (profile-aware)."""
     from ser_tpu._internal.models.encoder_training import _windowed_dataset
     from ser_tpu._internal.repr.encoders import build_encoder_backend
 
     files, digests = [], []
+    group_by_path: dict[str, str] = {}
     for record, digest in _labeled_usable(report):
         digests.append(digest)
         files.append((record.path, record.label, record.speaker))
+        group_by_path[record.path] = record.speaker or Path(record.path).stem
     if not files:
         raise RuntimeError("No usable labeled clips to prepare.")
     backend = build_encoder_backend(profile, settings=settings)
     runtime_config = settings.profile_runtime(profile)  # type: ignore[arg-type]
-    features, labels, _sample_ids = _windowed_dataset(
+    features, labels, sample_ids = _windowed_dataset(
         files=files,
         backend=backend,
         settings=settings,
         window_size=runtime_config.pool_window_size_seconds,
         window_stride=runtime_config.pool_window_stride_seconds,
     )
-    return features, labels, digests, [f for f, _, _ in files]
+    # Per-WINDOW group labels: sibling windows of one clip/speaker must not
+    # straddle the resume path's train/test split.
+    groups = [group_by_path.get(sample, sample) for sample in sample_ids]
+    return features, labels, digests, [f for f, _, _ in files], groups
 
 
 def write_prepared_plan(
@@ -722,15 +728,20 @@ def write_prepared_plan(
     """
     plan_dir.mkdir(parents=True, exist_ok=True)
     if profile == "fast":
-        features, labels, digests, kept_files = _prepare_fast_features(report, settings)
+        features, labels, digests, kept_files, groups = _prepare_fast_features(
+            report, settings
+        )
     else:
-        features, labels, digests, kept_files = _prepare_encoder_features(
+        features, labels, digests, kept_files, groups = _prepare_encoder_features(
             report, settings, profile
         )
 
     payload_path = plan_dir / "prepared_features.npz"
     np.savez_compressed(
-        payload_path, features=features, labels=np.asarray(labels, dtype=object)
+        payload_path,
+        features=features,
+        labels=np.asarray(labels, dtype=object),
+        groups=np.asarray(groups, dtype=object),
     )
     plan = {
         "plan_schema_version": PLAN_SCHEMA_VERSION,
@@ -885,6 +896,11 @@ def load_prepared_plan(
         with np.load(payload_path, allow_pickle=True) as payload:
             features = payload["features"]
             labels = [str(label) for label in payload["labels"]]
+            groups = (
+                [str(group) for group in payload["groups"]]
+                if "groups" in payload
+                else None
+            )
     except (OSError, KeyError, ValueError) as err:
         raise PreparedPlanError(
             f"Prepared feature payload {payload_path} is missing or unreadable: {err}. "
@@ -894,7 +910,9 @@ def load_prepared_plan(
         raise PreparedPlanError("Prepared plan file/digest lists are inconsistent.")
     if features.shape[0] != plan.get("rows", features.shape[0]):
         raise PreparedPlanError("Prepared payload row count does not match the plan.")
-    return features, labels
+    if groups is not None and len(groups) != features.shape[0]:
+        raise PreparedPlanError("Prepared payload group list is inconsistent.")
+    return features, labels, groups
 
 
 def run_training_readiness_cli(

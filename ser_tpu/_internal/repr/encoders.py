@@ -23,16 +23,28 @@ _BACKEND_CACHE: dict[tuple[str, str, str], object] = {}
 _BACKEND_CACHE_LOCK = threading.Lock()
 
 
+def resolved_model_id(profile: ProfileName, settings: AppConfig) -> str:
+    """The model id the backend will ACTUALLY load (settings override wins).
+
+    Everything that keys on model identity — embedding caches, artifact
+    metadata, compat checks — must use this, not the catalog default:
+    training with an overridden id while stamping the default silently
+    reused wrong-model cache entries and produced artifacts that failed
+    their own load-time model-id check.
+    """
+    return {
+        "medium": settings.models.medium_model_id,
+        "accurate": settings.models.accurate_model_id,
+        "accurate-research": settings.models.accurate_research_model_id,
+    }.get(profile, "")
+
+
 def build_encoder_backend(
     profile: ProfileName, *, settings: AppConfig, device_kind: str = "auto"
 ):
     """Builds (or reuses) the encoder FeatureBackend for one transformer profile."""
     spec = get_profile_catalog()[profile]
-    model_id = {
-        "medium": settings.models.medium_model_id,
-        "accurate": settings.models.accurate_model_id,
-        "accurate-research": settings.models.accurate_research_model_id,
-    }.get(profile, "")
+    model_id = resolved_model_id(profile, settings)
     runtime_probe = resolve_feature_runtime(
         spec.backend_id,
         torch_runtime=settings.torch_runtime,

@@ -13,7 +13,7 @@ from typing import Any, Literal
 
 import numpy as np
 
-from ser_tpu._internal.models.fast_path import frame_confidence_and_probabilities
+from ser_tpu._internal.models.fast_path import predict_frames
 from ser_tpu._internal.pool import mean_std_pool, temporal_pooling_windows
 from ser_tpu._internal.repr import EncodedSequence, FeatureBackend, PoolingWindow, overlap_frame_mask
 from ser_tpu._internal.runtime.postprocessing import (
@@ -69,12 +69,8 @@ def run_windowed_inference_once(
             f"Expected {expected_feature_size}, got {features.shape[1]}."
         )
 
-    predicted = [str(item) for item in model.predict(features)]
-    confidences, probabilities = frame_confidence_and_probabilities(
-        model=model,
-        feature_matrix=features,
-        frame_count=len(windows),
-        logger=logger,
+    predicted, confidences, probabilities = predict_frames(
+        model, features, len(windows), logger=logger
     )
     frames = [
         FramePrediction(

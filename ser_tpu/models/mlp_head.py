@@ -8,8 +8,9 @@ sklearn estimator (including loaded legacy sklearn artifacts) works with
 either implementation.
 
 Training semantics mirror sklearn's adam solver: Glorot-uniform init, log-loss
-plus ``alpha * 0.5 * ||W||² / n_samples`` L2, minibatch Adam with per-epoch
-shuffling, and ``tol``/``n_iter_no_change`` early stopping. The epoch is one
+plus ``alpha * 0.5 * ||W||² / batch_size`` L2 per minibatch, ``'auto'`` batch
+= min(200, n), minibatch Adam with per-epoch shuffling, and sklearn's exact
+``tol``/``n_iter_no_change`` stall accounting. The epoch is one
 jitted ``lax.scan`` over fixed-shape minibatches (padded + masked), so the
 whole fit runs as a handful of XLA programs regardless of dataset size.
 """
@@ -71,6 +72,13 @@ class JaxMLPClassifier:
             raise ValueError("X and y must have the same number of samples.")
 
         self.classes_ = np.array(sorted(set(y_arr.tolist())))
+        if len(self.classes_) < 2:
+            # sklearn's MLPClassifier raises here too; a one-logit softmax
+            # would "train" to a constant-prediction model silently.
+            raise ValueError(
+                "This solver needs samples of at least 2 classes in the data; "
+                f"got {len(self.classes_)}."
+            )
         class_index = {label: idx for idx, label in enumerate(self.classes_)}
         y_idx = np.asarray([class_index[label] for label in y_arr], dtype=np.int32)
 
@@ -88,7 +96,7 @@ class JaxMLPClassifier:
             )
             params.append((weight, jnp.zeros((fan_out,), dtype=jnp.float32)))
 
-        batch = n_samples if self.batch_size == "auto" else int(self.batch_size)
+        batch = min(200, n_samples) if self.batch_size == "auto" else int(self.batch_size)
         batch = max(1, min(batch, n_samples))
         n_batches = -(-n_samples // batch)
         padded = n_batches * batch
@@ -104,9 +112,12 @@ class JaxMLPClassifier:
             logits = _forward(p, xb)
             log_probs = jax.nn.log_softmax(logits)
             nll = -jnp.take_along_axis(log_probs, yb[:, None], axis=1)[:, 0]
-            data_loss = jnp.sum(nll * mb) / jnp.maximum(jnp.sum(mb), 1.0)
+            count = jnp.maximum(jnp.sum(mb), 1.0)
+            data_loss = jnp.sum(nll * mb) / count
             l2 = sum(jnp.sum(w * w) for w, _ in p)
-            return data_loss + 0.5 * self.alpha * l2 / float(n_samples)
+            # sklearn divides the L2 term by the PER-BATCH sample count
+            # (MLPClassifier._backprop), not the dataset size.
+            return data_loss + 0.5 * self.alpha * l2 / count
 
         @jax.jit
         def train_epoch(p, opt_s, perm):
@@ -135,13 +146,18 @@ class JaxMLPClassifier:
             loss_value = float(loss)
             self.n_iter_ = epoch + 1
             self.loss_ = loss_value
-            if loss_value < best_loss - self.tol:
-                best_loss = loss_value
-                stall = 0
-            else:
+            # sklearn stall accounting (_update_no_improvement_count): the
+            # counter resets only on a > tol improvement over best_loss, but
+            # best_loss tracks ANY improvement, and training stops after
+            # STRICTLY more than n_iter_no_change stalled epochs.
+            if loss_value > best_loss - self.tol:
                 stall += 1
-                if stall >= self.n_iter_no_change:
-                    break
+            else:
+                stall = 0
+            if loss_value < best_loss:
+                best_loss = loss_value
+            if stall > self.n_iter_no_change:
+                break
 
         self._params = [(np.asarray(w), np.asarray(b)) for w, b in params]
         return self

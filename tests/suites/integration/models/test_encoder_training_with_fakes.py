@@ -108,3 +108,38 @@ def test_noise_controls_drop_low_variance_windows(corpus):
     )
     # One window per clip → training windows == number of train clips.
     assert report["training_windows"] <= 32
+
+
+def test_training_stamps_the_resolved_model_override(corpus):
+    """With SER_MEDIUM_MODEL_ID overridden, the artifact must record the
+    OVERRIDE id — stamping the catalog default made the just-trained
+    artifact fail its own load-time model-id compat check, and keyed the
+    embedding cache on the wrong model."""
+    import dataclasses
+
+    from ser_tpu._internal.models.artifacts import load_model_artifact
+    from ser_tpu._internal.models.encoder_training import train_encoder_profile_model
+
+    settings = build_settings_from_inputs(
+        capture_settings_inputs(
+            env={
+                "SER_DATASET_FOLDER": str(corpus / "ds"),
+                "SER_MODELS_FOLDER": str(corpus / "models"),
+                "SER_TMP_FOLDER": str(corpus / "tmp"),
+                "SER_MEDIUM_MODEL_ID": "my-org/custom-xlsr",
+            }
+        )
+    )
+    settings = dataclasses.replace(
+        settings, nn=dataclasses.replace(settings.nn, hidden_layer_sizes=(16,), max_iter=60)
+    )
+    report = train_encoder_profile_model(
+        profile="medium", settings=settings, backend=TinyDspBackend()
+    )
+    assert report["backend_model_id"] == "my-org/custom-xlsr"
+    loaded = load_model_artifact(
+        report["model_path"],
+        expected_backend_id="jax_xlsr",
+        expected_model_id="my-org/custom-xlsr",
+    )
+    assert loaded.artifact_metadata["backend_model_id"] == "my-org/custom-xlsr"

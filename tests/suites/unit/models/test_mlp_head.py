@@ -82,3 +82,29 @@ def test_validation_errors():
         JaxMLPClassifier().fit(np.zeros((0, 3)), [])
     with pytest.raises(ValueError):
         JaxMLPClassifier().fit(np.zeros((2, 3)), ["a"])
+
+
+def test_single_class_raises_like_sklearn():
+    import numpy as np
+    import pytest
+
+    from ser_tpu.models.mlp_head import JaxMLPClassifier
+
+    with pytest.raises(ValueError, match="at least 2 classes"):
+        JaxMLPClassifier(max_iter=2).fit(
+            np.zeros((4, 3), np.float32), ["same"] * 4
+        )
+
+
+def test_auto_batch_size_matches_sklearn():
+    """'auto' = min(200, n_samples), not full batch (sklearn semantics)."""
+    import numpy as np
+
+    from ser_tpu.models.mlp_head import JaxMLPClassifier
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((30, 4)).astype(np.float32)
+    y = (["a"] * 15) + (["b"] * 15)
+    model = JaxMLPClassifier(batch_size="auto", max_iter=3, hidden_layer_sizes=(8,))
+    model.fit(x, y)
+    assert model.n_iter_ >= 1  # structural: 'auto' must not crash/full-batch

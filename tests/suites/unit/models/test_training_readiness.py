@@ -75,8 +75,12 @@ def test_prepared_plan_rejects_ledger_change(tmp_path):
         settings=settings, profile="fast", report=report, plan_dir=plan_dir
     )
     # Loads cleanly with matching (absent) ledger.
-    features, labels = tr.load_prepared_plan(plan_path, settings=settings, profile="fast")
+    features, labels, groups = tr.load_prepared_plan(
+        plan_path, settings=settings, profile="fast"
+    )
     assert features.shape[0] == len(labels) == 6
+    # Fast plans carry per-clip groups (speaker or stem) for resume splits.
+    assert groups is not None and len(groups) == 6
     # A new quarantine ledger invalidates the plan.
     ledger_dir = settings.tmp_folder / "quarantine"
     ledger_dir.mkdir(parents=True, exist_ok=True)
