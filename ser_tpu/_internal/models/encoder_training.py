@@ -54,24 +54,20 @@ def _windowed_dataset(
     # path). Waveform residency is BOUNDED: decoded audio lives only until
     # its chunk encodes — holding every waveform of a large manifest corpus
     # simultaneously risked host OOM before any pooling happened.
+    from ser_tpu._internal.repr.encode_util import encode_clips
+
     encode_chunk_clips = 64  # plenty for the cross-clip attention budget
     encoded_by_path: dict[str, object] = {}
-    encode_many = getattr(backend, "encode_sequences", None)
     pending: list[str] = []
     pending_audio: dict[str, tuple[np.ndarray, int]] = {}
 
     def flush_pending() -> None:
         if not pending:
             return
-        if callable(encode_many):
-            for path, encoded in zip(
-                pending, encode_many([pending_audio[p] for p in pending])
-            ):
-                encoded_by_path[path] = encoded
-        else:
-            for path in pending:
-                audio, sr = pending_audio[path]
-                encoded_by_path[path] = backend.encode_sequence(audio, sr)
+        for path, encoded in zip(
+            pending, encode_clips(backend, [pending_audio[p] for p in pending])
+        ):
+            encoded_by_path[path] = encoded
         if cache is not None:
             for path in pending:
                 cache.store(path, encoded_by_path[path], audio=pending_audio[path][0])
@@ -157,13 +153,16 @@ def _train_encoder_profile_model_ready(
 
         backend = build_encoder_backend(profile, settings=settings)
 
+    # Manifest-aware attribution (corpus/label/speaker), shared with
+    # readiness: RAVDESS-code-only parsing silently dropped every
+    # manifest-configured corpus from encoder training.
+    from ser_tpu._internal.models.training_readiness import _file_records
+
+    records = _file_records(loader.discover_dataset_files(settings), settings)
     files = [
-        (clip_path, label, loader.extract_ravdess_speaker_id_from_path(clip_path))
-        for clip_path in loader.discover_dataset_files(settings)
-        if (label := dict(settings.emotions).get(
-            loader.extract_ravdess_emotion_code(clip_path.rsplit("/", 1)[-1]) or ""
-        ))
-        is not None
+        (record.path, record.label, record.speaker)
+        for record in records
+        if record.label is not None
     ]
     if not files:
         raise RuntimeError("No labeled dataset files found for encoder training.")

@@ -51,7 +51,9 @@ def build_encoder_backend(
         policy=settings.feature_runtime_policy,
     )
     dtype_probe = runtime_probe.dtype if device_kind != "cpu" else "float32"
-    cache_key = (spec.backend_id, model_id, dtype_probe)
+    # Device in the key: the CPU-fallback attempt must not receive the
+    # accelerator-resident instance (weights placed where first built).
+    cache_key = (spec.backend_id, model_id, dtype_probe, device_kind == "cpu")
     with _BACKEND_CACHE_LOCK:
         cached = _BACKEND_CACHE.get(cache_key)
         if cached is not None:
@@ -104,4 +106,4 @@ def _build_encoder_backend_uncached(
     )
 
 
-__all__ = ["build_encoder_backend"]
+__all__ = ["build_encoder_backend", "resolved_model_id"]

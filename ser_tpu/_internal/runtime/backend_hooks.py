@@ -51,36 +51,44 @@ def _model_id_for(profile: ProfileName, settings: AppConfig) -> str | None:
     }[profile]
 
 
+def _build_profile_backend(profile: ProfileName, settings: AppConfig, device_kind: str):
+    """Module-level factory body (picklable via ``partial`` for spawn workers)."""
+    from ser_tpu._internal.repr import encoders
+
+    return encoders.build_encoder_backend(
+        profile, settings=settings, device_kind=device_kind
+    )
+
+
 def _encoder_backend_factory(profile: ProfileName):
-    """Lazy factory for the profile's JAX encoder backend (import deferred)."""
+    """Lazy, PICKLABLE factory for the profile's JAX encoder backend."""
+    import functools
 
-    def factory(settings: AppConfig, device_kind: str):
-        from ser_tpu._internal.repr import encoders
-
-        return encoders.build_encoder_backend(
-            profile, settings=settings, device_kind=device_kind
-        )
-
-    return factory
+    return functools.partial(_build_profile_backend, profile)
 
 
-def _windowed_hook(profile: ProfileName, settings: AppConfig) -> BackendHook:
+def build_profile_spec(profile: ProfileName, settings: AppConfig) -> ProfileBoundarySpec:
+    """The boundary spec for one windowed profile (shared with spawn workers,
+    which rebuild it from the child's own settings)."""
     catalog_spec = get_profile_catalog()[profile]
-    model_id = _model_id_for(profile, settings)
     artifact_names = profile_artifact_file_names(
         profile=profile,
         medium_model_id=settings.models.medium_model_id,
         accurate_model_id=settings.models.accurate_model_id,
         accurate_research_model_id=settings.models.accurate_research_model_id,
     )
-    spec = ProfileBoundarySpec(
+    return ProfileBoundarySpec(
         profile=profile,
         backend_id=catalog_spec.backend_id,
-        model_id=model_id,
+        model_id=_model_id_for(profile, settings),
         pooling_strategy="mean_std",
         backend_factory=_encoder_backend_factory(profile),
         artifact_file_name=artifact_names[0],
     )
+
+
+def _windowed_hook(profile: ProfileName, settings: AppConfig) -> BackendHook:
+    spec = build_profile_spec(profile, settings)
 
     def hook(request: InferenceRequest) -> InferenceResult:
         return run_profile_inference(request, spec=spec, settings=settings)

@@ -82,6 +82,71 @@ def _load_model(spec: ProfileBoundarySpec, settings: AppConfig) -> artifacts.Loa
         raise ModelLoadError(str(err), profile=spec.profile) from err
 
 
+def _cpu_device_scope(device_kind: str):
+    """Device-placement scope for one attempt.
+
+    ``"cpu"`` pins array creation (and therefore jit dispatch, which follows
+    input placement) onto the host CPU backend — the CPU-fallback attempt
+    must actually leave the accelerator, not merely be named "cpu".
+    """
+    if device_kind != "cpu":
+        from contextlib import nullcontext
+
+        return nullcontext()
+    import jax
+
+    return jax.default_device(jax.devices("cpu")[0])
+
+
+def _spawned_setup(profile: ProfileName, file_path: str) -> dict[str, Any]:
+    """Spawned-worker setup: rebuild everything from the child's environment.
+
+    Spawn semantics match the transcription worker (``extractor.py``):
+    parent ContextVar overrides do not cross the process boundary; the child
+    re-derives settings from env. Module-level + ``partial`` so the payload
+    pickles (local closures cannot).
+    """
+    from ser_tpu._internal.config.bootstrap import get_settings
+    from ser_tpu._internal.runtime.backend_hooks import build_profile_spec
+
+    settings = get_settings()
+    spec = build_profile_spec(profile, settings)
+    runtime = _runtime_config(settings, profile)
+    loaded = _load_model(spec, settings)
+    backend = spec.backend_factory(settings, "auto")
+    audio, sample_rate = read_audio_file(
+        file_path, audio_read_config=settings.audio_read
+    )
+    return {
+        "backend": backend,
+        "audio": audio,
+        "sample_rate": sample_rate,
+        "model": loaded.model,
+        "expected_feature_size": loaded.expected_feature_size,
+        "runtime": runtime,
+        "spec": spec,
+        "settings": settings,
+    }
+
+
+def _spawned_compute(context: dict[str, Any]) -> InferenceResult:
+    runtime = context["runtime"]
+    spec = context["spec"]
+    settings = context["settings"]
+    return run_windowed_inference_once(
+        audio=np.asarray(context["audio"], dtype=np.float32),
+        sample_rate=context["sample_rate"],
+        backend=context["backend"],
+        model=context["model"],
+        pool_window_size_seconds=runtime.pool_window_size_seconds,
+        pool_window_stride_seconds=runtime.pool_window_stride_seconds,
+        pooling_strategy=spec.pooling_strategy,
+        postprocessing_config=build_segment_postprocessing_config(runtime),
+        output_schema_version=settings.schema.output_schema_version,
+        expected_feature_size=context["expected_feature_size"],
+    )
+
+
 def run_profile_inference(
     request: InferenceRequest,
     *,
@@ -97,34 +162,42 @@ def run_profile_inference(
 
         def make_attempt(device_kind: str) -> Callable[[], InferenceResult]:
             def setup() -> dict[str, Any]:
-                backend = spec.backend_factory(settings, device_kind)
-                audio, sample_rate = read_audio_file(
-                    request.file_path, audio_read_config=settings.audio_read
-                )
+                with _cpu_device_scope(device_kind):
+                    backend = spec.backend_factory(settings, device_kind)
+                    audio, sample_rate = read_audio_file(
+                        request.file_path, audio_read_config=settings.audio_read
+                    )
                 return {"backend": backend, "audio": audio, "sample_rate": sample_rate}
 
             def compute(context: dict[str, Any]) -> InferenceResult:
-                return run_windowed_inference_once(
-                    audio=np.asarray(context["audio"], dtype=np.float32),
-                    sample_rate=context["sample_rate"],
-                    backend=context["backend"],
-                    model=loaded.model,
-                    pool_window_size_seconds=runtime.pool_window_size_seconds,
-                    pool_window_stride_seconds=runtime.pool_window_stride_seconds,
-                    pooling_strategy=spec.pooling_strategy,  # type: ignore[arg-type]
-                    postprocessing_config=build_segment_postprocessing_config(runtime),
-                    output_schema_version=settings.schema.output_schema_version,
-                    expected_feature_size=loaded.expected_feature_size,
-                )
+                with _cpu_device_scope(device_kind):
+                    return run_windowed_inference_once(
+                        audio=np.asarray(context["audio"], dtype=np.float32),
+                        sample_rate=context["sample_rate"],
+                        backend=context["backend"],
+                        model=loaded.model,
+                        pool_window_size_seconds=runtime.pool_window_size_seconds,
+                        pool_window_stride_seconds=runtime.pool_window_stride_seconds,
+                        pooling_strategy=spec.pooling_strategy,  # type: ignore[arg-type]
+                        postprocessing_config=build_segment_postprocessing_config(runtime),
+                        output_schema_version=settings.schema.output_schema_version,
+                        expected_feature_size=loaded.expected_feature_size,
+                    )
 
             def attempt() -> InferenceResult:
-                runner = (
-                    worker_lifecycle.run_attempt_in_spawned_process
-                    if runtime.process_isolation
-                    else worker_lifecycle.run_attempt_in_process
-                )
                 try:
-                    return runner(
+                    if runtime.process_isolation:
+                        from functools import partial
+
+                        # Module-level payload: local closures cannot pickle
+                        # across the spawn boundary.
+                        return worker_lifecycle.run_attempt_in_spawned_process(
+                            setup=partial(_spawned_setup, spec.profile, request.file_path),
+                            compute=_spawned_compute,
+                            timeout_seconds=runtime.timeout_seconds,
+                            profile=spec.profile,
+                        )
+                    return worker_lifecycle.run_attempt_in_process(
                         setup=setup,
                         compute=compute,
                         timeout_seconds=runtime.timeout_seconds,

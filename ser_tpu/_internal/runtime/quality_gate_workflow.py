@@ -63,12 +63,9 @@ def evaluate_candidate_gate(
         read_audio_file(clip.file_path, audio_read_config=settings.audio_read)
         for clip in clips
     ]
-    encode_many = getattr(backend, "encode_sequences", None)
-    encoded = (
-        encode_many(decoded)
-        if callable(encode_many)
-        else [backend.encode_sequence(audio, sr) for audio, sr in decoded]
-    )
+    from ser_tpu._internal.repr.encode_util import encode_clips
+
+    encoded = encode_clips(backend, decoded)
     candidate_rows = []
     for sequence in encoded:
         windows = temporal_pooling_windows(

@@ -55,16 +55,22 @@ def run_attempt_in_process(
     context = setup()
     if timeout_seconds <= 0:
         return compute(context)
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        future = pool.submit(compute, context)
-        try:
-            return future.result(timeout=timeout_seconds)
-        except FutureTimeoutError:
-            future.cancel()
-            raise InferenceTimeoutError(
-                f"Inference compute exceeded {timeout_seconds:.1f}s budget.",
-                profile=profile,
-            ) from None
+    # NOT a `with` block: ThreadPoolExecutor.__exit__ is shutdown(wait=True),
+    # which would join the still-running compute thread and block the caller
+    # for however long the hang lasts — the timeout would bound nothing.
+    pool = ThreadPoolExecutor(max_workers=1)
+    future = pool.submit(compute, context)
+    try:
+        result = future.result(timeout=timeout_seconds)
+    except FutureTimeoutError:
+        future.cancel()
+        pool.shutdown(wait=False)  # abandon the thread; it dies with the run
+        raise InferenceTimeoutError(
+            f"Inference compute exceeded {timeout_seconds:.1f}s budget.",
+            profile=profile,
+        ) from None
+    pool.shutdown(wait=True)
+    return result
 
 
 def _worker_main(conn, setup_compute_payload: bytes) -> None:

@@ -56,6 +56,7 @@ def infer_many(
         raise ValueError("Batch inference targets encoder profiles; use api.infer for fast.")
 
     from ser_tpu._internal.repr.encoders import build_encoder_backend
+    from ser_tpu._internal.repr.encode_util import encode_clips
 
     backend = build_encoder_backend(profile, settings=settings)
     names = profile_artifact_file_names(
@@ -64,10 +65,13 @@ def infer_many(
         accurate_model_id=settings.models.accurate_model_id,
         accurate_research_model_id=settings.models.accurate_research_model_id,
     )
+    from ser_tpu._internal.repr.encoders import resolved_model_id
+
     loaded = artifacts.load_model_artifact(
         settings.models.folder / names[0],
         expected_backend_id=spec.backend_id,
         expected_profile=profile,
+        expected_model_id=resolved_model_id(profile, settings) or None,
     )
     runtime = settings.profile_runtime(profile)  # type: ignore[arg-type]
     postprocessing = build_segment_postprocessing_config(runtime)
@@ -91,13 +95,13 @@ def infer_many(
     if not decoded:
         return [row or BatchInferenceResult(p, None, "not decoded") for row, p in zip(rows, file_paths)]
 
-    encode_many = getattr(backend, "encode_sequences", None)
     clips = [(audio, sr) for _, audio, sr in decoded]
-    sequences = (
-        encode_many(clips)
-        if callable(encode_many)
-        else [backend.encode_sequence(audio, sr) for audio, sr in clips]
-    )
+    sequences = encode_clips(backend, clips)
+    if len(sequences) != len(decoded):
+        raise RuntimeError(
+            f"Backend returned {len(sequences)} encoded sequences for "
+            f"{len(decoded)} clips; refusing to silently drop files."
+        )
 
     for (index, audio, sr), encoded in zip(decoded, sequences):
         result = run_windowed_inference_once(

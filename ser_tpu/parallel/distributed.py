@@ -11,12 +11,14 @@ TPU) or explicit ``SER_DIST_*`` overrides.
 from __future__ import annotations
 
 import os
+import threading
 
 from ser_tpu._internal.utils.logger import get_logger
 
 logger = get_logger(__name__)
 
 _initialized = False
+_INIT_LOCK = threading.Lock()
 
 
 def is_multi_host_env(env: dict[str, str] | None = None) -> bool:
@@ -68,24 +70,32 @@ def initialize_distributed(*, force: bool = False) -> bool:
     """Initializes jax.distributed for multi-host execution when configured.
 
     Returns True when the runtime is (now) initialized. Safe to call
-    unconditionally — single-host environments are a no-op — and idempotent:
-    repeat calls never re-initialize.
+    unconditionally — single-host environments are a no-op — and idempotent
+    under concurrency AND against external initialization: a lock serializes
+    racing callers, and an already-initialized jax.distributed (someone
+    called it directly) is adopted as success rather than re-raised.
     """
     global _initialized
-    if _initialized:
-        return True
-    if not force and not is_multi_host_env():
-        return False
-    import jax
+    with _INIT_LOCK:
+        if _initialized:
+            return True
+        if not force and not is_multi_host_env():
+            return False
+        import jax
 
-    jax.distributed.initialize(**resolve_distributed_kwargs())
-    _initialized = True
-    logger.info(
-        "jax.distributed initialized: process %d/%d",
-        jax.process_index(),
-        jax.process_count(),
-    )
-    return True
+        try:
+            jax.distributed.initialize(**resolve_distributed_kwargs())
+        except RuntimeError as err:
+            if "already initialized" not in str(err).lower():
+                raise
+            logger.debug("jax.distributed already initialized externally; adopting.")
+        _initialized = True
+        logger.info(
+            "jax.distributed initialized: process %d/%d",
+            jax.process_index(),
+            jax.process_count(),
+        )
+        return True
 
 
 __all__ = ["initialize_distributed", "is_multi_host_env", "resolve_distributed_kwargs"]

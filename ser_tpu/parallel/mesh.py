@@ -25,12 +25,26 @@ def mesh_shape_for(
 ) -> tuple[int, int]:
     """Resolves (data, model) axis sizes for one device count."""
     config = config if config is not None else MeshConfig()
-    model = config.model_axis_size if config.model_axis_size > 0 else 1
-    if n_devices % model != 0:
-        raise ValueError(
-            f"model_axis_size {model} does not divide device count {n_devices}."
-        )
-    data = config.data_axis_size if config.data_axis_size > 0 else n_devices // model
+    data_cfg, model_cfg = config.data_axis_size, config.model_axis_size
+    if data_cfg > 0 and model_cfg > 0:
+        data, model = data_cfg, model_cfg
+    elif model_cfg > 0:
+        model = model_cfg
+        if n_devices % model != 0:
+            raise ValueError(
+                f"model_axis_size {model} does not divide device count {n_devices}."
+            )
+        data = n_devices // model
+    elif data_cfg > 0:
+        # Either axis may absorb the remaining devices (docstring contract).
+        data = data_cfg
+        if n_devices % data != 0:
+            raise ValueError(
+                f"data_axis_size {data} does not divide device count {n_devices}."
+            )
+        model = n_devices // data
+    else:
+        data, model = n_devices, 1
     if data * model != n_devices:
         raise ValueError(
             f"Mesh {data}x{model} does not match device count {n_devices}."

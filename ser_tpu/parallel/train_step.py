@@ -10,8 +10,6 @@ issues a collective by hand.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import optax
@@ -31,24 +29,51 @@ def encoder_classifier_loss(
     head_params,
     waveform_chunks: jax.Array,
     labels: jax.Array,
+    valid_samples: jax.Array | None = None,
 ) -> jax.Array:
-    """Forward + loss: whisper-encoder states → mean/std pool → MLP head."""
+    """Forward + loss: whisper-encoder states → masked mean/std pool → head.
+
+    ``valid_samples`` (B,) gives each clip's true sample count; frames past
+    it are zero-padding and must not enter the pooled statistics — the
+    serving path pools only valid frames (``overlap_frame_mask``), and an
+    unmasked training pool would create train/serve skew on short clips.
+    """
     mel = log_mel_spectrogram(waveform_chunks, encoder.config.n_mels)
     states = encoder.apply({"params": encoder_params}, mel)
-    pooled = jnp.concatenate([states.mean(axis=1), states.std(axis=1)], axis=-1)
+    if valid_samples is not None:
+        # Encoder frames cover 2 hops (320 samples at 16 kHz) each.
+        samples_per_frame = waveform_chunks.shape[1] / states.shape[1]
+        n_valid = jnp.maximum(
+            jnp.ceil(valid_samples / samples_per_frame).astype(jnp.int32), 1
+        )
+        frame_ok = (
+            jnp.arange(states.shape[1])[None, :] < n_valid[:, None]
+        )[..., None].astype(states.dtype)
+        count = jnp.maximum(frame_ok.sum(axis=1), 1.0)
+        mean = (states * frame_ok).sum(axis=1) / count
+        var = (jnp.square(states - mean[:, None, :]) * frame_ok).sum(axis=1) / count
+        pooled = jnp.concatenate([mean, jnp.sqrt(jnp.maximum(var, 0.0))], axis=-1)
+    else:
+        pooled = jnp.concatenate([states.mean(axis=1), states.std(axis=1)], axis=-1)
     hidden = jax.nn.relu(pooled @ head_params["w1"] + head_params["b1"])
     logits = hidden @ head_params["w2"] + head_params["b2"]
     return cross_entropy_loss(logits, labels)
 
 
 def make_sharded_train_step(encoder: WhisperEncoder, mesh, optimizer=None):
-    """Builds (init_shardings, step_fn) for the sharded training step."""
+    """Builds ``(place, step, optimizer)``: mesh placement helper, the jitted
+    step, and the optax optimizer whose state the caller initializes.
+
+    ``step`` accepts an optional ``valid_samples`` batch for masked pooling.
+    """
     optimizer = optimizer if optimizer is not None else optax.adam(1e-4)
 
-    @partial(jax.jit, static_argnames=())
-    def step(encoder_params, head_params, opt_state, waveform, labels):
+    @jax.jit
+    def step(encoder_params, head_params, opt_state, waveform, labels, valid_samples=None):
         def loss_fn(ep, hp):
-            return encoder_classifier_loss(encoder, ep, hp, waveform, labels)
+            return encoder_classifier_loss(
+                encoder, ep, hp, waveform, labels, valid_samples
+            )
 
         loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
             encoder_params, head_params

@@ -163,3 +163,48 @@ def test_pipeline_training_dispatch(tmp_path):
     )
     pipeline.run_training()
     assert trained == [settings]
+
+
+def test_soft_timeout_returns_within_budget():
+    """The in-process timeout must BOUND caller latency — the old `with`
+    executor joined the hung thread, blocking for the full hang."""
+    import time
+
+    import pytest
+
+    from ser_tpu._internal.runtime.errors import InferenceTimeoutError
+    from ser_tpu._internal.runtime.worker_lifecycle import run_attempt_in_process
+
+    def setup():
+        return None
+
+    def compute(_ctx):
+        time.sleep(3.0)
+        return "late"
+
+    start = time.perf_counter()
+    with pytest.raises(InferenceTimeoutError):
+        run_attempt_in_process(
+            setup=setup, compute=compute, timeout_seconds=0.2, profile="fast"
+        )
+    elapsed = time.perf_counter() - start
+    assert elapsed < 1.5, f"timeout did not bound latency: {elapsed:.1f}s"
+
+
+def test_isolated_profile_payload_is_picklable():
+    """process_isolation spawns a worker that unpickles (setup, compute);
+    the old closure payload failed pickling, breaking isolation entirely."""
+    import pickle
+    from functools import partial
+
+    from ser_tpu._internal.runtime.profile_boundary import (
+        _spawned_compute,
+        _spawned_setup,
+    )
+
+    payload = pickle.dumps(
+        (partial(_spawned_setup, "medium", "/tmp/clip.wav"), _spawned_compute)
+    )
+    setup, compute = pickle.loads(payload)
+    assert setup.args == ("medium", "/tmp/clip.wav")
+    assert compute is _spawned_compute
