@@ -95,7 +95,18 @@ def _check_media_tooling() -> DiagnosticFinding:
 
 def _check_transcription_assets(settings: AppConfig) -> DiagnosticFinding:
     root = settings.models.whisper_download_root
-    if root.exists() and any(root.iterdir()):
+    try:
+        has_assets = root.exists() and any(root.iterdir())
+    except NotADirectoryError:
+        # A stray FILE at the configured root: the doctor diagnoses broken
+        # setups — it must report this, not traceback on it.
+        return DiagnosticFinding(
+            check_id="transcription.assets",
+            severity=DiagnosticSeverity.WARNING,
+            summary=f"whisper_download_root {root} is a file, not a directory.",
+            remediation="Remove the file and stage model assets in a directory.",
+        )
+    if has_assets:
         return DiagnosticFinding(
             check_id="transcription.assets",
             severity=DiagnosticSeverity.INFO,

@@ -150,6 +150,7 @@ class VectorFeatureBackend(FeatureBackend, Protocol):
 
 
 __all__ = [
+    "window_mean_pool",
     "EmbeddingMatrix",
     "EncodedSequence",
     "FeatureBackend",
@@ -161,3 +162,20 @@ __all__ = [
     "WindowMask",
     "overlap_frame_mask",
 ]
+
+
+def window_mean_pool(encoded: EncodedSequence, windows) -> np.ndarray:
+    """Per-window float64 mean over the frames overlapping each window.
+
+    The one owner of the backend ``pool()`` contract (the three encoder
+    backends previously carried identical copies).
+    """
+    if not windows:
+        return np.empty((0, encoded.embeddings.shape[1]), dtype=np.float64)
+    rows = [
+        np.asarray(
+            encoded.embeddings[overlap_frame_mask(encoded, window)], dtype=np.float64
+        ).mean(axis=0)
+        for window in windows
+    ]
+    return np.vstack(rows)

@@ -91,6 +91,11 @@ def shard_chunk_batch(batch: np.ndarray, lengths: np.ndarray):
     true_rows = batch.shape[0]
     if len(jax.devices()) <= 1:
         return batch, lengths, true_rows
+    # A CPU-pinned attempt (jax.default_device(cpu) — the boundary's CPU
+    # fallback) must NOT be committed back onto the accelerator mesh.
+    default = jax.config.jax_default_device
+    if default is not None and getattr(default, "platform", None) == "cpu":
+        return batch, lengths, true_rows
     from ser_tpu.parallel.mesh import DATA_AXIS, build_mesh
     from ser_tpu.parallel.sharding import batch_sharding
 
@@ -119,18 +124,31 @@ def chunked_encode(
     encode_batch: Callable[[np.ndarray, np.ndarray], np.ndarray],
     frames_for_length: Callable[[int], int],
     backend_id: str,
+    float32_encode_batch: Callable[[], Callable[[np.ndarray, np.ndarray], np.ndarray]]
+    | None = None,
 ) -> EncodedSequence:
     """Runs one clip through the batched chunk encoder with exact timestamps.
 
     ``encode_batch(chunks (B, L), lengths (B,)) -> (B, F_max, D)`` embeddings
     (padded frames arbitrary); ``frames_for_length(samples) -> n_valid``.
     Timestamps are evenly interpolated across each chunk's true duration
-    (reference hf_xlsr.py:185-227 semantics).
+    (reference hf_xlsr.py:185-227 semantics). ``float32_encode_batch``, when
+    given, supplies a genuinely-float32 encode path for the non-finite retry
+    (reference hf_xlsr.py:262-300 resets the runtime to float32; re-running
+    the same bf16 computation would be a no-op).
     """
     if audio.ndim != 1 or audio.size == 0:
         raise ValueError("audio must be non-empty mono.")
     audio16k = resample_audio(np.asarray(audio, dtype=np.float32), sample_rate, ENCODER_SAMPLE_RATE)
-    chunks = plan_chunks(audio16k.size)
+    # Tail chunks shorter than the conv receptive field yield zero frames;
+    # emitting a fully-masked garbage row instead would poison clip-end
+    # features. Their audio tail is < one frame (~25 ms) — drop them.
+    chunks = [c for c in plan_chunks(audio16k.size) if frames_for_length(c[1]) > 0]
+    if not chunks:
+        raise ValueError(
+            f"Clip ({audio16k.size} samples) is shorter than the {backend_id} "
+            "encoder receptive field."
+        )
     bucket = max(bucket_samples(length) for _, length in chunks)
 
     batch = np.zeros((len(chunks), bucket), dtype=np.float32)
@@ -144,9 +162,10 @@ def chunked_encode(
     if not np.all(np.isfinite(embeddings_batch)):
         # Reference behavior: retry in float32 after a non-finite result.
         logger.warning("Non-finite embeddings from %s; retrying in float32.", backend_id)
-        embeddings_batch = np.asarray(
-            encode_batch(batch.astype(np.float32), lengths)
-        ).astype(np.float64)
+        retry_encode = (
+            float32_encode_batch() if float32_encode_batch is not None else encode_batch
+        )
+        embeddings_batch = np.asarray(retry_encode(batch, lengths))
         if not np.all(np.isfinite(embeddings_batch)):
             raise ValueError(f"Backend {backend_id} produced non-finite embeddings.")
 
@@ -198,8 +217,11 @@ def chunked_encode_many(
         )
         resampled.append(audio16k)
         for start, length in plan_chunks(audio16k.size):
-            work.append((clip_index, start, length))
+            if frames_for_length(length) > 0:
+                work.append((clip_index, start, length))
 
+    if not work:
+        raise ValueError("Every clip is shorter than the encoder receptive field.")
     bucket = max(bucket_samples(length) for _, _, length in work)
     # Bound B so B * F^2 attention scores stay within budget (tiny test
     # configs have very short conv strides → huge frame counts per chunk).
@@ -224,7 +246,9 @@ def chunked_encode_many(
     for clip_index, audio16k in enumerate(resampled):
         embeddings, starts_s, ends_s = [], [], []
         for start, length in plan_chunks(audio16k.size):
-            n_valid = max(1, frames_for_length(length))
+            if frames_for_length(length) <= 0:
+                continue
+            n_valid = frames_for_length(length)
             valid = chunk_embeddings[work_index][:n_valid]
             work_index += 1
             chunk_start = start / ENCODER_SAMPLE_RATE

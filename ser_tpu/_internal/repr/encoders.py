@@ -18,8 +18,11 @@ from ser_tpu._internal.runtime.errors import RuntimeDependencyError
 from ser_tpu.profiles import ProfileName, get_profile_catalog
 
 #: Backend instances are expensive (weights in HBM, warmed jit caches) — reuse
-#: them per (backend_id, model_id, dtype) across attempts.
-_BACKEND_CACHE: dict[tuple[str, str, str], object] = {}
+#: them per (backend_id, model_id, dtype, cpu?, cache_root, random-init?)
+#: across attempts. Weight PROVENANCE is part of the key: changing the cache
+#: root or the SER_ALLOW_RANDOM_INIT mode mid-process must not silently hand
+#: back an instance holding the previous weights.
+_BACKEND_CACHE: dict[tuple, object] = {}
 _BACKEND_CACHE_LOCK = threading.Lock()
 
 
@@ -50,25 +53,43 @@ def build_encoder_backend(
         torch_runtime=settings.torch_runtime,
         policy=settings.feature_runtime_policy,
     )
+    import os
+
     dtype_probe = runtime_probe.dtype if device_kind != "cpu" else "float32"
     # Device in the key: the CPU-fallback attempt must not receive the
     # accelerator-resident instance (weights placed where first built).
-    cache_key = (spec.backend_id, model_id, dtype_probe, device_kind == "cpu")
+    cache_key = (
+        spec.backend_id,
+        model_id,
+        dtype_probe,
+        device_kind == "cpu",
+        str(settings.models.huggingface_cache_root),
+        os.environ.get("SER_ALLOW_RANDOM_INIT", "") == "1",
+    )
     with _BACKEND_CACHE_LOCK:
         cached = _BACKEND_CACHE.get(cache_key)
         if cached is not None:
             return cached
-        backend = _build_encoder_backend_uncached(
-            profile, settings=settings, device_kind=device_kind
-        )
-        _BACKEND_CACHE[cache_key] = backend
-        return backend
+    # Build OUTSIDE the lock: checkpoint conversion takes tens of seconds and
+    # must not block unrelated cache hits. A racing duplicate build is
+    # tolerable; last writer wins.
+    backend = _build_encoder_backend_uncached(
+        profile, settings=settings, device_kind=device_kind, model_id=model_id
+    )
+    with _BACKEND_CACHE_LOCK:
+        return _BACKEND_CACHE.setdefault(cache_key, backend)
 
 
 def _build_encoder_backend_uncached(
-    profile: ProfileName, *, settings: AppConfig, device_kind: str = "auto"
+    profile: ProfileName,
+    *,
+    settings: AppConfig,
+    device_kind: str = "auto",
+    model_id: str | None = None,
 ):
     spec = get_profile_catalog()[profile]
+    # One resolution point: the cache key and the loaded weights must agree.
+    model_id = model_id if model_id is not None else resolved_model_id(profile, settings)
     runtime = resolve_feature_runtime(
         spec.backend_id,
         torch_runtime=settings.torch_runtime,
@@ -80,7 +101,7 @@ def _build_encoder_backend_uncached(
         from ser_tpu._internal.repr.wav2vec2_backend import XlsrBackend
 
         return XlsrBackend(
-            model_id=settings.models.medium_model_id,
+            model_id=model_id,
             cache_root=settings.models.huggingface_cache_root,
             dtype=dtype,
         )
@@ -88,7 +109,7 @@ def _build_encoder_backend_uncached(
         from ser_tpu._internal.repr.whisper_backend import WhisperEncoderBackend
 
         return WhisperEncoderBackend(
-            model_id=settings.models.accurate_model_id,
+            model_id=model_id,
             cache_root=settings.models.huggingface_cache_root,
             dtype=dtype,
         )
@@ -96,7 +117,7 @@ def _build_encoder_backend_uncached(
         from ser_tpu._internal.repr.emotion2vec_backend import Emotion2VecBackend
 
         return Emotion2VecBackend(
-            model_id=settings.models.accurate_research_model_id,
+            model_id=model_id,
             cache_root=settings.models.huggingface_cache_root,
             dtype=dtype,
         )

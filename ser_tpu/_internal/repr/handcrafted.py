@@ -76,14 +76,10 @@ class HandcraftedBackend:
     def pool(
         self, encoded: EncodedSequence, windows: Sequence[PoolingWindow]
     ) -> FeatureMatrix:
-        """Mean-pools encoded frames per window (float64)."""
-        if not windows:
-            return np.empty((0, encoded.embeddings.shape[1]), dtype=np.float64)
-        rows: list[FeatureVector] = []
-        for window in windows:
-            mask = overlap_frame_mask(encoded, window)
-            rows.append(np.asarray(encoded.embeddings[mask].mean(axis=0), dtype=np.float64))
-        return np.vstack(rows)
+        """Mean-pools encoded frames per window (float64 accumulation)."""
+        from ser_tpu._internal.repr.backend import window_mean_pool
+
+        return window_mean_pool(encoded, windows)
 
     def extract_vector(
         self, audio: NDArray[np.float32], sample_rate: int

@@ -111,6 +111,31 @@ class XlsrBackend:
         cfg = self._config
         return max(0, (samples - cfg.frame_receptive_samples) // cfg.frame_stride_samples + 1)
 
+    def _switch_to_float32(self):
+        """Permanently resets the runtime to float32 (reference hf_xlsr
+        semantics after a non-finite result: the retry AND every later encode
+        run full-precision)."""
+        if self._dtype == jnp.float32:
+            return
+        logger.warning("%s: resetting runtime to float32 after non-finite output.", self.backend_id)
+        self._params = jax.tree.map(
+            lambda leaf: leaf.astype(jnp.float32)
+            if hasattr(leaf, "dtype") and leaf.dtype == jnp.bfloat16
+            else leaf,
+            self._params,
+        )
+        self._dtype = jnp.float32
+        self._model = wav2vec2.Wav2Vec2Encoder(self._config, compute_dtype=jnp.float32)
+
+    def _encode_batch(self, batch, lengths):
+        return _encode_chunks(
+            self._model, self._params, jnp.asarray(batch), jnp.asarray(lengths)
+        )
+
+    def _float32_encode_batch(self):
+        self._switch_to_float32()
+        return self._encode_batch
+
     def encode_sequence(
         self, audio: np.ndarray, sample_rate: int
     ) -> EncodedSequence:
@@ -118,11 +143,10 @@ class XlsrBackend:
         return chunked_encode(
             audio,
             sample_rate,
-            encode_batch=lambda batch, lengths: _encode_chunks(
-                self._model, self._params, jnp.asarray(batch), jnp.asarray(lengths)
-            ),
+            encode_batch=self._encode_batch,
             frames_for_length=self._frames_for_length,
             backend_id=self.backend_id,
+            float32_encode_batch=self._float32_encode_batch,
         )
 
     def encode_sequences(
@@ -133,9 +157,7 @@ class XlsrBackend:
 
         return chunked_encode_many(
             clips,
-            encode_batch=lambda batch, lengths: _encode_chunks(
-                self._model, self._params, jnp.asarray(batch), jnp.asarray(lengths)
-            ),
+            encode_batch=self._encode_batch,
             frames_for_length=self._frames_for_length,
             backend_id=self.backend_id,
         )
@@ -144,15 +166,9 @@ class XlsrBackend:
         self, encoded: EncodedSequence, windows: Sequence[PoolingWindow]
     ) -> FeatureMatrix:
         """Mean pooling per window (mean+std is applied by the execution pass)."""
-        from ser_tpu._internal.repr.backend import overlap_frame_mask
+        from ser_tpu._internal.repr.backend import window_mean_pool
 
-        if not windows:
-            return np.empty((0, encoded.embeddings.shape[1]), dtype=np.float64)
-        rows = [
-            np.asarray(encoded.embeddings[overlap_frame_mask(encoded, w)], dtype=np.float64).mean(axis=0)
-            for w in windows
-        ]
-        return np.vstack(rows)
+        return window_mean_pool(encoded, windows)
 
 
 @partial(jax.jit, static_argnames=("model",))

@@ -51,6 +51,12 @@ class WhisperEncoderBackend:
         else:
             self._config, self._params = self._resolve_weights(cache_root, model_id, init, config)
         compute = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        if compute == jnp.bfloat16:
+            # Inference-only: bf16 STORAGE halves HBM residency (XLA hoists
+            # the per-op casts either way — identical computed values).
+            from ser_tpu.models.param_utils import cast_params_bf16
+
+            self._params = cast_params_bf16(self._params)
         self._encoder = whisper_model.WhisperEncoder(self._config, compute_dtype=compute)
 
     def _resolve_weights(self, cache_root, model_id, init, config):
@@ -133,15 +139,9 @@ class WhisperEncoderBackend:
     def pool(
         self, encoded: EncodedSequence, windows: Sequence[PoolingWindow]
     ) -> FeatureMatrix:
-        if not windows:
-            return np.empty((0, encoded.embeddings.shape[1]), dtype=np.float64)
-        rows = [
-            np.asarray(
-                encoded.embeddings[overlap_frame_mask(encoded, w)], dtype=np.float64
-            ).mean(axis=0)
-            for w in windows
-        ]
-        return np.vstack(rows)
+        from ser_tpu._internal.repr.backend import window_mean_pool
+
+        return window_mean_pool(encoded, windows)
 
 
 __all__ = ["WhisperEncoderBackend"]

@@ -133,8 +133,10 @@ def print_timeline(timeline: list[TimelineEntry]) -> None:
     emotion_width = max(len("Emotion"), *(len(e.emotion.capitalize()) for e in timeline))
     speech_width = max(len("Speech"), *(len(e.speech.strip()) for e in timeline))
 
-    print(color_txt("Time", "black", "green", time_width), end="")
-    print(color_txt("Emotion", "black", "yellow", emotion_width), end="")
+    # Headers carry the same single-space separators as the data rows, so
+    # the colorized columns line up.
+    print(color_txt("Time", "black", "green", time_width), end=" ")
+    print(color_txt("Emotion", "black", "yellow", emotion_width), end=" ")
     print(color_txt("Speech", "black", "blue", speech_width))
     for entry in timeline:
         time_str = display_elapsed_time(float(entry.timestamp_seconds), _format="short")
