@@ -87,7 +87,7 @@ def build_parser() -> argparse.ArgumentParser:
     prepare.add_argument("--manifest", type=Path, default=None)
     prepare.add_argument("--labels-csv", type=Path, default=None)
     prepare.add_argument("--accept-license", action="store_true")
-    prepare.add_argument("--skip-download", action="store_true", default=True)
+    prepare.add_argument("--skip-download", action="store_true", default=False)
     consents = data_sub.add_parser("consents", help="Show or record dataset consents.")
     consents.add_argument("--accept-policy", action="append", default=[])
     consents.add_argument("--accept-license", action="append", default=[])
@@ -261,18 +261,26 @@ def _run_transcription_calibration(settings) -> int:
         save_calibration_report,
     )
 
-    files = discover_dataset_files(settings)[:6]
-    if not files:
-        logger.error("Calibration needs dataset audio (SER_DATASET_FOLDER).")
-        return EXIT_VALIDATION
-    # RAVDESS statement code is field 5: 01 → sentence 0, 02 → sentence 1.
+    import os.path
+
+    # Only RAVDESS-coded files carry a KNOWN reference sentence (statement
+    # code field 5: 01 → sentence 0, 02 → sentence 1). Scoring arbitrary
+    # corpora against a canonical sentence would persist a garbage WER
+    # recommendation that admission control then trusts.
     samples = []
-    for file in files:
-        parts = file.rsplit("/", 1)[-1].split("-")
-        sentence = RAVDESS_CANONICAL_SENTENCES[0]
-        if len(parts) >= 5 and parts[4] == "02":
-            sentence = RAVDESS_CANONICAL_SENTENCES[1]
-        samples.append((file, sentence))
+    for file in discover_dataset_files(settings):
+        parts = os.path.basename(file).split("-")
+        if len(parts) >= 5 and parts[4] in ("01", "02"):
+            sentence = RAVDESS_CANONICAL_SENTENCES[0 if parts[4] == "01" else 1]
+            samples.append((file, sentence))
+        if len(samples) >= 6:
+            break
+    if not samples:
+        logger.error(
+            "Calibration needs RAVDESS-coded clips with known reference "
+            "sentences (SER_DATASET_FOLDER)."
+        )
+        return EXIT_VALIDATION
 
     candidates = []
     for model_name in (settings.models.whisper_model.name,):
@@ -329,10 +337,19 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "benchmark":
         from ser_tpu._internal.runtime.benchmarks import benchmark_fast_predict
 
-        report = benchmark_fast_predict(args.file, runs=args.runs, settings=settings)
-        print(report.to_json())
-        return 0
+        def _run_benchmark():
+            report = benchmark_fast_predict(args.file, runs=args.runs, settings=settings)
+            print(report.to_json())
+
+        _, code = run_command(_run_benchmark, label="benchmark")
+        return code
     if args.command == "gate":
+        # Same license/consent gate as --train/--file: the candidate may be
+        # a restricted backend (emotion2vec), and evaluating it loads and
+        # runs the restricted model.
+        gate_block = _restricted_backend_gate(settings, args.candidate)
+        if gate_block is not None:
+            return gate_block
         from ser_tpu._internal.runtime.quality_gate_workflow import (
             run_quality_gate_workflow,
         )

@@ -77,8 +77,16 @@ def evaluate_head_cross_folds(
     profile: str,
     settings: AppConfig,
     n_folds: int = 4,
+    clip_ids: list[str] | None = None,
 ) -> ProfileEvaluation:
-    """Speaker-grouped K-fold evaluation of the configured head on features."""
+    """Speaker-grouped K-fold evaluation of the configured head on features.
+
+    With ``clip_ids`` given, rows are PER-WINDOW samples (the representation
+    encoder profiles actually train and predict on); test-fold windows
+    majority-vote into per-clip predictions before scoring, matching the
+    production evaluation path — clip-averaged features would measure a
+    representation production never sees.
+    """
     items = list(range(len(labels)))
     folds = stratified_group_folds(
         items,
@@ -94,9 +102,20 @@ def evaluate_head_cross_folds(
         model.max_iter = min(model.max_iter, 200)  # gate evaluation budget
         model.fit(features[train_idx], [labels[i] for i in train_idx])
         predictions = [str(p) for p in model.predict(features[test_idx])]
-        metrics = compute_ser_metrics(
-            y_true=[labels[i] for i in test_idx], y_pred=predictions
-        )
+        if clip_ids is not None:
+            from ser_tpu._internal.train.metrics import (
+                compute_grouped_ser_metrics_by_sample,
+            )
+
+            metrics = compute_grouped_ser_metrics_by_sample(
+                y_true=[labels[i] for i in test_idx],
+                y_pred=predictions,
+                sample_ids=[clip_ids[i] for i in test_idx],
+            )
+        else:
+            metrics = compute_ser_metrics(
+                y_true=[labels[i] for i in test_idx], y_pred=predictions
+            )
         uars.append(metrics["uar"])
         f1s.append(metrics["macro_f1"])
     if not uars:

@@ -59,28 +59,55 @@ def evaluate_candidate_gate(
 
     backend = build_encoder_backend(candidate, settings=settings)
     runtime = settings.profile_runtime(candidate)  # type: ignore[arg-type]
-    decoded = [
-        read_audio_file(clip.file_path, audio_read_config=settings.audio_read)
-        for clip in clips
-    ]
     from ser_tpu._internal.repr.encode_util import encode_clips
 
-    encoded = encode_clips(backend, decoded)
-    candidate_rows = []
-    for sequence in encoded:
-        windows = temporal_pooling_windows(
-            sequence,
-            window_size_seconds=runtime.pool_window_size_seconds,
-            window_stride_seconds=runtime.pool_window_stride_seconds,
-        )
-        candidate_rows.append(mean_std_pool(sequence, windows).mean(axis=0))
+    # PER-WINDOW candidate rows with the production noise controls — the
+    # representation encoder profiles actually train/predict on (clip-mean
+    # features would gate on something production never computes). Decode
+    # and encode in bounded chunks: the clips were already decoded once by
+    # the loader, and holding the whole corpus PCM again is pure waste.
+    min_std = settings.medium_training.min_window_std
+    max_windows = settings.medium_training.max_windows_per_clip
+    window_rows: list[np.ndarray] = []
+    window_labels: list[str] = []
+    window_speakers: list[str] = []
+    window_clips: list[str] = []
+    chunk_size = 64
+    for chunk_start in range(0, len(clips), chunk_size):
+        chunk = clips[chunk_start : chunk_start + chunk_size]
+        decoded = [
+            read_audio_file(clip.file_path, audio_read_config=settings.audio_read)
+            for clip in chunk
+        ]
+        for clip, sequence in zip(chunk, encode_clips(backend, decoded)):
+            windows = temporal_pooling_windows(
+                sequence,
+                window_size_seconds=runtime.pool_window_size_seconds,
+                window_stride_seconds=runtime.pool_window_stride_seconds,
+            )
+            pooled = mean_std_pool(sequence, windows)
+            dim = pooled.shape[1] // 2
+            kept = 0
+            for row in pooled:
+                if max_windows > 0 and kept >= max_windows:
+                    break
+                if min_std > 0.0 and float(np.mean(row[dim:])) < min_std:
+                    continue
+                window_rows.append(row)
+                window_labels.append(clip.label)
+                window_speakers.append(clip.speaker_id or clip.file_path)
+                window_clips.append(clip.file_path)
+                kept += 1
+    if not window_rows:
+        raise RuntimeError("Quality gate: no candidate windows survived noise controls.")
     candidate_eval = evaluate_head_cross_folds(
-        np.asarray(candidate_rows, dtype=np.float64),
-        labels,
-        speakers,
+        np.asarray(window_rows, dtype=np.float64),
+        window_labels,
+        window_speakers,
         profile=candidate,
         settings=settings,
         n_folds=folds,
+        clip_ids=window_clips,
     )
 
     stability = None
@@ -118,13 +145,18 @@ def run_quality_gate_workflow(
     output_path: str | Path | None = None,
     require_pass: bool = False,
 ) -> int:
-    """Full gate run with persisted report. Exit codes: 0 promote, 1 hold,
-    2 unusable corpus/config."""
+    """Full gate run with persisted report.
+
+    Exit codes: 0 = promote (or an advisory hold without ``require_pass``);
+    1 = hold under ``require_pass``; 2 = unusable corpus/config.
+    """
     try:
         decision = evaluate_candidate_gate(
             settings=settings, candidate=candidate, folds=folds
         )
-    except RuntimeError as err:
+    except (RuntimeError, OSError, ValueError, KeyError) as err:
+        # Missing/corrupt clips, bad candidate names, degenerate encodes —
+        # all input defects → the documented clean exit 2, not a traceback.
         print(str(err), file=sys.stderr)
         return 2
     payload = build_report_payload(
@@ -145,7 +177,10 @@ def run_quality_gate_workflow(
     except QualityGateFailedError as err:
         print(str(err), file=sys.stderr)
         return 1
-    return 0 if decision.promote else 1
+    # Without require_pass a HOLD is advisory (report written, verdict
+    # printed, exit 0) — otherwise the flag would change nothing, and CI
+    # authors reading the --require-pass help would be misled.
+    return 0 if (decision.promote or not require_pass) else 1
 
 
 __all__ = ["evaluate_candidate_gate", "run_quality_gate_workflow"]
