@@ -72,3 +72,55 @@ def test_enforcement_raises_only_when_required_and_held():
     qgr.enforce_quality_gate(_decision(promote=False), require_pass=False)
     with pytest.raises(qgr.QualityGateFailedError, match="UAR delta"):
         qgr.enforce_quality_gate(_decision(promote=False), require_pass=True)
+
+
+def test_gate_workflow_exit_codes(tmp_path, monkeypatch):
+    """Advisory hold exits 0; --require-pass makes a hold exit 1; input
+    defects exit 2 (not tracebacks)."""
+    from ser_tpu._internal.config.settings_builder import build_settings_from_inputs
+    from ser_tpu._internal.config.settings_inputs import capture_settings_inputs
+    from ser_tpu._internal.runtime import quality_gate_workflow as wf
+
+    settings = build_settings_from_inputs(
+        capture_settings_inputs(env={"SER_MODELS_FOLDER": str(tmp_path)})
+    )
+
+    monkeypatch.setattr(
+        wf, "evaluate_candidate_gate", lambda **_kw: _decision(promote=False)
+    )
+    assert (
+        wf.run_quality_gate_workflow(
+            settings=settings, candidate="medium", output_path=tmp_path / "g1.json"
+        )
+        == 0
+    )  # advisory hold
+    assert (
+        wf.run_quality_gate_workflow(
+            settings=settings,
+            candidate="medium",
+            output_path=tmp_path / "g2.json",
+            require_pass=True,
+        )
+        == 1
+    )  # enforced hold
+
+    monkeypatch.setattr(
+        wf, "evaluate_candidate_gate", lambda **_kw: _decision(promote=True)
+    )
+    assert (
+        wf.run_quality_gate_workflow(
+            settings=settings, candidate="medium", output_path=tmp_path / "g3.json"
+        )
+        == 0
+    )
+
+    def boom(**_kw):
+        raise KeyError("no such profile")
+
+    monkeypatch.setattr(wf, "evaluate_candidate_gate", boom)
+    assert (
+        wf.run_quality_gate_workflow(
+            settings=settings, candidate="mystery", output_path=tmp_path / "g4.json"
+        )
+        == 2
+    )
