@@ -283,7 +283,16 @@ def _run_transcription_calibration(settings) -> int:
         return EXIT_VALIDATION
 
     candidates = []
-    for model_name in (settings.models.whisper_model.name,):
+    from ser_tpu._internal.transcript.extractor import resolve_transcription_profile
+
+    flags = settings.runtime_flags
+    active_profile = resolve_profile_name(
+        medium_profile=flags.medium_profile,
+        accurate_profile=flags.accurate_profile,
+        accurate_research_profile=flags.accurate_research_profile,
+    )
+    resolved_tx = resolve_transcription_profile(active_profile, settings)
+    for model_name in (resolved_tx.model_name,):
         transcriber = JaxWhisperTranscriber(
             model_name=model_name,
             cache_root=settings.models.whisper_download_root,
@@ -363,6 +372,12 @@ def main(argv: list[str] | None = None) -> int:
         )
 
     if args.calibrate_transcription_runtime:
+        if args.profile:
+            from ser_tpu._internal.api.runtime import apply_cli_profile_override
+
+            # The profile projection must land BEFORE calibration so the
+            # profile's own transcription model/flags are what get profiled.
+            settings = apply_cli_profile_override(settings, args.profile)
         return _run_transcription_calibration(settings)
 
     if args.disable_timeouts:

@@ -128,17 +128,11 @@ def train(
         pipeline.run_training()  # type: ignore[attr-defined]
 
 
-def resolve_active_settings(settings: AppConfig | None) -> AppConfig:
-    """Explicit settings or a fresh boundary-local snapshot."""
-    return settings if settings is not None else reload_settings()
-
-
 __all__ = [
     "apply_cli_profile_override",
     "infer",
     "list_profiles",
     "load_profile",
-    "resolve_active_settings",
     "run_inference_workflow",
     "train",
 ]

@@ -183,11 +183,15 @@ class TrainingConfig:
 
 @dataclass(frozen=True)
 class WhisperModelConfig:
-    """Transcription model selection and storage location."""
+    """Transcription model selection and storage location.
 
-    name: str = field(
-        default_factory=lambda: get_profile_catalog()["fast"].transcription_defaults.model_name
-    )
+    ``name`` is EMPTY unless explicitly selected (WHISPER_MODEL env): the
+    per-profile catalog default resolves at transcription time
+    (``resolve_transcription_profile``). A truthy fast-profile default here
+    meant the accurate profile could never reach its own catalog model.
+    """
+
+    name: str = ""
     relative_path: Path = Path("OpenAI/whisper")
 
 

@@ -120,6 +120,12 @@ def save_model_artifact(envelope: dict[str, Any], path: str | Path) -> str:
     try:
         with os.fdopen(fd, "wb") as handle:
             pickle.dump(envelope, handle, protocol=pickle.HIGHEST_PROTOCOL)
+        # mkstemp creates 0600; published artifacts follow the umask like the
+        # JSON sidecar does (otherwise a service account cannot load a model
+        # trained by CI).
+        umask = os.umask(0)
+        os.umask(umask)
+        os.chmod(tmp_name, 0o666 & ~umask)
         os.replace(tmp_name, target)
     except BaseException:
         if os.path.exists(tmp_name):
@@ -146,7 +152,11 @@ def load_model_artifact(
 
     Raises ``ArtifactError`` on version/backend/profile/model-id mismatch —
     silently running a model trained for another backend would produce garbage
-    predictions with full confidence.
+    predictions with full confidence. Legacy bare-estimator pickles
+    (pre-envelope sklearn artifacts — the reference-migration path) carry no
+    metadata to validate; they load with a LOUD warning naming the filters
+    that could not be checked, and the feature-size check downstream remains
+    the only guard.
     """
     target = Path(path)
     if not target.exists():
@@ -155,7 +165,23 @@ def load_model_artifact(
         raw = pickle.load(handle)
 
     if not isinstance(raw, dict) or "model" not in raw:
-        # Legacy bare-estimator pickle (pre-envelope): accept with no metadata.
+        unverifiable = [
+            name
+            for name, value in (
+                ("backend", expected_backend_id),
+                ("profile", expected_profile),
+                ("model-id", expected_model_id),
+            )
+            if value is not None
+        ]
+        if unverifiable:
+            logger.warning(
+                "Legacy artifact %s carries no metadata; %s compatibility "
+                "cannot be verified. Re-train to produce an envelope-v3 "
+                "artifact.",
+                target,
+                "/".join(unverifiable),
+            )
         return LoadedModel(model=_rehydrate_model(raw), expected_feature_size=None)
 
     metadata = raw.get("metadata") or {}

@@ -18,23 +18,54 @@ logger = get_logger(__name__)
 
 
 def save_checkpoint(state: Any, path: str | Path, *, force: bool = True) -> str:
-    """Persists one pytree checkpoint (atomic, sharding-aware) via orbax."""
+    """Persists one pytree checkpoint via orbax, crash-safe on overwrite.
+
+    ``force=True`` alone is NOT safe: orbax rmtree's the existing final
+    directory BEFORE the replacement commits, so a crash mid-save destroys
+    the only checkpoint. Overwrites therefore save to a sibling staging
+    directory first and swap only after the new checkpoint is fully
+    committed; a crash leaves either the old checkpoint or a committed
+    staging copy (see :func:`load_checkpoint` fallback).
+    """
+    import shutil
+
     import orbax.checkpoint as ocp
 
     target = Path(path).absolute()
     target.parent.mkdir(parents=True, exist_ok=True)
     with ocp.StandardCheckpointer() as checkpointer:
-        checkpointer.save(target, state, force=force)
+        if not target.exists():
+            checkpointer.save(target, state, force=force)
+            return str(target)
+        staging = target.with_name(target.name + ".staging")
+        if staging.exists():
+            shutil.rmtree(staging)
+        checkpointer.save(staging, state)
+        checkpointer.wait_until_finished()  # saves are async; commit first
+        # New checkpoint fully committed; now the old one may go.
+        shutil.rmtree(target)
+        staging.rename(target)
     return str(target)
 
 
 def load_checkpoint(path: str | Path, *, template: Any | None = None) -> Any:
-    """Restores one pytree checkpoint; ``template`` guides sharding/dtypes."""
+    """Restores one pytree checkpoint; ``template`` guides sharding/dtypes.
+
+    Falls back to a committed ``.staging`` sibling when the final directory
+    is missing — the crash-window of an interrupted overwrite swap.
+    """
     import orbax.checkpoint as ocp
 
     target = Path(path).absolute()
     if not target.exists():
-        raise FileNotFoundError(f"Checkpoint not found: {target}")
+        staging = target.with_name(target.name + ".staging")
+        if staging.exists():
+            logger.warning(
+                "Checkpoint %s missing; recovering committed staging copy.", target
+            )
+            staging.rename(target)
+        else:
+            raise FileNotFoundError(f"Checkpoint not found: {target}")
     with ocp.StandardCheckpointer() as checkpointer:
         if template is not None:
             return checkpointer.restore(target, template)

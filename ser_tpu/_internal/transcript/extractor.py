@@ -118,27 +118,29 @@ def _runtime_request(resolved: TranscriptionProfile, settings: AppConfig):
     )
 
 
-def _noop_setup() -> None:
-    """Picklable no-op setup for the spawned transcription worker."""
-    return None
+def _isolated_setup(resolved_fields: dict):
+    """Spawned-worker SETUP: build + gate + load (inside the worker).
 
-
-def _extract_in_worker(
-    file_path: str, language: str, profile: ProfileName, _setup_result=None
-) -> list[TranscriptWord]:
-    """Spawned-worker body: full setup + load + transcribe in the child.
-
-    Settings re-derive from the environment in the worker (spawn semantics;
-    parent ContextVar overrides do not cross the process boundary — same
-    contract as the reference's transcription worker).
+    The parent's RESOLVED transcription profile travels as plain fields —
+    re-deriving it from the child's environment lost profile-projected flags
+    (use_demucs/use_vad/model) and any programmatic settings, so the
+    isolated run transcribed differently than the identical in-process run.
+    Settings (paths, admission knobs) still re-derive from env in the child
+    (spawn semantics). Running load here, not in compute, keeps the compute
+    timeout budget for TRANSCRIBE only (worker_lifecycle's two-phase
+    contract; model load/compile can take minutes).
     """
     from ser_tpu._internal.config.bootstrap import get_settings
 
     settings = get_settings()
-    resolved = resolve_transcription_profile(profile, settings)
+    resolved = TranscriptionProfile(**resolved_fields)
     transcriber = _build_transcriber(resolved, settings)
     _run_setup_gates(transcriber, resolved, settings)
     transcriber.load_model(_runtime_request(resolved, settings))
+    return transcriber
+
+
+def _isolated_transcribe(file_path: str, language: str, transcriber) -> list[TranscriptWord]:
     return transcriber.transcribe(file_path, language=language)
 
 
@@ -159,27 +161,32 @@ def extract_transcript(
     """
     if timings is None:
         timings = {}
-    with phases.timed_phase(phases.PHASE_TRANSCRIPTION_SETUP, timings):
-        resolved = resolve_transcription_profile(profile, settings)
+    import dataclasses as _dataclasses
+
+    resolved = resolve_transcription_profile(profile, settings)
+    from ser_tpu._internal.transcript.process_isolation import (
+        should_use_process_isolated_path,
+    )
+
+    if should_use_process_isolated_path(resolved.backend_id, settings=settings):
+        from functools import partial
 
         from ser_tpu._internal.transcript.process_isolation import (
-            should_use_process_isolated_path,
+            run_isolated_transcription,
         )
 
-        if should_use_process_isolated_path(resolved.backend_id, settings=settings):
-            from functools import partial
+        # Worker-internal setup/load cannot be split into the canonical
+        # setup/model-load phases from the parent; the pipeline's outer
+        # PHASE_TRANSCRIPTION block times the whole isolated lane (recording
+        # it all as "setup" here misattributed the numbers).
+        return run_isolated_transcription(
+            setup=partial(_isolated_setup, _dataclasses.asdict(resolved)),
+            transcribe=partial(_isolated_transcribe, file_path, language),
+            timeout_seconds=settings.transcription.isolation_timeout_seconds,
+            backend_id=resolved.backend_id,
+        )
 
-            from ser_tpu._internal.transcript.process_isolation import (
-                run_isolated_transcription,
-            )
-
-            return run_isolated_transcription(
-                setup=_noop_setup,
-                transcribe=partial(_extract_in_worker, file_path, language, profile),
-                timeout_seconds=settings.transcription.isolation_timeout_seconds,
-                backend_id=resolved.backend_id,
-            )
-
+    with phases.timed_phase(phases.PHASE_TRANSCRIPTION_SETUP, timings):
         transcriber = _build_transcriber(resolved, settings)
         _run_setup_gates(transcriber, resolved, settings)
 

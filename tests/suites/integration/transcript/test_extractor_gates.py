@@ -266,3 +266,50 @@ def test_admission_consults_default_calibration_path(tmp_path, monkeypatch):
     )
     assert decision.admitted is True
     assert "calibration report" in decision.reason
+
+
+def test_each_profile_resolves_its_catalog_whisper_model(tmp_path):
+    """Without WHISPER_MODEL, every profile transcribes with ITS catalog
+    model — a truthy fast default in WhisperModelConfig previously pinned
+    all profiles to distil-large-v3."""
+    from ser_tpu._internal.transcript.extractor import resolve_transcription_profile
+
+    settings = _settings(tmp_path)
+    assert resolve_transcription_profile("fast", settings).model_name == "distil-large-v3"
+    assert resolve_transcription_profile("medium", settings).model_name == "turbo"
+    assert resolve_transcription_profile("accurate", settings).model_name == "large"
+    # Explicit env selection still wins everywhere.
+    chosen = _settings(tmp_path, WHISPER_MODEL="tiny")
+    assert resolve_transcription_profile("accurate", chosen).model_name == "tiny"
+
+
+def test_isolated_worker_payload_carries_resolved_profile(tmp_path):
+    """The spawn payload ships the PARENT's resolved profile fields (env
+    re-derivation in the child lost profile-projected flags)."""
+    import dataclasses as _dc
+    import pickle
+    from functools import partial
+
+    from ser_tpu._internal.transcript.extractor import (
+        TranscriptionProfile,
+        _isolated_setup,
+        _isolated_transcribe,
+    )
+
+    resolved = TranscriptionProfile(
+        backend_id="jax_whisper",
+        model_name="large",
+        use_demucs=True,
+        use_vad=False,
+        decode_strategy="beam",
+        beam_size=3,
+    )
+    payload = pickle.dumps(
+        (
+            partial(_isolated_setup, _dc.asdict(resolved)),
+            partial(_isolated_transcribe, "clip.wav", "en"),
+        )
+    )
+    setup, transcribe = pickle.loads(payload)
+    assert setup.args[0]["use_demucs"] is True
+    assert setup.args[0]["decode_strategy"] == "beam"

@@ -38,3 +38,28 @@ def test_encoder_params_keyed_by_model_id(tmp_path):
     checkpoint_encoder_params(params, model_id="org/model-a", settings=settings)
     restored = restore_encoder_params(model_id="org/model-a", settings=settings)
     np.testing.assert_allclose(restored["w"], np.ones((2, 2)))
+
+
+def test_overwrite_is_crash_safe(tmp_path):
+    """Overwriting saves to a staging sibling first; the old checkpoint is
+    removed only after the new one is fully committed, and a committed
+    staging copy is recoverable."""
+    import numpy as np
+
+    from ser_tpu._internal.models import orbax_io
+
+    target = tmp_path / "ckpt" / "latest"
+    orbax_io.save_checkpoint({"w": np.ones(3)}, target)
+    orbax_io.save_checkpoint({"w": np.full(3, 2.0)}, target)
+    restored = orbax_io.load_checkpoint(target)
+    assert float(np.asarray(restored["w"])[0]) == 2.0
+    assert not target.with_name(target.name + ".staging").exists()
+
+    # Simulated crash between rmtree(old) and rename(staging): recovery.
+    import shutil
+
+    staging = target.with_name(target.name + ".staging")
+    shutil.move(str(target), str(staging))
+    restored = orbax_io.load_checkpoint(target)
+    assert float(np.asarray(restored["w"])[0]) == 2.0
+    assert target.exists() and not staging.exists()
