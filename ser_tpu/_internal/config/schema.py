@@ -150,6 +150,9 @@ class DatasetConfig:
     manifest_paths: tuple[Path, ...] = ()
     recipe: str | None = None
     strict_audit: bool = False
+    #: Redirects the persisted dataset registry (tests / alternate data
+    #: roots); None = the platform data root.
+    registry_root: Path | None = None
 
     @property
     def glob_pattern(self) -> str:
@@ -291,6 +294,9 @@ class RuntimeFlags:
     accurate_profile: bool = False
     accurate_research_profile: bool = False
     restricted_backends: bool = False
+    #: SER_ALLOWED_RESTRICTED_BACKENDS: per-backend env allowlist honored as
+    #: an alternative to the persisted consent store.
+    allowed_restricted_backends: tuple[str, ...] = ()
     new_output_schema: bool = False
 
 

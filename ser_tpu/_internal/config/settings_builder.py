@@ -63,6 +63,8 @@ def build_settings_from_inputs(
         dataset = dataclasses.replace(dataset, recipe=inputs.dataset_recipe)
     if inputs.dataset_strict_audit is not None:
         dataset = dataclasses.replace(dataset, strict_audit=inputs.dataset_strict_audit)
+    if inputs.dataset_registry_root is not None:
+        dataset = dataclasses.replace(dataset, registry_root=inputs.dataset_registry_root)
 
     data_loader = base.data_loader
     loader_changes = {
@@ -138,6 +140,7 @@ def build_settings_from_inputs(
         accurate_profile=bool(inputs.enable_accurate_profile),
         accurate_research_profile=bool(inputs.enable_accurate_research_profile),
         restricted_backends=bool(inputs.enable_restricted_backends),
+        allowed_restricted_backends=tuple(inputs.allowed_restricted_backends),
         new_output_schema=bool(inputs.new_output_schema),
     )
 

@@ -91,6 +91,7 @@ class ResolvedSettingsInputs:
     dataset_folder: Path | None = None
     dataset_manifests: tuple[Path, ...] = ()
     dataset_recipe: str | None = None
+    dataset_registry_root: Path | None = None
     dataset_strict_audit: bool | None = None
     data_loader_max_workers: int | None = None
     data_loader_max_failed_files: int | None = None
@@ -180,6 +181,7 @@ def capture_settings_inputs(env: dict[str, str] | None = None) -> ResolvedSettin
         dataset_folder=read_env_path(env, "SER_DATASET_FOLDER"),
         dataset_manifests=manifests,
         dataset_recipe=read_env_str(env, "SER_DATASET_RECIPE"),
+        dataset_registry_root=read_env_path(env, "SER_DATASET_REGISTRY_ROOT"),
         dataset_strict_audit=read_env_bool(env, "SER_DATASET_STRICT_AUDIT"),
         data_loader_max_workers=read_env_int(env, "SER_DATA_LOADER_MAX_WORKERS"),
         data_loader_max_failed_files=read_env_int(env, "SER_DATA_LOADER_MAX_FAILED_FILES"),

@@ -64,7 +64,9 @@ class EmbeddingCache:
                     frame_end_seconds=payload["frame_end_seconds"].astype(np.float64),
                     backend_id=str(payload["backend_id"]),
                 )
-        except (OSError, KeyError, ValueError) as err:
+        except Exception as err:  # noqa: BLE001 - ANY corruption (BadZipFile,
+            # zlib.error, EOFError...) reads as a miss; crashing training on a
+            # truncated cache entry defeats the cache's purpose.
             logger.warning("Dropping corrupt embedding-cache entry %s: %s", path, err)
             try:
                 path.unlink()
@@ -76,17 +78,26 @@ class EmbeddingCache:
         self, file_path: str, encoded: EncodedSequence, *, audio: np.ndarray | None = None
     ) -> Path:
         """Persists one encoding; atomic via temp-file rename."""
+        import os
+
         path = self._path_for(self._key(file_path, audio))
         path.parent.mkdir(parents=True, exist_ok=True)
-        tmp = path.with_suffix(".tmp.npz")
-        np.savez_compressed(
-            tmp,
-            embeddings=encoded.embeddings,
-            frame_start_seconds=encoded.frame_start_seconds,
-            frame_end_seconds=encoded.frame_end_seconds,
-            backend_id=np.asarray(encoded.backend_id),
-        )
-        tmp.replace(path)
+        # Unique per-writer temp name: concurrent same-clip stores sharing a
+        # deterministic temp path interleaved zip bytes and could rename a
+        # corrupt entry into place.
+        tmp = path.with_suffix(f".tmp.{os.getpid()}.npz")
+        try:
+            np.savez_compressed(
+                tmp,
+                embeddings=encoded.embeddings,
+                frame_start_seconds=encoded.frame_start_seconds,
+                frame_end_seconds=encoded.frame_end_seconds,
+                backend_id=np.asarray(encoded.backend_id),
+            )
+            tmp.replace(path)
+        except BaseException:
+            tmp.unlink(missing_ok=True)
+            raise
         return path
 
 

@@ -9,6 +9,7 @@ PCM sha256, and compliance ids.
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import asdict, dataclass, field
 from hashlib import sha256
 from pathlib import Path
@@ -125,10 +126,16 @@ def read_manifest_jsonl(path: str | Path) -> list[Utterance]:
         first = handle.readline()
         if not first.strip():
             raise ManifestError(f"Manifest {path} is empty.")
-        header = json.loads(first)
+        try:
+            header = json.loads(first)
+        except json.JSONDecodeError as err:
+            raise ManifestError(f"Manifest {path} header is not valid JSON.") from err
+        if not isinstance(header, dict):
+            raise ManifestError(f"Manifest {path} header must be a JSON object.")
         version = header.get("manifest_schema_version")
         if version not in (1, MANIFEST_SCHEMA_VERSION):
             raise ManifestError(f"Unsupported manifest schema version {version!r} in {path}.")
+        known = set(Utterance.__dataclass_fields__)
         for line_no, line in enumerate(handle, start=2):
             if not line.strip():
                 continue
@@ -136,7 +143,6 @@ def read_manifest_jsonl(path: str | Path) -> list[Utterance]:
                 record = json.loads(line)
             except json.JSONDecodeError as err:
                 raise ManifestError(f"Manifest {path}:{line_no} is not valid JSON.") from err
-            known = {f for f in Utterance.__dataclass_fields__}
             utterance = Utterance(
                 **{k: v for k, v in record.items() if k in known}
             )

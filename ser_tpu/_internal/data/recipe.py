@@ -94,6 +94,19 @@ def audit_recipe(
             )
         )
 
+    # Label policy: the recipe pins the target ontology; out-of-ontology
+    # labels (extended CSV labels, scheme drift) must not silently add
+    # classifier classes.
+    stray_labels = sorted({u.label for u in utterances} - set(recipe.target_labels))
+    if stray_labels:
+        issues.append(
+            RecipeAuditIssue(
+                "label_scope",
+                f"Labels outside the recipe ontology: {', '.join(stray_labels)}.",
+                blocking=True,
+            )
+        )
+
     digests = [u.audio_sha256 for u in utterances if u.audio_sha256]
     duplicate_digests = [d for d, count in Counter(digests).items() if count > 1]
     if duplicate_digests:

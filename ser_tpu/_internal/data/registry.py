@@ -8,8 +8,11 @@ missing paths and unreadable manifests.
 
 from __future__ import annotations
 
+import fcntl
 import json
+import os
 import time
+from contextlib import contextmanager
 from dataclasses import asdict, dataclass
 from pathlib import Path
 
@@ -41,7 +44,27 @@ class DatasetRegistryHealthIssueRecord:
 
 
 def _registry_path(settings: AppConfig | None = None) -> Path:
+    # Settings-redirected registries keep test fixtures and alternate data
+    # roots isolated from the user's global registry; previously the
+    # parameter was accepted and ignored.
+    if settings is not None and settings.dataset.registry_root is not None:
+        return Path(settings.dataset.registry_root) / "datasets.json"
     return default_data_root() / "registry" / "datasets.json"
+
+
+@contextmanager
+def _registry_lock(path: Path):
+    """Advisory file lock serializing read-modify-write registry updates —
+    concurrent `ser data prepare` runs must not drop each other's records."""
+    lock_path = path.with_suffix(".lock")
+    lock_path.parent.mkdir(parents=True, exist_ok=True)
+    fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
 
 def _read_raw(settings: AppConfig | None = None) -> dict[str, dict]:
@@ -64,30 +87,44 @@ def list_registered_datasets(
     records = []
     for dataset_id in sorted(raw):
         entry = raw[dataset_id]
+        if not isinstance(entry, dict):
+            # A corrupt entry must surface through the health audit, not
+            # crash the listing the audit depends on.
+            logger.warning("Malformed registry entry for %s; skipping.", dataset_id)
+            continue
+        try:
+            count = int(entry.get("utterance_count", 0))
+        except (TypeError, ValueError):
+            count = -1
+        try:
+            prepared_at = float(entry.get("prepared_at_unix", 0.0))
+        except (TypeError, ValueError):
+            prepared_at = 0.0
         records.append(
             DatasetRegistryRecord(
                 dataset_id=dataset_id,
                 dataset_root=str(entry.get("dataset_root", "")),
                 manifest_path=str(entry.get("manifest_path", "")),
-                utterance_count=int(entry.get("utterance_count", 0)),
+                utterance_count=count,
                 revision=entry.get("revision"),
-                prepared_at_unix=float(entry.get("prepared_at_unix", 0.0)),
+                prepared_at_unix=prepared_at,
             )
         )
     return tuple(records)
 
 
 def register_dataset(record: DatasetRegistryRecord, *, settings: AppConfig | None = None) -> None:
-    """Upserts one dataset record (atomic write)."""
-    raw = _read_raw(settings)
-    entry = asdict(record)
-    entry.pop("dataset_id")
-    raw[record.dataset_id] = entry
+    """Upserts one dataset record (locked read-modify-write, atomic rename)."""
     path = _registry_path(settings)
-    path.parent.mkdir(parents=True, exist_ok=True)
-    tmp = path.with_suffix(".tmp")
-    tmp.write_text(json.dumps(raw, indent=2), encoding="utf-8")
-    tmp.replace(path)
+    with _registry_lock(path):
+        raw = _read_raw(settings)
+        entry = asdict(record)
+        entry.pop("dataset_id")
+        raw[record.dataset_id] = entry
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_suffix(f".tmp.{os.getpid()}")
+        tmp.write_text(json.dumps(raw, indent=2), encoding="utf-8")
+        tmp.replace(path)
 
 
 def audit_registry_health(

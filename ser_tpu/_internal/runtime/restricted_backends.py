@@ -106,7 +106,8 @@ def ensure_backend_access(
             f"Backend {backend_id!r} is restricted. Enable it with "
             "SER_ENABLE_RESTRICTED_BACKENDS=1 after reviewing its license."
         )
-    if not has_backend_consent(backend_id, allowed_env=allowed_env):
+    effective_allowed = allowed_env or settings.runtime_flags.allowed_restricted_backends
+    if not has_backend_consent(backend_id, allowed_env=effective_allowed):
         raise RestrictedBackendError(
             f"Backend {backend_id!r} requires recorded consent. Run `ser configure` "
             "or set SER_ALLOWED_RESTRICTED_BACKENDS."

@@ -14,6 +14,15 @@ import os
 # jax_platforms="axon,cpu", so overriding the env var alone is not enough —
 # the config must be updated after import, before backends initialize.
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+# Isolate the persisted dataset registry: without this, every test run that
+# prepares datasets pollutes the developer's global XDG registry with
+# tmp-path records.
+import tempfile as _tempfile
+
+os.environ.setdefault(
+    "SER_DATASET_REGISTRY_ROOT", _tempfile.mkdtemp(prefix="ser-test-registry-")
+)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
@@ -71,3 +80,18 @@ def _reset_for_integration(request):
     if "/suites/integration/" in path or "/suites/smoke/" in path:
         request.getfixturevalue("reset_ambient_settings")
     yield
+
+
+@pytest.fixture(autouse=True)
+def _isolated_dataset_registry(tmp_path, monkeypatch):
+    """Every test writes its dataset registry under its own tmp dir.
+
+    Settings built from explicit env dicts bypass the ambient
+    SER_DATASET_REGISTRY_ROOT, so without this, prepare tests pollute the
+    developer's global XDG registry with tmp-path records.
+    """
+    from ser_tpu._internal.data import registry as _registry
+
+    monkeypatch.setattr(
+        _registry, "default_data_root", lambda: tmp_path / "registry-root"
+    )

@@ -93,3 +93,33 @@ def test_distributed_init_noop_on_single_host(monkeypatch):
     monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
     assert not is_multi_host_env()
     assert initialize_distributed() is False
+
+
+def test_env_allowlist_grants_restricted_backend_access(tmp_path, monkeypatch):
+    """SER_ALLOWED_RESTRICTED_BACKENDS grants access without the persisted
+    consent store — previously parsed but never honored, making the error
+    message's own advice nonfunctional."""
+    from ser_tpu._internal.config.settings_builder import build_settings_from_inputs
+    from ser_tpu._internal.config.settings_inputs import capture_settings_inputs
+    from ser_tpu._internal.runtime import restricted_backends
+
+    # Consent store isolated: no recorded consents.
+    monkeypatch.setattr(
+        restricted_backends, "_consent_store_path", lambda: tmp_path / "consents.json",
+        raising=False,
+    )
+    denied = build_settings_from_inputs(
+        capture_settings_inputs(env={"SER_ENABLE_RESTRICTED_BACKENDS": "1"})
+    )
+    with pytest.raises(restricted_backends.RestrictedBackendError, match="consent"):
+        restricted_backends.ensure_backend_access("emotion2vec", settings=denied)
+
+    allowed = build_settings_from_inputs(
+        capture_settings_inputs(
+            env={
+                "SER_ENABLE_RESTRICTED_BACKENDS": "1",
+                "SER_ALLOWED_RESTRICTED_BACKENDS": "emotion2vec",
+            }
+        )
+    )
+    restricted_backends.ensure_backend_access("emotion2vec", settings=allowed)

@@ -144,3 +144,64 @@ def test_sibling_prefix_member_rejected(tmp_path):
     (tmp_path / "mesd-evil").mkdir()
     with pytest.raises(ArchiveError, match="escapes"):
         _safe_members(["../mesd-evil/x.wav"], destination)
+
+
+def test_registry_survives_malformed_entries(tmp_path):
+    """A hand-corrupted registry entry surfaces as a skipped record, not an
+    AttributeError crashing the health audit that reports corruption."""
+    import dataclasses
+    import json
+
+    from ser_tpu._internal.config.settings_builder import build_settings_from_inputs
+    from ser_tpu._internal.config.settings_inputs import capture_settings_inputs
+    from ser_tpu._internal.data import registry
+
+    settings = build_settings_from_inputs(capture_settings_inputs(env={}))
+    settings = dataclasses.replace(
+        settings, dataset=dataclasses.replace(settings.dataset, registry_root=tmp_path)
+    )
+    registry.register_dataset(
+        registry.DatasetRegistryRecord(
+            dataset_id="good",
+            dataset_root=str(tmp_path),
+            manifest_path=str(tmp_path / "m.jsonl"),
+            utterance_count=3,
+        ),
+        settings=settings,
+    )
+    raw = json.loads((tmp_path / "datasets.json").read_text())
+    raw["broken"] = "oops"
+    raw["badcount"] = {"dataset_root": str(tmp_path), "manifest_path": "x", "utterance_count": "many"}
+    (tmp_path / "datasets.json").write_text(json.dumps(raw))
+    records = registry.list_registered_datasets(settings=settings)
+    ids = [r.dataset_id for r in records]
+    assert "good" in ids and "broken" not in ids
+    assert next(r for r in records if r.dataset_id == "badcount").utterance_count == -1
+    # Health audit runs to completion over the same registry.
+    registry.audit_registry_health(settings=settings)
+
+
+def test_manifest_write_is_atomic_on_invalid_record(tmp_path):
+    import pytest
+
+    from ser_tpu._internal.data.manifest import (
+        ManifestError,
+        Utterance,
+        read_manifest_jsonl,
+        write_manifest_jsonl,
+    )
+
+    good = Utterance(
+        sample_id="a", corpus="ravdess", audio_path="/d/a.wav",
+        label="happy", raw_label="03", language="en",
+    )
+    target = tmp_path / "m.jsonl"
+    write_manifest_jsonl([good], target)
+    bad = Utterance(
+        sample_id="b", corpus="ravdess", audio_path="/d/b.wav",
+        label="not-a-label", raw_label="xx", language="en",
+    )
+    with pytest.raises((ManifestError, ValueError)):
+        write_manifest_jsonl([good, bad], target)
+    # The previously good manifest survives intact.
+    assert [u.sample_id for u in read_manifest_jsonl(target)] == ["a"]
