@@ -13,14 +13,18 @@ from dataclasses import dataclass
 
 _UNITS = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
 
-_SIZE = r"([0-9]+(?:\.[0-9]+)?)\s*([KMGT]?i?B)"
+#: Size token covering the canonical XLA/TPU message shapes: "8589934592
+#: bytes", "16.6G", "15.48GiB", "2.1 MB" — unit suffix optional-B, any case,
+#: plus the bare word "bytes".
+_SIZE = r"([0-9]+(?:\.[0-9]+)?)\s*([KMGTkmgt]i?[Bb]?|[Bb]ytes?|[Bb])"
 _PATTERNS: tuple[tuple[str, str], ...] = (
-    (rf"[Aa]llocating\s+{_SIZE}", "requested"),
-    (rf"allocate\s+{_SIZE}", "requested"),
+    (rf"[Aa]llocat(?:ing|e)\s+{_SIZE}", "requested"),
     (rf"requested\s*[:=]?\s*{_SIZE}", "requested"),
     (rf"free\s*[:=]?\s*{_SIZE}", "available"),
+    (rf"{_SIZE}\s+free", "available"),
     (rf"available\s*[:=]?\s*{_SIZE}", "available"),
     (rf"limit\s*[:=]?\s*{_SIZE}", "limit"),
+    (rf"[Uu]sed\s+{_SIZE}\s+of\s+{_SIZE}", "used_of_limit"),
 )
 
 
@@ -41,14 +45,22 @@ class DeviceOomInfo:
 
 
 def _to_bytes(value: str, unit: str) -> int:
-    return int(float(value) * _UNITS[unit[0].lower()])
+    head = unit[0].lower() if unit else "b"
+    return int(float(value) * _UNITS.get(head, 1))
 
 
 def is_device_oom(error: BaseException | str) -> bool:
     """True when an error message looks like a device memory exhaustion."""
     text = str(error)
+    # \bOOM\b, not bare substring: 'ROOM_101.wav' in an unrelated error must
+    # not trip the transient-retry machinery on a deterministic failure.
     return bool(
-        re.search(r"RESOURCE_EXHAUSTED|out of memory|OOM|Out of memory", text)
+        re.search(
+            r"RESOURCE_EXHAUSTED|out of memory|\bOOM\b|exceeded hbm capacity"
+            r"|failed to allocate",
+            text,
+            re.IGNORECASE,
+        )
     )
 
 
@@ -57,6 +69,11 @@ def parse_device_oom(error: BaseException | str) -> DeviceOomInfo:
     text = str(error)
     found: dict[str, int] = {}
     for pattern, kind in _PATTERNS:
+        if kind == "used_of_limit":
+            match = re.search(pattern, text)
+            if match and "limit" not in found:
+                found["limit"] = _to_bytes(match.group(3), match.group(4))
+            continue
         if kind in found:
             continue
         match = re.search(pattern, text)

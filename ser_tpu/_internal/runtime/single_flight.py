@@ -24,13 +24,19 @@ class SingleFlightRegistry:
         """Holds the keyed lock for the scope; serializes same-key callers."""
         key = tuple(key_parts)
         with self._guard:
-            lock, count = self._locks.get(key, (threading.Lock(), 0))
+            lock, count = self._locks.get(key, (threading.RLock(), 0))
             self._locks[key] = (lock, count + 1)
-        lock.acquire()
         try:
-            yield
+            # Inside try: an interrupt while BLOCKED here must still
+            # decrement, or the key leaks forever. RLock keeps same-thread
+            # nested acquires (the documented re-entrant contract) deadlock
+            # free.
+            lock.acquire()
+            try:
+                yield
+            finally:
+                lock.release()
         finally:
-            lock.release()
             with self._guard:
                 lock, count = self._locks[key]
                 if count <= 1:

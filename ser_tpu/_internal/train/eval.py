@@ -44,9 +44,14 @@ def speaker_disjoint_split(
     if len(speaker_ids) < 2:
         # Single speaker: fall back to an item-level split (leakage warning is
         # the caller's concern; the reference falls back similarly).
+        if len(items) < 2:
+            raise ValueError(
+                "Cannot split a single item into train and test partitions."
+            )
         rng = np.random.default_rng(random_state)
         order = rng.permutation(len(items))
-        n_test = max(1, int(round(test_size * len(items))))
+        # Both partitions stay non-empty regardless of rounding.
+        n_test = min(max(1, int(round(test_size * len(items)))), len(items) - 1)
         test_idx = set(order[:n_test].tolist())
         train = [item for i, item in enumerate(items) if i not in test_idx]
         test = [item for i, item in enumerate(items) if i in test_idx]
@@ -67,6 +72,35 @@ def speaker_disjoint_split(
 
     train = [item for item in items if str(speaker_of(item)) not in test_speakers]
     test = [item for item in items if str(speaker_of(item)) in test_speakers]
+
+    if label_of is not None:
+        # Best-effort label coverage: a speaker-disjoint assignment can strand
+        # every sample of a rare class on the test side, so the trained head
+        # would never see that class. Pull the smallest test speaker carrying
+        # a train-missing label back into train (while test stays non-empty).
+        def labels_of(side):
+            return {str(label_of(item)) for item in side}
+
+        missing = labels_of(test) - labels_of(train)
+        while missing and len(test_speakers) > 1:
+            carriers = sorted(
+                (
+                    speaker
+                    for speaker in test_speakers
+                    if any(
+                        str(label_of(item)) in missing for item in speakers[speaker]
+                    )
+                ),
+                key=lambda speaker: (len(speakers[speaker]), speaker),
+            )
+            if not carriers:
+                break
+            test_speakers.discard(carriers[0])
+            train = [
+                item for item in items if str(speaker_of(item)) not in test_speakers
+            ]
+            test = [item for item in items if str(speaker_of(item)) in test_speakers]
+            missing = labels_of(test) - labels_of(train)
     return train, test
 
 
@@ -79,6 +113,11 @@ def stratified_group_folds(
 ) -> list[tuple[list[T], list[T]]]:
     """Speaker-grouped K folds for cross-validation (quality-gate evaluation)."""
     speakers = sorted({str(speaker_of(item)) for item in items})
+    if len(speakers) < 2:
+        raise ValueError(
+            "Grouped cross-validation needs at least 2 speakers; got "
+            f"{len(speakers)} (speaker-disjoint folds are impossible)."
+        )
     if len(speakers) < n_folds:
         n_folds = max(2, len(speakers))
     rng = np.random.default_rng(random_state)

@@ -108,7 +108,13 @@ def compute_grouped_ser_metrics_by_sample(
         counts = Counter(preds)
         top = max(counts.values())
         sample_pred.append(sorted(label for label, c in counts.items() if c == top)[0])
-        sample_true.append(Counter(trues).most_common(1)[0][0])
+        true_counts = Counter(trues)
+        true_top = max(true_counts.values())
+        # Lexical tie-break on BOTH sides: most_common() breaks ties by
+        # insertion order, making metrics depend on window order.
+        sample_true.append(
+            sorted(label for label, c in true_counts.items() if c == true_top)[0]
+        )
 
     if not sample_true:
         raise ValueError("No samples met the minimum support threshold.")

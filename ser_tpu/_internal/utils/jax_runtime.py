@@ -24,12 +24,13 @@ def ensure_compilation_cache() -> None:
     if _configured:
         return
     _configured = True
+    # Platform selection is honored UNCONDITIONALLY — coupling it to the
+    # cache flag meant SER_JAX_CACHE=0 silently ignored JAX_PLATFORMS=cpu.
+    honor_platform_env()
     if os.environ.get("SER_JAX_CACHE", "1").strip().lower() in ("0", "false", "off"):
         return
     try:
         import jax
-
-        honor_platform_env()
         # Remote-compile plugins (PALLAS_AXON_REMOTE_COMPILE) route ALL
         # compiles — including CPU executables — through the remote machine,
         # whose CPU features differ from the host; caching those locally risks

@@ -57,11 +57,23 @@ def _candidate(segment: SegmentLike) -> tuple[str, float, float, float | None] |
 
 
 def _same_start_winner(group: list[tuple[str, float, float, float | None]]):
-    """Picks the deterministic winner among candidates sharing a start time."""
+    """Picks the deterministic winner among candidates sharing a start time.
+
+    Per-label reduction keeps the label's BEST (confidence, end) candidate —
+    keeping longest-end while discarding its confidence let a low-confidence
+    long duplicate misrepresent a label in the cross-label contest.
+    """
+
+    def strength(item):
+        return (
+            item[3] if item[3] is not None else float("-inf"),
+            item[2],
+        )
+
     by_label: dict[str, tuple[str, float, float, float | None]] = {}
     for item in group:
         existing = by_label.get(item[0])
-        if existing is None or item[2] > existing[2]:
+        if existing is None or strength(item) > strength(existing):
             by_label[item[0]] = item
     return min(
         by_label.values(),
@@ -96,9 +108,10 @@ def canonicalize_segments(segments: Sequence[SegmentLike]) -> list[CanonicalSegm
             if emotion == previous[0]:
                 previous[2] = max(previous[2], end)
                 continue
+            # Truncating to `start` can never empty `previous`: winners carry
+            # strictly increasing starts, so start > previous[1] always (the
+            # final positive-duration filter is the only guard needed).
             previous[2] = start
-            if previous[2] <= previous[1]:
-                canonical.pop()
             canonical.append([emotion, start, end])
             continue
         if start == previous[2] and emotion == previous[0]:
