@@ -107,3 +107,23 @@ def test_long_audio_chunks_shard_over_data_axis_and_stay_exact():
     import pytest
 
     assert encoded.frame_end_seconds[-1] == pytest.approx(70.0)
+
+
+def test_shard_chunk_batch_bypasses_mesh_under_cpu_scope():
+    """The CPU-fallback device scope must not be defeated by the chunk
+    sharding path committing inputs back onto the mesh."""
+    import jax
+    import numpy as np
+
+    from ser_tpu._internal.repr.encoder_backend import shard_chunk_batch
+
+    batch = np.zeros((3, 160), dtype=np.float32)
+    lengths = np.full(3, 160, dtype=np.int32)
+
+    sharded, _, _ = shard_chunk_batch(batch, lengths)
+    assert not isinstance(sharded, np.ndarray)  # 8 devices: mesh placement
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        passthrough, _, rows = shard_chunk_batch(batch, lengths)
+    assert isinstance(passthrough, np.ndarray)  # untouched host array
+    assert rows == 3

@@ -70,3 +70,22 @@ def test_timed_phase_records_on_success_and_failure():
         with phases.timed_phase("emotion_inference", timings):
             raise RuntimeError("boom")
     assert "emotion_inference" in timings
+
+
+def test_oom_parsing_handles_canonical_xla_shapes():
+    """The size regex must parse the real XLA/TPU message formats."""
+    from ser_tpu._internal.runtime.oom import is_device_oom, parse_device_oom
+
+    allocate = "RESOURCE_EXHAUSTED: Out of memory while trying to allocate 8589934592 bytes."
+    assert is_device_oom(allocate)
+    assert parse_device_oom(allocate).requested_bytes == 8589934592
+
+    hbm = "Used 16.6G of 15.48G hbm. Exceeded hbm capacity."
+    assert is_device_oom(hbm)
+    assert parse_device_oom(hbm).limit_bytes == int(15.48 * (1 << 30))
+
+    free = "RESOURCE_EXHAUSTED: There are 0.52G free."
+    assert parse_device_oom(free).available_bytes == int(0.52 * (1 << 30))
+
+    # Word-bounded detection: unrelated errors are not transient OOMs.
+    assert not is_device_oom("cannot open ROOM_101.wav")
