@@ -39,17 +39,24 @@ ALL_PHASES: tuple[str, ...] = (
 
 @contextmanager
 def timed_phase(phase: str, timings: dict[str, float]) -> Iterator[None]:
-    """Times one phase into ``timings``; logs start/complete/fail."""
+    """Times one phase into ``timings``; logs start/complete/fail.
+
+    Re-entering the same phase ACCUMULATES (a per-chunk transcription setup
+    recorded twice must report its total, not just the last occurrence —
+    the contract ``InferenceExecution.phase_timings_seconds`` documents).
+    """
     logger.debug("phase %s started", phase)
     started = time.perf_counter()
     try:
         yield
     except BaseException:
-        timings[phase] = time.perf_counter() - started
-        logger.debug("phase %s failed after %.3fs", phase, timings[phase])
+        elapsed = time.perf_counter() - started
+        timings[phase] = timings.get(phase, 0.0) + elapsed
+        logger.debug("phase %s failed after %.3fs", phase, elapsed)
         raise
-    timings[phase] = time.perf_counter() - started
-    logger.debug("phase %s completed in %.3fs", phase, timings[phase])
+    elapsed = time.perf_counter() - started
+    timings[phase] = timings.get(phase, 0.0) + elapsed
+    logger.debug("phase %s completed in %.3fs", phase, elapsed)
 
 
 __all__ = [

@@ -43,7 +43,13 @@ def resolve_runtime_capability(
     settings: AppConfig | None = None,
     available_hooks: frozenset[str] | None = None,
 ) -> RuntimeCapability:
-    """Resolves availability for one profile from modules + hook registry."""
+    """Resolves availability for one profile from modules + hook registry.
+
+    ``settings`` currently informs nothing here: consent/enable gating
+    happens where hooks are BUILT (``backend_hooks.build_backend_hooks``),
+    so an absent hook already reflects settings-level gating. The parameter
+    stays for signature stability with the reference seam.
+    """
     spec = get_profile_catalog()[profile]
     missing = tuple(m for m in spec.required_modules if not _module_available(m))
     if missing:

@@ -142,6 +142,9 @@ def _parse_runtime_defaults(raw: dict, where: str) -> ProfileRuntimeDefaults:
             parsed[knob] = _require(raw, knob, bool, where)
         elif knob in ("max_timeout_retries", "max_transient_retries", "post_smoothing_window_frames"):
             value = _require(raw, knob, int, where)
+            if isinstance(value, bool):
+                # bool subclasses int: YAML `no`/`yes` must not validate as 0/1.
+                raise ProfileCatalogError(f"{where}.{knob} must be an integer, not a boolean.")
             if value < 0:
                 raise ProfileCatalogError(f"{where}.{knob} must be >= 0.")
             parsed[knob] = value
@@ -149,10 +152,23 @@ def _parse_runtime_defaults(raw: dict, where: str) -> ProfileRuntimeDefaults:
             value = _require(raw, knob, float, where)
             if value < 0.0:
                 raise ProfileCatalogError(f"{where}.{knob} must be >= 0.")
+            if knob in ("pool_window_size_seconds", "pool_window_stride_seconds") and value <= 0.0:
+                # Zero-size/stride windows fail at runtime inside every
+                # inference; reject at catalog load where validation lives.
+                raise ProfileCatalogError(f"{where}.{knob} must be > 0.")
             parsed[knob] = value
     if parsed["post_hysteresis_enter_confidence"] < parsed["post_hysteresis_exit_confidence"]:
         raise ProfileCatalogError(f"{where}: hysteresis enter must be >= exit confidence.")
     return ProfileRuntimeDefaults(**parsed)
+
+
+def _validated_tx_backend(value: str, where: str) -> str:
+    allowed = ("jax_whisper", "stable_whisper", "faster_whisper")
+    if value not in allowed:
+        raise ProfileCatalogError(
+            f"{where}.backend_id {value!r} is not one of {allowed}."
+        )
+    return value
 
 
 def _parse_profile(name: str, raw: dict) -> ProfileSpec:
@@ -165,13 +181,23 @@ def _parse_profile(name: str, raw: dict) -> ProfileSpec:
         raise ProfileCatalogError(f"{where}.model.default_model_id must be str or null.")
     tx_raw = _require(raw, "transcription_defaults", dict, where)
     fr_raw = raw.get("feature_runtime_defaults", {})
+    if not isinstance(fr_raw, dict):
+        raise ProfileCatalogError(f"{where}.feature_runtime_defaults must be a mapping.")
+    unknown_fr = set(fr_raw) - {"device", "dtype"}
+    if unknown_fr:
+        raise ProfileCatalogError(
+            f"{where}.feature_runtime_defaults has unknown key(s): {sorted(unknown_fr)}."
+        )
+    modules = _require(raw, "required_modules", list, where)
+    if not all(isinstance(module, str) for module in modules):
+        raise ProfileCatalogError(f"{where}.required_modules must be a list of strings.")
     prefix = _env_prefix(name)  # type: ignore[arg-type]
     runtime_env = {knob: f"{prefix}_{knob.upper()}" for knob in _RUNTIME_KNOBS}
     return ProfileSpec(
         name=name,  # type: ignore[arg-type]
         description=_require(raw, "description", str, where),
         backend_id=_require(raw, "backend_id", str, where),
-        required_modules=tuple(_require(raw, "required_modules", list, where)),
+        required_modules=tuple(modules),
         enable_flag=None if name == "fast" else f"SER_ENABLE_{name.upper().replace('-', '_')}_PROFILE",
         enabled_by_default=_require(raw, "enabled_by_default", bool, where),
         model=ProfileModelSpec(
@@ -183,7 +209,10 @@ def _parse_profile(name: str, raw: dict) -> ProfileSpec:
             dtype=str(fr_raw.get("dtype", "float32")),
         ),
         transcription_defaults=ProfileTranscriptionDefaults(
-            backend_id=_require(tx_raw, "backend_id", str, f"{where}.transcription_defaults"),
+            backend_id=_validated_tx_backend(
+                _require(tx_raw, "backend_id", str, f"{where}.transcription_defaults"),
+                f"{where}.transcription_defaults",
+            ),
             model_name=_require(tx_raw, "model_name", str, f"{where}.transcription_defaults"),
             use_demucs=_require(tx_raw, "use_demucs", bool, f"{where}.transcription_defaults"),
             use_vad=_require(tx_raw, "use_vad", bool, f"{where}.transcription_defaults"),
@@ -205,6 +234,11 @@ def get_profile_catalog() -> dict[ProfileName, ProfileSpec]:
     if raw.get("schema_version") != 1:
         raise ProfileCatalogError("Profile catalog schema_version must be 1.")
     profiles_raw = _require(raw, "profiles", dict, "catalog")
+    unknown = set(profiles_raw) - set(PROFILE_NAMES)
+    if unknown:
+        # A misspelled profile block would otherwise be silently dropped —
+        # edits appearing accepted but never taking effect.
+        raise ProfileCatalogError(f"Unknown profile entr(ies) in catalog: {sorted(unknown)}.")
     catalog: dict[ProfileName, ProfileSpec] = {}
     for name in PROFILE_NAMES:
         if name not in profiles_raw:
@@ -229,12 +263,16 @@ def resolve_profile_name(
     Precedence (reference ser/profiles.py:686-693):
     accurate-research > accurate > medium > fast.
     """
-    if accurate_research_profile:
-        return "accurate-research"
-    if accurate_profile:
-        return "accurate"
-    if medium_profile:
-        return "medium"
+    active = {
+        "accurate-research": accurate_research_profile,
+        "accurate": accurate_profile,
+        "medium": medium_profile,
+        "fast": True,
+    }
+    # Driven by the exported precedence constant so the two cannot drift.
+    for name in PROFILE_PRECEDENCE:
+        if active.get(name, False):
+            return name
     return "fast"
 
 
