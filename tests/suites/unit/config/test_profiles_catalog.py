@@ -65,3 +65,56 @@ def test_profile_precedence():
     assert resolve_profile_name(
         medium_profile=True, accurate_profile=True, accurate_research_profile=True
     ) == "accurate-research"
+
+
+def test_catalog_validation_strictness(tmp_path, monkeypatch):
+    """Unknown profiles, boolean ints, zero strides, and typo'd runtime
+    defaults are rejected at catalog load, not at first inference."""
+    import yaml
+
+    from ser_tpu import profiles as profiles_mod
+
+    original_path = profiles_mod._CATALOG_PATH
+    base = yaml.safe_load(original_path.read_text())
+
+    def load_with(mutate):
+        raw = yaml.safe_load(original_path.read_text())
+        mutate(raw)
+        path = tmp_path / "defs.yaml"
+        path.write_text(yaml.safe_dump(raw))
+        monkeypatch.setattr(profiles_mod, "_CATALOG_PATH", path)
+        profiles_mod.get_profile_catalog.cache_clear()
+        try:
+            return profiles_mod.get_profile_catalog()
+        finally:
+            profiles_mod.get_profile_catalog.cache_clear()
+            monkeypatch.setattr(profiles_mod, "_CATALOG_PATH", original_path)
+
+    import pytest
+
+    with pytest.raises(profiles_mod.ProfileCatalogError, match="Unknown profile"):
+        load_with(lambda raw: raw["profiles"].update({"acurate": dict(base["profiles"]["fast"])}))
+    with pytest.raises(profiles_mod.ProfileCatalogError, match="boolean"):
+        load_with(
+            lambda raw: raw["profiles"]["fast"]["runtime_defaults"].update(
+                {"post_smoothing_window_frames": False}
+            )
+        )
+    with pytest.raises(profiles_mod.ProfileCatalogError, match="must be > 0"):
+        load_with(
+            lambda raw: raw["profiles"]["fast"]["runtime_defaults"].update(
+                {"pool_window_stride_seconds": 0.0}
+            )
+        )
+    with pytest.raises(profiles_mod.ProfileCatalogError, match="unknown key"):
+        load_with(
+            lambda raw: raw["profiles"]["accurate"].update(
+                {"feature_runtime_defaults": {"dytpe": "bfloat16"}}
+            )
+        )
+    with pytest.raises(profiles_mod.ProfileCatalogError, match="not one of"):
+        load_with(
+            lambda raw: raw["profiles"]["fast"]["transcription_defaults"].update(
+                {"backend_id": "jaxwhisper"}
+            )
+        )

@@ -89,3 +89,17 @@ def test_oom_parsing_handles_canonical_xla_shapes():
 
     # Word-bounded detection: unrelated errors are not transient OOMs.
     assert not is_device_oom("cannot open ROOM_101.wav")
+
+
+def test_timed_phase_accumulates_on_reentry():
+    """Re-entering a phase adds to its total (per-chunk setups must not
+    overwrite each other)."""
+    import time as _time
+
+    from ser_tpu._internal.runtime import phases
+
+    timings: dict[str, float] = {}
+    for _ in range(3):
+        with phases.timed_phase("transcription_setup", timings):
+            _time.sleep(0.01)
+    assert timings["transcription_setup"] >= 0.03
