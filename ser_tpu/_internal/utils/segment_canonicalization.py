@@ -59,21 +59,16 @@ def _candidate(segment: SegmentLike) -> tuple[str, float, float, float | None] |
 def _same_start_winner(group: list[tuple[str, float, float, float | None]]):
     """Picks the deterministic winner among candidates sharing a start time.
 
-    Per-label reduction keeps the label's BEST (confidence, end) candidate —
-    keeping longest-end while discarding its confidence let a low-confidence
-    long duplicate misrepresent a label in the cross-label contest.
+    Per-label reduction keeps the label's LONGEST candidate (strictly greater
+    end replaces; ties keep the first seen), then the cross-label contest picks
+    the highest confidence with lexical label order as the tiebreak — exactly
+    the reference's semantics (segment_canonicalization.py:91-108), verified
+    bitwise by tests/suites/parity/test_parity_timeline.py.
     """
-
-    def strength(item):
-        return (
-            item[3] if item[3] is not None else float("-inf"),
-            item[2],
-        )
-
     by_label: dict[str, tuple[str, float, float, float | None]] = {}
     for item in group:
         existing = by_label.get(item[0])
-        if existing is None or strength(item) > strength(existing):
+        if existing is None or item[2] > existing[2]:
             by_label[item[0]] = item
     return min(
         by_label.values(),

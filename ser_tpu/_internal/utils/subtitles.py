@@ -21,16 +21,19 @@ type SubtitleFormat = Literal["ass", "srt", "vtt"]
 SUPPORTED_SUBTITLE_FORMATS: tuple[SubtitleFormat, ...] = ("ass", "srt", "vtt")
 DEFAULT_SUBTITLE_DURATION_SECONDS = 1.0
 
+# Byte-exact output contract: the reference's ASS header
+# (ser/_internal/utils/subtitles.py:201-213), pinned by the differential test
+# tests/suites/parity/test_parity_subtitles.py — exported .ass files must stay
+# interchangeable between frameworks.
 _ASS_HEADER = """[Script Info]
+Title: SER Timeline Export
 ScriptType: v4.00+
 Collisions: Normal
-PlayResX: 1280
-PlayResY: 720
-Timer: 100.0000
+PlayDepth: 0
 
 [V4+ Styles]
 Format: Name, Fontname, Fontsize, PrimaryColour, SecondaryColour, OutlineColour, BackColour, Bold, Italic, Underline, StrikeOut, ScaleX, ScaleY, Spacing, Angle, BorderStyle, Outline, Shadow, Alignment, MarginL, MarginR, MarginV, Encoding
-Style: Default,Arial,48,&H00FFFFFF,&H000000FF,&H00000000,&H64000000,0,0,0,0,100,100,0,0,1,2,1,2,30,30,40,1
+Style: Default,Arial,20,&H00FFFFFF,&H000000FF,&H00000000,&H64000000,-1,0,0,0,100,100,0,0.00,1,1.00,0.00,2,10,10,10,1
 
 [Events]
 Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text

@@ -1,0 +1,263 @@
+"""Reference-oracle worker: executes jsugg/ser's pure-Python stages on demand.
+
+Runs as a subprocess (``python -I``) with ``sys.path`` pointing at the
+reference checkout so the repo's drop-in ``ser`` alias package never shadows
+the real reference. Unavailable heavy deps (librosa/soundfile) are stubbed —
+none of the parity-target stages touch them at call time; they are only pulled
+in transitively by package ``__init__`` chains
+(``/root/reference/ser/_internal/repr/__init__.py`` imports ``handcrafted``).
+
+Protocol: length-prefixed pickles over stdin/stdout. Request:
+``{"op": str, ...payload}``. Response: ``{"ok": result}`` or
+``{"error": exception_class_name, "message": str}`` so error-raising parity is
+assertable too. Payloads are plain primitives + numpy arrays; reference domain
+objects are constructed here, never pickled across the boundary.
+"""
+
+from __future__ import annotations
+
+import pickle
+import struct
+import sys
+import tempfile
+import types
+from pathlib import Path
+from types import SimpleNamespace
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def _install_stub_modules() -> None:
+    """Registers import stubs for deps absent in this environment."""
+    for name in ("librosa", "librosa.feature", "librosa.effects", "soundfile"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+
+
+_install_stub_modules()
+sys.path.insert(0, REFERENCE_ROOT)
+
+import numpy as np  # noqa: E402
+
+from ser._internal.config import artifact_naming as ref_artifact_naming  # noqa: E402
+from ser._internal.pool import stats_pool as ref_stats_pool  # noqa: E402
+from ser._internal.pool import windowing as ref_windowing  # noqa: E402
+from ser._internal.repr import EncodedSequence, PoolingWindow, overlap_frame_mask  # noqa: E402
+from ser._internal.runtime import postprocessing as ref_postprocessing  # noqa: E402
+from ser._internal.utils import segment_canonicalization as ref_canonicalization  # noqa: E402
+from ser._internal.utils import subtitles as ref_subtitles  # noqa: E402
+from ser._internal.utils import timeline_utils as ref_timeline  # noqa: E402
+from ser.config import TimelineConfig  # noqa: E402
+from ser.domain import EmotionSegment, TimelineEntry, TranscriptWord  # noqa: E402
+from ser.runtime.schema import FramePrediction  # noqa: E402
+import ser.profiles as ref_profiles  # noqa: E402
+
+
+def _frames_from_payload(frames: list[dict]) -> list[FramePrediction]:
+    return [
+        FramePrediction(
+            start_seconds=item["start_seconds"],
+            end_seconds=item["end_seconds"],
+            emotion=item["emotion"],
+            confidence=item["confidence"],
+            probabilities=item["probabilities"],
+        )
+        for item in frames
+    ]
+
+
+def _encoded_from_payload(payload: dict) -> EncodedSequence:
+    embeddings = payload.get("embeddings")
+    starts = np.asarray(payload["frame_starts"], dtype=np.float64)
+    if embeddings is None:
+        embeddings = np.zeros((starts.size, 1), dtype=np.float32)
+    return EncodedSequence(
+        embeddings=np.asarray(embeddings, dtype=np.float32),
+        frame_start_seconds=starts,
+        frame_end_seconds=np.asarray(payload["frame_ends"], dtype=np.float64),
+        backend_id=payload.get("backend_id", "oracle"),
+    )
+
+
+def op_postprocess(payload: dict) -> list[dict]:
+    config = ref_postprocessing.SegmentPostprocessingConfig(**payload["config"])
+    segments = ref_postprocessing.postprocess_frame_predictions(
+        _frames_from_payload(payload["frames"]), config=config
+    )
+    return [
+        {
+            "emotion": seg.emotion,
+            "start_seconds": seg.start_seconds,
+            "end_seconds": seg.end_seconds,
+            "confidence": seg.confidence,
+            "probabilities": seg.probabilities,
+        }
+        for seg in segments
+    ]
+
+
+def op_windows(payload: dict) -> list[tuple[float, float]]:
+    windows = ref_windowing.temporal_pooling_windows(
+        _encoded_from_payload(payload),
+        window_size_seconds=payload["window_size_seconds"],
+        window_stride_seconds=payload["window_stride_seconds"],
+    )
+    return [(window.start_seconds, window.end_seconds) for window in windows]
+
+
+def op_pool(payload: dict) -> np.ndarray:
+    encoded = _encoded_from_payload(payload)
+    windows = [
+        PoolingWindow(start_seconds=start, end_seconds=end)
+        for start, end in payload["windows"]
+    ]
+    return ref_stats_pool.mean_std_pool(encoded, windows)
+
+
+def op_overlap_mask(payload: dict) -> list[bool]:
+    encoded = _encoded_from_payload(payload)
+    window = PoolingWindow(
+        start_seconds=payload["window"][0], end_seconds=payload["window"][1]
+    )
+    return overlap_frame_mask(encoded, window).tolist()
+
+
+def op_canonicalize(payload: dict) -> list[tuple[str, float, float]]:
+    segments = [SimpleNamespace(**item) for item in payload["segments"]]
+    canonical = ref_canonicalization.canonicalize_segments(segments)
+    return [(seg.emotion, seg.start_seconds, seg.end_seconds) for seg in canonical]
+
+
+def op_build_timeline(payload: dict) -> list[tuple[float, str, str]]:
+    words = [TranscriptWord(*item) for item in payload["words"]]
+    segments = [EmotionSegment(*item) for item in payload["segments"]]
+    timeline = ref_timeline.build_timeline(words, segments)
+    return [(entry.timestamp_seconds, entry.emotion, entry.speech) for entry in timeline]
+
+
+def op_timeline_csv(payload: dict) -> bytes:
+    timeline = [TimelineEntry(*item) for item in payload["timeline"]]
+    with tempfile.TemporaryDirectory() as tmp:
+        config = TimelineConfig(folder=Path(tmp))
+        path = ref_timeline.save_timeline_to_csv(
+            timeline, payload["file_name"], timeline_config=config
+        )
+        return Path(path).read_bytes()
+
+
+def op_subtitles_render(payload: dict) -> dict:
+    timeline = [TimelineEntry(*item) for item in payload["timeline"]]
+    with tempfile.TemporaryDirectory() as tmp:
+        config = TimelineConfig(folder=Path(tmp))
+        path = ref_subtitles.save_timeline_to_subtitles(
+            timeline,
+            payload["file_name"],
+            subtitle_format=payload["subtitle_format"],
+            timeline_config=config,
+        )
+        return {"name": Path(path).name, "text": Path(path).read_text(encoding="utf-8")}
+
+
+def op_subtitle_request(payload: dict) -> tuple | None:
+    return ref_subtitles.resolve_subtitle_export_request(
+        output_path=payload["output_path"],
+        subtitle_format=payload["subtitle_format"],
+    )
+
+
+def op_subtitle_cues(payload: dict) -> list[tuple[float, float, str, str]]:
+    timeline = [TimelineEntry(*item) for item in payload["timeline"]]
+    cues = ref_subtitles.timeline_to_subtitle_cues(
+        timeline, default_duration_seconds=payload.get("default_duration_seconds", 1.0)
+    )
+    return [(cue.start_seconds, cue.end_seconds, cue.text, cue.emotion) for cue in cues]
+
+
+def op_resolve_profile(payload: dict) -> str:
+    settings = SimpleNamespace(runtime_flags=SimpleNamespace(**payload["flags"]))
+    return ref_profiles.resolve_profile_name(settings)
+
+
+def op_catalog_snapshot(payload: dict) -> dict:
+    catalog = ref_profiles.get_profile_catalog()
+
+    def _as_plain(value):
+        if hasattr(value, "__dataclass_fields__"):
+            return {
+                name: _as_plain(getattr(value, name))
+                for name in value.__dataclass_fields__
+            }
+        if isinstance(value, tuple):
+            return [_as_plain(item) for item in value]
+        return value
+
+    return {name: _as_plain(entry) for name, entry in catalog.items()}
+
+
+def op_catalog_validate(payload: dict) -> dict:
+    try:
+        ref_profiles._validate_catalog_entry(payload["name"], payload["raw"])
+    except Exception as error:  # noqa: BLE001 - raise/no-raise parity is the contract
+        return {"raised": True, "type": type(error).__name__}
+    return {"raised": False, "type": None}
+
+
+def op_artifact_names(payload: dict) -> dict:
+    suffix = ref_artifact_naming.artifact_model_id_suffix(payload["model_id"])
+    names = ref_artifact_naming.profile_artifact_file_names(
+        profile=payload["profile"],
+        medium_model_id=payload["medium_model_id"],
+        accurate_model_id=payload["accurate_model_id"],
+        accurate_research_model_id=payload["accurate_research_model_id"],
+        default_fast_model_file_name="ser_model.pkl",
+        default_fast_secure_model_file_name="ser_model.skops",
+        default_fast_training_report_file_name="training_report.json",
+    )
+    profile = ref_artifact_naming.artifact_profile_from_runtime_flags(
+        medium_profile=payload["flags"]["medium_profile"],
+        accurate_profile=payload["flags"]["accurate_profile"],
+        accurate_research_profile=payload["flags"]["accurate_research_profile"],
+    )
+    return {"suffix": suffix, "names": list(names), "profile_from_flags": profile}
+
+
+_OPS = {
+    "postprocess": op_postprocess,
+    "windows": op_windows,
+    "pool": op_pool,
+    "overlap_mask": op_overlap_mask,
+    "canonicalize": op_canonicalize,
+    "build_timeline": op_build_timeline,
+    "timeline_csv": op_timeline_csv,
+    "subtitles_render": op_subtitles_render,
+    "subtitle_request": op_subtitle_request,
+    "subtitle_cues": op_subtitle_cues,
+    "resolve_profile": op_resolve_profile,
+    "catalog_snapshot": op_catalog_snapshot,
+    "catalog_validate": op_catalog_validate,
+    "artifact_names": op_artifact_names,
+}
+
+
+def main() -> None:
+    stdin = sys.stdin.buffer
+    stdout = sys.stdout.buffer
+    while True:
+        header = stdin.read(8)
+        if len(header) < 8:
+            return
+        (length,) = struct.unpack(">Q", header)
+        request = pickle.loads(stdin.read(length))
+        op = request.pop("op")
+        try:
+            response = {"ok": _OPS[op](request)}
+        except Exception as error:  # noqa: BLE001 - ship errors to the test side
+            response = {"error": type(error).__name__, "message": str(error)}
+        blob = pickle.dumps(response, protocol=pickle.HIGHEST_PROTOCOL)
+        stdout.write(struct.pack(">Q", len(blob)))
+        stdout.write(blob)
+        stdout.flush()
+
+
+if __name__ == "__main__":
+    main()
