@@ -33,7 +33,26 @@ def _honor_platform_env() -> None:
     honor_platform_env()
 
 
-def _bench_accurate() -> tuple[float, str]:
+def _encoder_mfu(config, n_chunks: int, repeats: int, elapsed: float) -> dict:
+    """Analytic MFU estimate for the Whisper encoder benchmark.
+
+    FLOPs = 2·MACs over the conv stem + per-layer QKVO/attention/MLP matmuls
+    at T=1500 states per 30 s chunk. Peak is configurable via
+    SER_BENCH_PEAK_TFLOPS (default 197 = v5e bf16).
+    """
+    t_mel, t = 3000, 1500
+    d, layers, ffn = config.d_model, config.encoder_layers, 4 * config.d_model
+    macs_conv = t_mel * 3 * config.n_mels * d + t * 3 * d * d
+    macs_layer = 4 * t * d * d + 2 * t * t * d + 2 * t * d * ffn
+    flops = 2.0 * (macs_conv + layers * macs_layer) * n_chunks * repeats
+    peak_tflops = float(os.environ.get("SER_BENCH_PEAK_TFLOPS", "197"))
+    return {
+        "accurate_encoder_mfu": round(flops / elapsed / (peak_tflops * 1e12), 4),
+        "peak_tflops_assumed": peak_tflops,
+    }
+
+
+def _bench_accurate() -> tuple[float, str, dict]:
     import jax
     import jax.numpy as jnp
 
@@ -81,7 +100,11 @@ def _bench_accurate() -> tuple[float, str]:
     elapsed = time.perf_counter() - start
     assert np.isfinite(checksum)
     audio_seconds = repeats * n_chunks * 30.0
-    return audio_seconds / elapsed, "accurate_encode_audio_seconds_per_second_per_chip"
+    return (
+        audio_seconds / elapsed,
+        "accurate_encode_audio_seconds_per_second_per_chip",
+        _encoder_mfu(config, n_chunks, repeats, elapsed),
+    )
 
 
 def _bench_medium() -> tuple[float, str]:
@@ -252,6 +275,113 @@ def _bench_infer() -> tuple[float, str, dict]:
     return seconds / p50, f"infer_fast_{lane}_audio_seconds_per_second", extras
 
 
+def _bench_infer_accurate() -> tuple[float, str, dict]:
+    """Accurate-profile end-to-end ``api.infer()`` p50 on a 60 s clip.
+
+    The full user path: Whisper-encoder encode → windows → mean+std pool →
+    head predict → postprocess → timeline, under the real runtime discipline
+    (boundary, retry budgets, phase timings). Weights are deterministic random
+    at PRODUCTION dims on TPU (SER_RANDOM_INIT_SIZE=full) — latency is
+    weight-agnostic; the staged head is fitted to the pooled dim.
+    """
+    import contextlib
+    import io
+    import tempfile
+    from pathlib import Path
+
+    import jax
+
+    from ser_tpu import api
+    from ser_tpu._internal.config.settings_builder import build_settings_from_inputs
+    from ser_tpu._internal.config.settings_inputs import capture_settings_inputs
+    from ser_tpu._internal.models import artifacts
+    from ser_tpu._internal.repr.encoders import build_encoder_backend, resolved_model_id
+    from ser_tpu._internal.utils.audio_io import write_wav
+    from ser_tpu.models.mlp_head import JaxMLPClassifier
+
+    on_tpu = any(d.platform != "cpu" for d in jax.devices())
+    os.environ["SER_ALLOW_RANDOM_INIT"] = "1"
+    os.environ["SER_RANDOM_INIT_SIZE"] = "full" if on_tpu else "tiny"
+
+    seconds = float(os.environ.get("SER_BENCH_SECONDS", "60"))
+    repeats = int(os.environ.get("SER_BENCH_REPEATS", "5"))
+    tmp = Path(tempfile.mkdtemp(prefix="ser_bench_acc_"))
+    rng = np.random.default_rng(0)
+    sr = 16000
+    audio = (0.2 * rng.standard_normal(int(seconds * sr))).astype(np.float32)
+    clip = tmp / "clip60.wav"
+    write_wav(clip, audio, sr)
+
+    settings = build_settings_from_inputs(
+        capture_settings_inputs(
+            env={
+                "SER_MODELS_FOLDER": str(tmp / "models"),
+                "SER_ENABLE_ACCURATE_PROFILE": "1",
+                # Compile-inclusive first attempt can exceed the 120 s budget
+                # over the remote-compile tunnel; the warm run is what's timed.
+                "SER_ACCURATE_TIMEOUT_SECONDS": "0",
+            }
+        )
+    )
+    backend = build_encoder_backend("accurate", settings=settings)
+    pooled_dim = 2 * backend.feature_dim  # mean_std pooling
+    labels = ["neutral", "calm", "happy", "sad", "angry", "fearful", "disgust", "surprised"]
+    x = rng.standard_normal((64, pooled_dim)).astype(np.float32)
+    y = [labels[i % len(labels)] for i in range(64)]
+    import dataclasses
+
+    head = JaxMLPClassifier.from_config(
+        dataclasses.replace(settings.nn, max_iter=25)
+    ).fit(x, y)
+    metadata = artifacts.build_artifact_metadata(
+        feature_vector_size=pooled_dim,
+        training_samples=len(y),
+        labels=sorted(set(y)),
+        backend_id=backend.backend_id,
+        profile="accurate",
+        feature_dim=backend.feature_dim,
+        pooling_strategy="mean_std",
+        backend_model_id=resolved_model_id("accurate", settings),
+        device="tpu" if on_tpu else "cpu",
+        dtype="bfloat16" if on_tpu else "float32",
+        seed=0,
+        provenance={"framework": "ser_tpu", "trainer": "bench_fixture"},
+    )
+    from ser_tpu._internal.config.artifact_naming import profile_artifact_file_names
+
+    names = profile_artifact_file_names(
+        profile="accurate",
+        medium_model_id=settings.models.medium_model_id,
+        accurate_model_id=settings.models.accurate_model_id,
+        accurate_research_model_id=settings.models.accurate_research_model_id,
+    )
+    settings.models.folder.mkdir(parents=True, exist_ok=True)
+    artifacts.save_model_artifact(
+        artifacts.build_model_artifact(head, metadata), settings.models.folder / names[0]
+    )
+
+    def run_once() -> float:
+        with contextlib.redirect_stdout(io.StringIO()):
+            start = time.perf_counter()
+            execution = api.infer(
+                str(clip), profile="accurate", include_transcript=False, settings=settings
+            )
+            elapsed = time.perf_counter() - start
+        assert execution.emotions
+        return elapsed
+
+    run_once()  # compile + warm
+    latencies = [run_once() for _ in range(repeats)]
+    p50 = float(np.percentile(latencies, 50))
+    extras = {
+        "infer_accurate_p50_latency_s": round(p50, 4),
+        "infer_accurate_p95_latency_s": round(float(np.percentile(latencies, 95)), 4),
+        "infer_accurate_audio_s_per_s": round(seconds / p50, 2),
+        "infer_accurate_dims": "production" if on_tpu else "tiny",
+    }
+    return seconds / p50, "infer_accurate_audio_seconds_per_second", extras
+
+
 def _bench_transcript() -> tuple[float, str, dict]:
     """Transcript-lane p50 on a 60 s clip through the KV-cache decoder.
 
@@ -344,14 +474,15 @@ def main() -> int:
     def run_headline():
         if profile == "infer":
             return _bench_infer()
+        if profile == "infer-accurate":
+            return _bench_infer_accurate()
         if profile == "transcript":
             return _bench_transcript()
-        bench = {
-            "accurate": _bench_accurate,
-            "medium": _bench_medium,
-            "fast": _bench_fast,
-        }.get(profile, _bench_accurate)
-        return (*bench(), {})
+        if profile == "accurate":
+            return _bench_accurate()
+        if profile == "medium":
+            return (*_bench_medium(), {})
+        return (*_bench_fast(), {})
 
     if trace_dir:
         from ser_tpu._internal.utils.profiling import device_trace
@@ -361,14 +492,33 @@ def main() -> int:
     else:
         value, metric, extras = run_headline()
 
-    # The default (accurate-encode) headline also carries the end-to-end
-    # infer() p50 so every BENCH_r{N}.json records BASELINE.md's full metric.
+    # The default (accurate-encode) headline also carries EVERY BASELINE.md
+    # lane so each BENCH_r{N}.json is the complete per-profile record:
+    # medium/fast encode throughput, fast + accurate end-to-end infer() p50,
+    # and the transcript-lane p50. Each lane is independent — one failing
+    # lane records its error and never breaks the headline.
     if profile == "accurate" and os.environ.get("SER_BENCH_SKIP_INFER") != "1":
-        try:
-            _, _, infer_extras = _bench_infer()
-            extras.update(infer_extras)
-        except Exception as err:  # headline must never break on the extra lane
-            extras["infer_error"] = f"{type(err).__name__}: {err}"
+
+        def _medium_extra() -> dict:
+            medium_value, _ = _bench_medium()
+            return {"medium_encode_audio_s_per_s": round(medium_value, 2)}
+
+        def _fast_extra() -> dict:
+            fast_value, _ = _bench_fast()
+            return {"fast_dsp_audio_s_per_s": round(fast_value, 2)}
+
+        lanes = (
+            ("infer_fast", lambda: _bench_infer()[2]),
+            ("infer_accurate", lambda: _bench_infer_accurate()[2]),
+            ("medium_encode", _medium_extra),
+            ("fast_dsp", _fast_extra),
+            ("transcript", lambda: _bench_transcript()[2]),
+        )
+        for lane_name, lane in lanes:
+            try:
+                extras.update(lane())
+            except Exception as err:  # headline must never break on a lane
+                extras[f"{lane_name}_error"] = f"{type(err).__name__}: {err}"
 
     print(
         json.dumps(

@@ -77,7 +77,14 @@ class Emotion2VecBackend(XlsrBackend):
             logger.info("Loaded %s weights from %s", model_id, model_dir)
             return cfg, params
         if allow_random:
-            cfg = config if config is not None else wav2vec2.Wav2Vec2Config.tiny()
+            if config is not None:
+                cfg = config
+            elif os.environ.get("SER_RANDOM_INIT_SIZE", "tiny") == "full":
+                # Bench mode: production dims with random weights (see
+                # wav2vec2_backend._resolve_weights for rationale).
+                cfg = wav2vec2.Wav2Vec2Config()
+            else:
+                cfg = wav2vec2.Wav2Vec2Config.tiny()
             logger.warning(
                 "No local weights for %s; deterministic random init (test mode).", model_id
             )

@@ -65,6 +65,7 @@ def build_encoder_backend(
         device_kind == "cpu",
         str(settings.models.huggingface_cache_root),
         os.environ.get("SER_ALLOW_RANDOM_INIT", "") == "1",
+        os.environ.get("SER_RANDOM_INIT_SIZE", "tiny"),
     )
     with _BACKEND_CACHE_LOCK:
         cached = _BACKEND_CACHE.get(cache_key)

@@ -76,7 +76,14 @@ class XlsrBackend:
             logger.info("Loaded %s weights from %s", model_id, model_dir)
             return cfg, params
         if allow_random:
-            cfg = config if config is not None else wav2vec2.Wav2Vec2Config.tiny()
+            if config is not None:
+                cfg = config
+            elif os.environ.get("SER_RANDOM_INIT_SIZE", "tiny") == "full":
+                # Bench mode: XLS-R-300M production dims, random weights —
+                # honest throughput/latency without staged checkpoints.
+                cfg = wav2vec2.Wav2Vec2Config()
+            else:
+                cfg = wav2vec2.Wav2Vec2Config.tiny()
             logger.warning(
                 "No local weights for %s; using deterministic random init "
                 "(benchmark/test mode).",

@@ -70,7 +70,15 @@ class WhisperEncoderBackend:
             logger.info("Loaded %s encoder weights from %s", model_id, model_dir)
             return cfg, params
         if allow_random:
-            cfg = config if config is not None else whisper_model.WhisperConfig.tiny()
+            if config is not None:
+                cfg = config
+            elif os.environ.get("SER_RANDOM_INIT_SIZE", "tiny") == "full":
+                # Bench mode: full production dims with deterministic random
+                # weights — throughput/latency are weight-agnostic, so this
+                # measures the REAL model cost without staged checkpoints.
+                cfg = whisper_model.WhisperConfig()
+            else:
+                cfg = whisper_model.WhisperConfig.tiny()
             logger.warning(
                 "No local weights for %s; deterministic random init (test mode).", model_id
             )

@@ -90,14 +90,37 @@ def power_to_db(
     """librosa ``power_to_db`` with per-frame masked top_db clamp.
 
     power: (B, F, T); ref: scalar or (B,) per-frame reference.
+
+    Faithful quirk: librosa does NOT abs a real-valued input — negatives clamp
+    to ``amin``. The reference feeds dB values into ``spectral_contrast``
+    (``dsp.py:127-135``), whose final ``power_to_db(peak)-power_to_db(valley)``
+    therefore collapses to all-zero contrast features; reproducing that exactly
+    is part of the parity contract (pinned by the golden fixtures).
     """
-    log_spec = 10.0 * jnp.log10(jnp.maximum(_AMIN, jnp.abs(power)))
+    log_spec = 10.0 * jnp.log10(jnp.maximum(_AMIN, power))
     ref_arr = jnp.asarray(ref, dtype=log_spec.dtype)
     if ref_arr.ndim == 1:
         ref_arr = ref_arr[:, None, None]
     log_spec = log_spec - 10.0 * jnp.log10(jnp.maximum(_AMIN, jnp.abs(ref_arr)))
     peak = _masked_max(log_spec, col_mask)
     return jnp.maximum(log_spec, (peak - _TOP_DB)[:, None, None])
+
+
+def power_to_db_ref_max(power: jax.Array, col_mask: jax.Array) -> jax.Array:
+    """librosa ``power_to_db(S, ref=np.max)`` with the max taken over valid columns.
+
+    With ``ref = max``, the result is exactly ``<= 0`` with the maximum at
+    exactly 0 — numpy guarantees this by subtracting the log of the same max
+    value. XLA does not: it rematerializes the ``log10`` for the reduction and
+    the subtraction with different codegen (vectorized vs reduction pre-pass),
+    leaving the spectrogram maximum at +1.6e-6 dB instead of 0 — which
+    un-collapsed the reference's degenerate all-zero spectral contrast (see
+    :func:`power_to_db`'s faithful-quirk note). The clip to ``[-top_db, 0]``
+    IS the exact ref=max semantics, immune to rematerialization.
+    """
+    log_spec = 10.0 * jnp.log10(jnp.maximum(_AMIN, power))
+    peak = _masked_max(log_spec, col_mask)
+    return jnp.clip(log_spec - peak[:, None, None], -_TOP_DB, 0.0)
 
 
 # --------------------------------------------------------------------------- #
@@ -446,9 +469,7 @@ def handcrafted_features_batch(
     if mel:
         parts.append(_masked_mean_cols(mel_pow, col_mask))
     if contrast:
-        power = mag * mag
-        ref = _masked_max(power, col_mask)
-        s_db = power_to_db(power, col_mask, ref=ref)
+        s_db = power_to_db_ref_max(mag * mag, col_mask)
         parts.append(
             _masked_mean_cols(spectral_contrast_per_column(s_db, col_mask, sr, n_fft), col_mask)
         )
@@ -472,6 +493,7 @@ __all__ = [
     "mel_power",
     "mfcc_per_column",
     "power_to_db",
+    "power_to_db_ref_max",
     "spectral_contrast_per_column",
     "stft_magnitude",
     "tonnetz_per_column",

@@ -154,8 +154,7 @@ def _features_small(audio: np.ndarray, sample_rate: int, flags: FeatureFlags) ->
     if flags.mel:
         parts.append(mean(mel_pow, mel_mask))
     if flags.contrast:
-        power = mag * mag
-        s_db = dsp.power_to_db(power, mask, ref=dsp._masked_max(power, mask))
+        s_db = dsp.power_to_db_ref_max(mag * mag, mask)
         parts.append(
             mean(dsp.spectral_contrast_per_column(s_db, mask, sample_rate, n_fft), mask)
         )

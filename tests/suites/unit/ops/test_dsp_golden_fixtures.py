@@ -1,10 +1,14 @@
-"""Fast-profile mel/MFCC parity against checked-in golden fixtures.
+"""Fast-profile feature parity against checked-in golden fixtures.
 
-The fixtures come from an implementation independent of ``ser_tpu/ops``
-(``scripts/generate_dsp_fixtures.py``; regenerable with real librosa via
-``--use-librosa``), so a convention drift in the production path — mel scale,
-windowing, dB reference, DCT norm — fails here instead of silently shifting
-fast-profile labels.
+The fixtures come from implementations independent of ``ser_tpu/ops``
+(``scripts/generate_dsp_fixtures.py``; mel/mfcc/chroma/contrast regenerable
+with real librosa via ``--use-librosa``), so a convention drift in the
+production path — mel scale, windowing, dB reference, DCT norm, chroma tuning
+estimation, contrast quantile bands, the tonnetz HPSS/pseudo-CQT pipeline —
+fails here instead of silently shifting fast-profile labels.
+
+Feature layout (reference concatenation order, ``dsp.py:106-144``):
+mfcc[0:40] chroma[40:52] mel[52:180] contrast[180:187] tonnetz[187:193].
 """
 
 from pathlib import Path
@@ -15,9 +19,17 @@ import pytest
 from ser_tpu._internal.config.schema import FeatureFlags
 from ser_tpu.ops.features import extract_frame_features
 
-FIXTURE = Path(__file__).resolve().parents[3] / "fixtures/dsp/golden_mel_mfcc_v1.npz"
+FIXTURE = Path(__file__).resolve().parents[3] / "fixtures/dsp/golden_features_v2.npz"
 _SIGNALS = ("sine440", "chirp", "noise", "am_tone")
 _RATES = (16000, 22050)
+
+_SLICES = {
+    "mfcc": slice(0, 40),
+    "chroma": slice(40, 52),
+    "mel": slice(52, 180),
+    "contrast": slice(180, 187),
+    "tonnetz": slice(187, 193),
+}
 
 
 def _signal(name: str, sr: int) -> np.ndarray:
@@ -38,25 +50,34 @@ def goldens():
         return {key: data[key] for key in data.files}
 
 
+@pytest.fixture(scope="module")
+def features_by_case():
+    """One full-flag extraction per (signal, rate), shared across family tests."""
+    flags = FeatureFlags(mfcc=True, chroma=True, mel=True, contrast=True, tonnetz=True)
+    out = {}
+    for sr in _RATES:
+        for name in _SIGNALS:
+            features, starts, _ = extract_frame_features(_signal(name, sr), sr, feature_flags=flags)
+            assert starts[0] == 0.0  # frame 0 covers the full 3 s signal
+            out[(name, sr)] = features[0].astype(np.float64)
+    return out
+
+
 @pytest.mark.parametrize("sr", _RATES)
 @pytest.mark.parametrize("name", _SIGNALS)
-def test_mel_and_mfcc_match_goldens(goldens, name, sr):
-    audio = _signal(name, sr)
-    flags = FeatureFlags(mfcc=True, chroma=False, mel=True, contrast=False, tonnetz=False)
-    features, starts, _ = extract_frame_features(audio, sr, feature_flags=flags)
-    # Frame 0 covers the full 3 s signal.
-    assert starts[0] == 0.0
-    mfcc = features[0, :40].astype(np.float64)
-    mel = features[0, 40:168].astype(np.float64)
-
-    golden_mel = goldens[f"{name}_{sr}_mel"]
-    golden_mfcc = goldens[f"{name}_{sr}_mfcc"]
+@pytest.mark.parametrize("family", tuple(_SLICES))
+def test_feature_family_matches_golden(goldens, features_by_case, name, sr, family):
+    got = features_by_case[(name, sr)][_SLICES[family]]
+    golden = goldens[f"{name}_{sr}_{family}"]
+    assert got.shape == golden.shape
     # f32 production path vs f64 golden: tolerances scaled to magnitudes.
+    # chroma/tonnetz are normalized (O(1) values); mel spans ~5 orders.
+    atol_scale = {"mfcc": 2e-3, "mel": 2e-4, "chroma": 5e-3, "contrast": 2e-3, "tonnetz": 5e-3}
     np.testing.assert_allclose(
-        mel, golden_mel, rtol=2e-3, atol=2e-4 * max(1.0, np.abs(golden_mel).max())
-    )
-    np.testing.assert_allclose(
-        mfcc, golden_mfcc, rtol=2e-3, atol=2e-3 * max(1.0, np.abs(golden_mfcc).max())
+        got,
+        golden,
+        rtol=2e-3,
+        atol=atol_scale[family] * max(1.0, np.abs(golden).max()),
     )
 
 
@@ -68,3 +89,4 @@ def test_fixture_meta_documents_provenance():
     payload = json.loads(meta.read_text())
     assert payload["source"] in ("librosa", "independent-numpy")
     assert payload["n_fft"] == 2048 and payload["hop"] == 512
+    assert set(payload["families"]) == set(_SLICES)
