@@ -2,11 +2,12 @@
 
 Parity surface: reference per-provider download owners
 (``ser/_internal/data/*_downloads.py``: zenodo, openslr, mendeley, msp mirror,
-provider, jl_corpus) and its archive extraction module. This runtime is
-zero-egress by policy: providers are a documented registry (stable source
-URLs, archive layouts) and :func:`materialize_dataset` works from archives the
-operator staged locally — network fetches raise a typed error pointing at the
-staging path.
+provider, jl_corpus) and its archive extraction module. This module owns the
+fetch/extract/materialize core (resumable checksum-verified ``fetch_url``,
+traversal-safe extraction, completion sentinels); the per-provider workflows
+live in :mod:`provider_prepare` over :mod:`provider_transport`, and
+:func:`materialize_dataset` also works from archives the operator staged
+locally for zero-egress runtimes.
 """
 
 from __future__ import annotations
@@ -74,14 +75,27 @@ PROVIDERS: dict[str, ProviderSpec] = {
 }
 
 
-def fetch_from_provider(provider_id: str, **_format_args) -> None:
-    """Always raises in this runtime: downloads must be staged by the operator."""
+def fetch_from_provider(provider_id: str, *, dataset_id: str | None = None, dataset_root=None):
+    """Runs the per-dataset acquisition workflow for one provider-backed corpus.
+
+    The real machinery lives in :mod:`provider_prepare` (zenodo record
+    enumeration, OpenSLR mirror ladder, Mendeley tree walk, GitHub releases,
+    Kaggle/HF-rows, Git-LFS validation) over an injectable transport; this
+    facade keeps the historical (provider-first) signature. Without a
+    ``dataset_id`` there is nothing to acquire — the typed staging error
+    explains where the data lives.
+    """
     spec = PROVIDERS.get(provider_id)
+    if dataset_id is not None and dataset_root is not None:
+        from ser_tpu._internal.data.provider_prepare import acquire_dataset
+
+        return acquire_dataset(dataset_id, Path(dataset_root))
     hint = f" ({spec.description}; {spec.url_template})" if spec else ""
     raise DatasetDownloadUnavailableError(
-        f"Network downloads are disabled in this runtime. Fetch the archive from "
-        f"provider {provider_id!r}{hint} on a connected machine and pass its local "
-        "path to materialize_dataset()/`ser data prepare`."
+        f"Fetch the archive from provider {provider_id!r}{hint} on a connected "
+        "machine and pass its local path to materialize_dataset()/`ser data "
+        "prepare`, or call acquire_dataset(dataset_id, dataset_root) for the "
+        "full acquisition workflow."
     )
 
 
@@ -157,6 +171,7 @@ def fetch_url(
     expected_sha256: str | None = None,
     chunk_bytes: int = 1 << 20,
     timeout_seconds: float = 60.0,
+    headers: dict[str, str] | None = None,
 ) -> FetchResult:
     """Resumable, checksum-verified fetch into ``destination``.
 
@@ -199,7 +214,7 @@ def fetch_url(
     elif parsed.scheme in ("http", "https"):
         from urllib.error import HTTPError
 
-        request = Request(url)
+        request = Request(url, headers=dict(headers or {}))
         if offset:
             request.add_header("Range", f"bytes={offset}-")
         try:
@@ -286,7 +301,11 @@ def materialize_dataset(
     if archive_path is None:
         from ser_tpu._internal.data.catalog import get_dataset_spec
 
-        fetch_from_provider(get_dataset_spec(dataset_id).provider)
+        return fetch_from_provider(
+            get_dataset_spec(dataset_id).provider,
+            dataset_id=dataset_id,
+            dataset_root=destination,
+        ).dataset_root
     members = extract_archive(archive_path, destination)
     sentinel.write_text(f"{dataset_id}\n", encoding="utf-8")
     logger.info("Extracted %d members for %s into %s", len(members), dataset_id, destination)

@@ -4,10 +4,12 @@ Parity surface: reference ``ser/_internal/data/dataset_prepare.py`` +
 ``adapters/`` + ``strategies/`` — per-dataset manifest builders behind a
 strategy registry, consent enforcement, and registry persistence.
 
-Zero-egress design: this runtime never downloads. ``skip_download=True`` (or
-pre-materialized data) is the supported path; requesting a download raises a
-typed error explaining how to stage the data. Resolution order per dataset
-(reference auto-CSV semantics):
+Acquisition: when the dataset root is missing and ``skip_download=False``,
+the per-provider workflow in :mod:`provider_prepare` runs (zenodo record
+enumeration, OpenSLR mirrors, Mendeley tree, GitHub releases/LFS, Kaggle/HF
+fallbacks). In a zero-egress runtime that surfaces a typed staging error;
+``skip_download=True`` with pre-materialized data is always supported.
+Resolution order per dataset (reference auto-CSV semantics):
 
 1. an existing manifest: validate + register as-is;
 2. an explicit labels CSV;
@@ -169,11 +171,12 @@ def prepare_dataset(
 
     root = dataset_root if dataset_root is not None else settings.dataset.folder
     if not skip_download and not root.exists():
-        raise DatasetDownloadUnavailableError(
-            f"Dataset {dataset_id!r} is not materialized at {root} and this runtime "
-            "performs no network downloads. Stage the audio locally (provider: "
-            f"{spec.provider}) and re-run with skip_download=True."
-        )
+        from ser_tpu._internal.data.provider_prepare import acquire_dataset
+
+        # Run the dataset's acquisition workflow (zenodo/openslr/mendeley/...).
+        # In a zero-egress runtime every network rung fails and this raises the
+        # typed staging error; connected deployments materialize the corpus.
+        acquire_dataset(dataset_id, root)
 
     if manifest_path is not None and manifest_path.exists() and labels_csv_path is None:
         utterances = read_manifest_jsonl(manifest_path)
