@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import sys
 from pathlib import Path
 
@@ -252,29 +253,27 @@ def _run_transcription_calibration(settings) -> int:
     persists the recommendation consumed by admission control.
     """
     from ser_tpu._internal.data.loader import discover_dataset_files
+    from ser_tpu._internal.transcript.calibration import (
+        build_calibration_report,
+        collect_reference_samples,
+        profile_candidate_matrix,
+        save_calibration_report_v2,
+        summarize_subset_coverage,
+    )
     from ser_tpu._internal.transcript.extractor import TranscriptionUnavailableError
     from ser_tpu._internal.transcript.jax_whisper_backend import JaxWhisperTranscriber
-    from ser_tpu._internal.transcript.profiling import (
-        RAVDESS_CANONICAL_SENTENCES,
-        profile_transcription_candidate,
-        recommend_default,
-        save_calibration_report,
-    )
-
-    import os.path
 
     # Only RAVDESS-coded files carry a KNOWN reference sentence (statement
     # code field 5: 01 → sentence 0, 02 → sentence 1). Scoring arbitrary
     # corpora against a canonical sentence would persist a garbage WER
-    # recommendation that admission control then trusts.
-    samples = []
-    for file in discover_dataset_files(settings):
-        parts = os.path.basename(file).split("-")
-        if len(parts) >= 5 and parts[4] in ("01", "02"):
-            sentence = RAVDESS_CANONICAL_SENTENCES[0 if parts[4] == "01" else 1]
-            samples.append((file, sentence))
-        if len(samples) >= 6:
-            break
+    # recommendation that admission control then trusts. The subset is
+    # stratified across (actor, statement) so a small probe still measures
+    # speaker-diverse WER, not one voice's.
+    samples = collect_reference_samples(
+        list(discover_dataset_files(settings)),
+        limit=int(os.environ.get("SER_CALIBRATION_SAMPLE_LIMIT", "12")),
+        sampling_strategy="stratified",
+    )
     if not samples:
         logger.error(
             "Calibration needs RAVDESS-coded clips with known reference "
@@ -301,7 +300,7 @@ def _run_transcription_calibration(settings) -> int:
         )
         try:
             candidates.append(
-                profile_transcription_candidate(
+                profile_candidate_matrix(
                     lambda path, t=transcriber: t.transcribe(path),
                     samples,
                     backend_id="jax_whisper",
@@ -311,17 +310,22 @@ def _run_transcription_calibration(settings) -> int:
         except TranscriptionUnavailableError as err:
             logger.error("%s", err)
             return EXIT_VALIDATION
-    recommendation = recommend_default(candidates)
+    report = build_calibration_report(candidates)
     from ser_tpu._internal.transcript.profiling import default_calibration_report_path
 
     report_path = settings.transcription.calibration_report_path or (
         default_calibration_report_path(settings.tmp_folder)
     )
-    path = save_calibration_report(recommendation, candidates, report_path)
+    path = save_calibration_report_v2(report, report_path)
+    recommendation = report["recommendation"]
+    coverage = summarize_subset_coverage([Path(p) for p, _ in samples])
     print(
-        f"Recommended: {recommendation.model_name} "
-        f"(WER {recommendation.mean_wer:.2f}, p50 {recommendation.p50_latency_seconds:.1f}s, "
-        f"confidence {recommendation.confidence}) → {path}"
+        f"Recommended: {recommendation['model_name']} "
+        f"(WER {recommendation['mean_wer']:.2f}, "
+        f"p50 {recommendation['p50_latency_seconds']:.1f}s, "
+        f"confidence {recommendation['confidence']}; "
+        f"{len(samples)} samples over {coverage['actors']} actors / "
+        f"{coverage['statements']} statements) → {path}"
     )
     return EXIT_OK
 
