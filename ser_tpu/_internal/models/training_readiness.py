@@ -372,11 +372,182 @@ def _split_findings(
     return findings
 
 
+def _registry_findings(settings: AppConfig) -> list[ReadinessFinding]:
+    """Registered-dataset health as readiness findings.
+
+    Reference ``training_readiness.py:1226-1243`` — a registry entry with a
+    missing root/manifest or a count-skewed manifest blocks training rather
+    than silently shrinking the corpus at load time.
+    """
+    from ser_tpu._internal.data.registry import audit_registry_health
+
+    try:
+        issues = audit_registry_health(settings=settings)
+    except Exception as err:  # noqa: BLE001 - a broken registry is a finding
+        return [
+            ReadinessFinding(
+                FindingScope.CONFIG,
+                FindingSeverity.BLOCKING,
+                "registry_unreadable",
+                f"Dataset registry unreadable: {err}",
+            )
+        ]
+    return [
+        ReadinessFinding(
+            FindingScope.CONFIG,
+            FindingSeverity.BLOCKING,
+            f"registry_{issue.issue_kind}",
+            f"{issue.dataset_id}: {issue.message}",
+        )
+        for issue in issues
+    ]
+
+
+def _restricted_backend_findings(
+    settings: AppConfig, profile: ProfileName
+) -> list[ReadinessFinding]:
+    """License-policy validation BEFORE any backend construction.
+
+    Reference ``training_readiness.py:1195-1223`` — an accurate-research run
+    without restricted-backend consent must fail in readiness, not after
+    minutes of data preparation.
+    """
+    if profile != "accurate-research":
+        return []
+    from ser_tpu._internal.runtime.restricted_backends import (
+        RestrictedBackendError,
+        ensure_backend_access,
+    )
+
+    try:
+        ensure_backend_access("emotion2vec", settings=settings)
+    except (RestrictedBackendError, OSError, ValueError) as err:
+        return [
+            ReadinessFinding(
+                FindingScope.CONFIG,
+                FindingSeverity.BLOCKING,
+                "restricted_backend_access",
+                str(err),
+            )
+        ]
+    return []
+
+
+def _probe_directory(path: Path) -> None:
+    """Write + atomic-rename probe without retaining artifacts.
+
+    Reference ``training_readiness.py:1740-1762``: training persists
+    artifacts via temp-file rename, so a filesystem that forbids either
+    operation must surface here, not at the final checkpoint write.
+    """
+    import os
+    import tempfile
+
+    target = path.expanduser()
+    existing = target
+    while not existing.exists() and existing != existing.parent:
+        existing = existing.parent
+    if not existing.is_dir() or not os.access(existing, os.W_OK):
+        raise OSError(f"Required path parent is not writable: {path}")
+    probe_dir = target if target.is_dir() else existing
+    descriptor, raw = tempfile.mkstemp(prefix=".ser-write-probe-", dir=probe_dir)
+    source = Path(raw)
+    renamed = source.with_suffix(".renamed")
+    try:
+        os.write(descriptor, b"ser")
+        os.fsync(descriptor)
+        os.close(descriptor)
+        descriptor = -1
+        os.replace(source, renamed)
+    finally:
+        if descriptor >= 0:
+            os.close(descriptor)
+        source.unlink(missing_ok=True)
+        renamed.unlink(missing_ok=True)
+
+
+def _resource_findings(settings: AppConfig, sample_count: int) -> list[ReadinessFinding]:
+    """Filesystem/OS resource probes scaled to the corpus size.
+
+    Reference ``training_readiness.py:1764-1837``: writability probes on
+    every owned output root, a conservative disk estimate (~4 MiB/sample of
+    cache + artifacts, doubled), the file-descriptor soft limit against the
+    loader's worker fan-out, and available physical memory (~2 MiB/sample).
+    """
+    import os
+    import resource as resource_module
+    import shutil
+
+    findings: list[ReadinessFinding] = []
+    for path in sorted({settings.models.folder, Path(settings.tmp_folder)}, key=str):
+        try:
+            _probe_directory(Path(path))
+        except OSError as err:
+            findings.append(
+                ReadinessFinding(
+                    FindingScope.RESOURCE,
+                    FindingSeverity.BLOCKING,
+                    "output_unwritable",
+                    str(err),
+                )
+            )
+
+    tmp_parent = Path(settings.tmp_folder)
+    while not tmp_parent.exists() and tmp_parent != tmp_parent.parent:
+        tmp_parent = tmp_parent.parent
+    free_bytes = shutil.disk_usage(tmp_parent).free
+    estimated = max(128 * 1024 * 1024, sample_count * 4 * 1024 * 1024)
+    if free_bytes < estimated * 2:
+        findings.append(
+            ReadinessFinding(
+                FindingScope.RESOURCE,
+                FindingSeverity.BLOCKING,
+                "disk_space_low",
+                f"Available disk ({free_bytes} bytes) is below the conservative "
+                f"requirement ({estimated * 2} bytes) for {sample_count} samples.",
+            )
+        )
+
+    try:
+        soft_fd_limit, _ = resource_module.getrlimit(resource_module.RLIMIT_NOFILE)
+    except (OSError, ValueError):  # pragma: no cover - platform-specific
+        soft_fd_limit = resource_module.RLIM_INFINITY
+    required_fds = max(64, settings.data_loader.max_workers * 4)
+    if soft_fd_limit != resource_module.RLIM_INFINITY and soft_fd_limit < required_fds:
+        findings.append(
+            ReadinessFinding(
+                FindingScope.RESOURCE,
+                FindingSeverity.BLOCKING,
+                "fd_limit_low",
+                f"File descriptor limit {soft_fd_limit} is below required {required_fds}.",
+            )
+        )
+
+    try:
+        available_memory = int(os.sysconf("SC_AVPHYS_PAGES")) * int(os.sysconf("SC_PAGE_SIZE"))
+    except (OSError, ValueError, TypeError):  # pragma: no cover - platform-specific
+        available_memory = 0
+    required_memory = max(512 * 1024 * 1024, sample_count * 2 * 1024 * 1024)
+    if available_memory and available_memory < required_memory:
+        findings.append(
+            ReadinessFinding(
+                FindingScope.RESOURCE,
+                FindingSeverity.BLOCKING,
+                "memory_low",
+                f"Available memory {available_memory} is below the conservative "
+                f"requirement {required_memory}.",
+            )
+        )
+    return findings
+
+
 def run_training_readiness(
     *, settings: AppConfig, profile: ProfileName
 ) -> ReadinessReport:
     """Runs the full readiness contract for one profile."""
     findings = _config_findings(settings)
+    findings.extend(_restricted_backend_findings(settings, profile))
+    findings.extend(_registry_findings(settings))
     if any(f.severity is FindingSeverity.BLOCKING for f in findings):
         return ReadinessReport(profile, tuple(findings), (), ())
     files = loader.discover_dataset_files(settings)
@@ -389,6 +560,9 @@ def run_training_readiness(
                 f"No files matched {settings.dataset.glob_pattern}.",
             )
         )
+        return ReadinessReport(profile, tuple(findings), (), ())
+    findings.extend(_resource_findings(settings, len(files)))
+    if any(f.severity is FindingSeverity.BLOCKING for f in findings):
         return ReadinessReport(profile, tuple(findings), (), ())
     media, quarantined, usable, digests = _media_findings(
         _file_records(files, settings), settings

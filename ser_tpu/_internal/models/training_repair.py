@@ -174,15 +174,23 @@ def _repair_pinned_model(settings: AppConfig, profile: ProfileName) -> RepairRec
             False,
             "Model pin is invalid: repairs require an explicit model_id@revision pin.",
         )
+    repo_id, revision = model_id.rsplit("@", 1)
     try:
-        from ser_tpu._internal.data.downloads import fetch_from_provider
+        from huggingface_hub import snapshot_download
 
-        # Zero-egress runtimes raise DatasetDownloadUnavailableError here; a
-        # connected deployment swaps the provider for a live fetcher.
-        fetch_from_provider("provider", url=f"https://huggingface.co/{model_id}")
-        return RepairRecord("redownload_pinned_model", model_id, True, "refetched")
+        path = snapshot_download(
+            repo_id=repo_id,
+            revision=revision,
+            cache_dir=str(settings.models.huggingface_cache_root),
+        )
+        return RepairRecord("redownload_pinned_model", model_id, True, f"refetched to {path}")
     except Exception as err:  # noqa: BLE001 - zero-egress environments land here
-        return RepairRecord("redownload_pinned_model", model_id, False, str(err)[:500])
+        return RepairRecord(
+            "redownload_pinned_model",
+            model_id,
+            False,
+            f"Network downloads are disabled or unreachable in this runtime: {err}"[:500],
+        )
 
 
 def apply_training_repairs(
