@@ -89,6 +89,12 @@ def build_parser() -> argparse.ArgumentParser:
     prepare.add_argument("--labels-csv", type=Path, default=None)
     prepare.add_argument("--accept-license", action="store_true")
     prepare.add_argument("--skip-download", action="store_true", default=False)
+    audit = data_sub.add_parser(
+        "audit", help="Build the leakage-safe split ledger for registered manifests."
+    )
+    audit.add_argument("--seed", type=int, default=17)
+    audit.add_argument("--lenient", action="store_true", help="Do not fail on missing digests.")
+    audit.add_argument("--ledger-out", type=Path, default=None)
     consents = data_sub.add_parser("consents", help="Show or record dataset consents.")
     consents.add_argument("--accept-policy", action="append", default=[])
     consents.add_argument("--accept-license", action="append", default=[])
@@ -184,6 +190,46 @@ def _run_data(args, settings) -> int:
             for warning in result.warnings:
                 print(f"warning: {warning}")
         return code
+    if args.data_command == "audit":
+        import json as json_module
+
+        from ser_tpu._internal.data.dataset_audit import DatasetAuditError, build_split_ledger
+        from ser_tpu._internal.data.manifest import read_manifest_jsonl
+
+        utterances = []
+        for record in api.list_registered_datasets(settings=settings):
+            utterances.extend(read_manifest_jsonl(Path(record.manifest_path)))
+        if not utterances:
+            print("No registered manifests to audit.", file=sys.stderr)
+            return EXIT_VALIDATION
+        try:
+            report = build_split_ledger(utterances, seed=args.seed, strict=not args.lenient)
+        except DatasetAuditError as err:
+            print(f"audit failed: {err}", file=sys.stderr)
+            return EXIT_VALIDATION
+        print(
+            f"ledger: {dict(report.counters)} over {len(report.ledger)} rows "
+            f"(seed={report.seed})"
+        )
+        print(f"manifest digest: {report.manifest_digest}")
+        print(f"ledger digest:   {report.ledger_digest}")
+        if args.ledger_out is not None:
+            args.ledger_out.parent.mkdir(parents=True, exist_ok=True)
+            args.ledger_out.write_text(
+                json_module.dumps(
+                    {
+                        "seed": report.seed,
+                        "manifest_digest": report.manifest_digest,
+                        "ledger_digest": report.ledger_digest,
+                        "counters": report.counters,
+                        "ledger": [entry.to_record() for entry in report.ledger],
+                    },
+                    indent=2,
+                ),
+                encoding="utf-8",
+            )
+            print(f"ledger written: {args.ledger_out}")
+        return EXIT_OK
     if args.data_command == "consents":
         if args.accept_policy or args.accept_license:
             record = api.configure_dataset_consents(
