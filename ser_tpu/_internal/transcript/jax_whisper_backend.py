@@ -88,8 +88,9 @@ class JaxWhisperTranscriber:
                 CompatibilityIssue(
                     kind="noise",
                     message=(
-                        "Demucs weights are not distributable here; denoise "
-                        "requests route to the built-in spectral gate."
+                        "Demucs weights are not distributable here; separation "
+                        "requests route to the built-in REPET-SIM vocal "
+                        "separator + spectral gate."
                     ),
                 )
             )
@@ -125,10 +126,11 @@ class JaxWhisperTranscriber:
     def transcribe(self, file_path: str, *, language: str = "en") -> list[TranscriptWord]:
         """Transcribes one audio file to word-level timestamps.
 
-        The denoise hook fills the reference's demucs lane
+        The separation hook fills the reference's demucs lane
         (``stable_whisper.py:272-478`` runs demucs + VAD before transcribing):
-        with ``use_demucs`` on, audio routes through the built-in spectral
-        gate before VAD/decoding.
+        with ``use_demucs`` on, audio routes through REPET-SIM vocal
+        separation (removes the repeating musical background) followed by the
+        spectral gate (removes residual stationary noise) before VAD/decoding.
         """
         if self._model is None:
             self.load_model()
@@ -138,8 +140,9 @@ class JaxWhisperTranscriber:
         audio16k = resample_audio(audio, sr, 16000)
         if self._use_demucs:
             from ser_tpu._internal.utils.denoise import spectral_gate_denoise
+            from ser_tpu._internal.utils.source_separation import separate_vocals
 
-            audio16k = spectral_gate_denoise(audio16k)
+            audio16k = spectral_gate_denoise(separate_vocals(audio16k, 16000))
         return self._model.transcribe_words(
             audio16k, language=language, use_vad=self._use_vad
         )
