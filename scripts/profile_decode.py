@@ -21,6 +21,8 @@ def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--tiny", action="store_true", help="tiny config (CPU smoke)")
     parser.add_argument("--batches", type=str, default="1,2,4,8")
+    parser.add_argument("--fused", action="store_true",
+                        help="route attention groups through the Pallas step kernels")
     args = parser.parse_args()
 
     from ser_tpu._internal.utils.jax_runtime import honor_platform_env
@@ -64,6 +66,7 @@ def main() -> int:
             prefix_len=int(prefix.shape[0]),
             align_spec=align_spec,
             compute_dtype=cdt,
+            fused=args.fused,
         )
         if rules:
             kwargs.update(suppress_tokens=(5, 6, 7), timestamp_begin=config.vocab_size - 1501)
@@ -91,8 +94,8 @@ def main() -> int:
         n_steps = int(out[1].max()) + int(prefix.shape[0])
         per_step = elapsed / max(n_steps, 1) * 1e3
         print(
-            f"B={batch:2d} {label:>14s}: total {elapsed*1e3:8.1f} ms, "
-            f"steps {n_steps}, {per_step:6.3f} ms/step"
+            f"B={batch:2d} {label:>14s}{' fused' if args.fused else ''}: "
+            f"total {elapsed*1e3:8.1f} ms, steps {n_steps}, {per_step:6.3f} ms/step"
         )
     return 0
 

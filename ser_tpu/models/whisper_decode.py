@@ -260,6 +260,7 @@ def _decoder_token_step(
     compute_dtype,
     align_spec: tuple[tuple[int, int], ...] = (),
     beams: int = 1,
+    fused: bool = False,
 ):
     """One decoder forward for the token at ``position`` over cached state.
 
@@ -268,6 +269,13 @@ def _decoder_token_step(
     query grouping; contractions are unchanged). Returns float32 logits
     ``(rows, V)``, the updated per-layer cache lists, and per-slot alignment
     rows ``(rows, 1, S)``.
+
+    ``fused=True`` routes the self/cross attention groups through the Pallas
+    step kernels (``ops/decode_step_kernels``) — same op order and rounding
+    points, 3 kernel launches per layer instead of ~10 XLA ops (the decode
+    loop is dispatch-overhead-bound; see the kernel module docstring).
+    Greedy-only: beam decoding keeps the XLA path (its cross K/V are shared
+    per batch element, a grouping the kernels don't model).
     """
     cfg = config
     cdt = compute_dtype
@@ -283,6 +291,8 @@ def _decoder_token_step(
                 f"for a {cfg.decoder_layers}-layer, {n_heads}-head decoder."
             )
 
+    if fused and beams != 1:
+        raise ValueError("fused decode kernels support greedy (beams == 1) only.")
     self_k = list(self_k)
     self_v = list(self_v)
     align_rows: list[jax.Array | None] = [None] * len(align_spec)
@@ -290,6 +300,71 @@ def _decoder_token_step(
     x = x[:, None, :]  # (rows, 1, d)
     key_visible = jnp.arange(max_len) <= position
     self_bias_row = jnp.where(key_visible, 0.0, _NEG_INF)
+
+    if fused:
+        from ser_tpu.ops import decode_step_kernels as dsk
+
+        head_dim = d_model // n_heads
+        x2 = x[:, 0, :]  # kernels take (rows, d)
+        zero_bias = jnp.zeros((1, d_model), x2.dtype)
+        for i in range(cfg.decoder_layers):
+            lp = params[f"layer_{i}"]
+            qkv = dsk.ln_qkv_project(
+                x2,
+                lp["attn_ln"]["scale"][None, :],
+                lp["attn_ln"]["bias"][None, :],
+                qkv_fused[i]["kernel"],
+                qkv_fused[i]["bias"][None, :],
+                eps=eps,
+            )
+            q_heads = qkv[:, :d_model].reshape(rows, n_heads, head_dim)
+            k_new = _split_heads(qkv[:, None, d_model : 2 * d_model], n_heads)
+            v_new = _split_heads(qkv[:, None, 2 * d_model :], n_heads)
+            self_k[i] = jax.lax.dynamic_update_slice(
+                self_k[i], k_new[:, 0][..., None], (0, 0, 0, position)
+            )
+            self_v[i] = jax.lax.dynamic_update_slice(
+                self_v[i], jnp.swapaxes(v_new, 1, 2), (0, 0, position, 0)
+            )
+            attn_bias = lp["attn"]["out"].get("bias")
+            x2 = dsk.self_attend_and_out(
+                q_heads,
+                self_k[i],
+                self_v[i],
+                dsk.per_head_out_proj(lp["attn"]["out"]["kernel"], n_heads),
+                attn_bias[None, :] if attn_bias is not None else zero_bias,
+                x2,
+                position,
+            )
+            wq_heads, bq_heads = dsk.per_head_q_proj(
+                lp["cross"]["q"]["kernel"],
+                lp["cross"]["q"].get("bias", jnp.zeros((d_model,), x2.dtype)),
+                n_heads,
+            )
+            cross_bias = lp["cross"]["out"].get("bias")
+            x2, weights = dsk.cross_attention_step(
+                x2,
+                lp["cross_ln"]["scale"][None, :],
+                lp["cross_ln"]["bias"][None, :],
+                wq_heads,
+                bq_heads,
+                cross_k[i],
+                cross_v[i],
+                dsk.per_head_out_proj(lp["cross"]["out"]["kernel"], n_heads),
+                cross_bias[None, :] if cross_bias is not None else zero_bias,
+                eps=eps,
+            )
+            for slot, (layer_index, head_index) in enumerate(align_spec):
+                if layer_index == i:
+                    # Kernel weights are head-major (H, R, S).
+                    align_rows[slot] = weights[head_index][:, None, :]
+            h = _layer_norm(lp["mlp_ln"], x2[:, None, :], eps)
+            h = jax.nn.gelu(_dense(lp["mlp_in"], h, cdt), approximate=False)
+            x2 = x2 + _dense(lp["mlp_out"], h, cdt)[:, 0, :]
+        x = x2[:, None, :]
+        x = _layer_norm(params["final_ln"], x, eps)
+        logits = jnp.einsum("bqd,vd->bqv", x, params["tok_embed"])[:, 0]
+        return logits.astype(jnp.float32), self_k, self_v, align_rows
 
     for i in range(cfg.decoder_layers):
         lp = params[f"layer_{i}"]
@@ -344,6 +419,7 @@ def _decoder_token_step(
         "temperature",
         "suppress_tokens",
         "timestamp_begin",
+        "fused",
     ),
 )
 def greedy_decode_kv_cache(
@@ -360,6 +436,7 @@ def greedy_decode_kv_cache(
     rng_seed: int = 0,
     suppress_tokens: tuple[int, ...] = (),
     timestamp_begin: int | None = None,
+    fused: bool = False,
 ):
     """Batched greedy decode over cached attention state, one dispatch total.
 
@@ -451,6 +528,7 @@ def greedy_decode_kv_cache(
             config=cfg,
             compute_dtype=cdt,
             align_spec=align_spec,
+            fused=fused,
         )
         for slot, row in enumerate(align_rows):
             align[slot] = jax.lax.dynamic_update_slice(
