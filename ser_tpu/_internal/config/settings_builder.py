@@ -63,6 +63,10 @@ def build_settings_from_inputs(
         dataset = dataclasses.replace(dataset, recipe=inputs.dataset_recipe)
     if inputs.dataset_strict_audit is not None:
         dataset = dataclasses.replace(dataset, strict_audit=inputs.dataset_strict_audit)
+    elif inputs.dataset_recipe is not None:
+        # A pinned recipe implies strict auditing unless explicitly relaxed
+        # (reference settings_inputs.py:178-182).
+        dataset = dataclasses.replace(dataset, strict_audit=True)
     if inputs.dataset_registry_root is not None:
         dataset = dataclasses.replace(dataset, registry_root=inputs.dataset_registry_root)
 
@@ -73,20 +77,76 @@ def build_settings_from_inputs(
             ("max_workers", inputs.data_loader_max_workers),
             ("max_failed_files", inputs.data_loader_max_failed_files),
             ("max_failed_file_ratio", inputs.data_loader_max_failed_file_ratio),
+            (
+                "max_failed_file_ratio_per_corpus",
+                inputs.data_loader_max_failed_file_ratio_per_corpus,
+            ),
+            (
+                "max_failed_file_ratio_per_class",
+                inputs.data_loader_max_failed_file_ratio_per_class,
+            ),
+            ("max_failures_per_reason", inputs.data_loader_max_failures_per_reason),
+            (
+                "min_remaining_per_class_split",
+                inputs.data_loader_min_remaining_per_class_split,
+            ),
+            ("strict_quarantine", inputs.data_loader_strict_quarantine),
         )
         if value is not None
     }
+    # Per-corpus/per-class budgets follow the global ratio unless independently
+    # tightened (reference settings_inputs.py:192-206).
+    ratio = inputs.data_loader_max_failed_file_ratio
+    if ratio is not None:
+        loader_changes.setdefault("max_failed_file_ratio_per_corpus", ratio)
+        loader_changes.setdefault("max_failed_file_ratio_per_class", ratio)
     if loader_changes:
         data_loader = dataclasses.replace(data_loader, **loader_changes)
 
+    training = base.training
+    training_changes = {
+        name: value
+        for name, value in (
+            ("test_size", inputs.training_test_size),
+            ("dev_size", inputs.training_dev_size),
+            ("random_state", inputs.training_random_state),
+        )
+        if value is not None
+    }
+    if training_changes:
+        training = dataclasses.replace(training, **training_changes)
+
+    # SER_CACHE_DIR / SER_DATA_DIR re-home every derived folder that has no
+    # specific override of its own (reference settings_inputs.py:375-386).
+    cache_root = inputs.cache_root
+    data_root = inputs.data_root
+    tmp_folder = inputs.tmp_folder
+    if tmp_folder is None and cache_root is not None:
+        tmp_folder = cache_root / "tmp"
+    model_cache_dir = inputs.model_cache_dir
+    if model_cache_dir is None and cache_root is not None:
+        model_cache_dir = cache_root / "model-cache"
+    models_folder = inputs.models_folder
+    if models_folder is None and data_root is not None:
+        models_folder = data_root / "models"
+    transcripts_folder = inputs.transcripts_folder
+    if transcripts_folder is None and data_root is not None:
+        transcripts_folder = data_root / "transcripts"
+
     models = base.models
     model_changes: dict[str, object] = {}
-    if inputs.models_folder is not None:
-        model_changes["folder"] = inputs.models_folder
-    if inputs.model_cache_dir is not None:
-        model_changes["model_cache_dir"] = inputs.model_cache_dir
+    if models_folder is not None:
+        model_changes["folder"] = models_folder
+    if model_cache_dir is not None:
+        model_changes["model_cache_dir"] = model_cache_dir
     if inputs.num_cores is not None:
         model_changes["num_cores"] = inputs.num_cores
+    if inputs.model_file_name is not None:
+        model_changes["model_file_name"] = inputs.model_file_name
+    if inputs.secure_model_file_name is not None:
+        model_changes["secure_model_file_name"] = inputs.secure_model_file_name
+    if inputs.training_report_file_name is not None:
+        model_changes["training_report_file_name"] = inputs.training_report_file_name
     if inputs.medium_model_id is not None:
         model_changes["medium_model_id"] = inputs.medium_model_id
     if inputs.accurate_model_id is not None:
@@ -101,8 +161,52 @@ def build_settings_from_inputs(
         models = dataclasses.replace(models, **model_changes)
 
     timeline = base.timeline
-    if inputs.transcripts_folder is not None:
-        timeline = dataclasses.replace(timeline, folder=inputs.transcripts_folder)
+    if transcripts_folder is not None:
+        timeline = dataclasses.replace(timeline, folder=transcripts_folder)
+
+    medium_training = base.medium_training
+    medium_changes = {
+        name: value
+        for name, value in (
+            ("min_window_std", inputs.medium_min_window_std),
+            ("max_windows_per_clip", inputs.medium_max_windows_per_clip),
+        )
+        if value is not None
+    }
+    if medium_changes:
+        medium_training = dataclasses.replace(medium_training, **medium_changes)
+
+    quality_gate = base.quality_gate
+    gate_changes = {
+        name: value
+        for name, value in (
+            ("min_uar_delta", inputs.quality_gate_min_uar_delta),
+            ("min_macro_f1_delta", inputs.quality_gate_min_macro_f1_delta),
+            (
+                "max_medium_segments_per_minute",
+                inputs.quality_gate_max_medium_segments_per_minute,
+            ),
+            (
+                "min_medium_median_segment_duration_seconds",
+                inputs.quality_gate_min_medium_median_segment_duration_seconds,
+            ),
+        )
+        if value is not None
+    }
+    if gate_changes:
+        quality_gate = dataclasses.replace(quality_gate, **gate_changes)
+
+    schema_config = base.schema
+    schema_changes = {
+        name: value
+        for name, value in (
+            ("output_schema_version", inputs.output_schema_version),
+            ("artifact_schema_version", inputs.artifact_schema_version),
+        )
+        if value is not None
+    }
+    if schema_changes:
+        schema_config = dataclasses.replace(schema_config, **schema_changes)
 
     transcription = base.transcription
     tx_changes: dict[str, object] = {}
@@ -136,6 +240,7 @@ def build_settings_from_inputs(
 
     runtime_flags = dataclasses.replace(
         base.runtime_flags,
+        profile_pipeline=bool(inputs.enable_profile_pipeline),
         medium_profile=bool(inputs.enable_medium_profile),
         accurate_profile=bool(inputs.enable_accurate_profile),
         accurate_research_profile=bool(inputs.enable_accurate_research_profile),
@@ -175,13 +280,17 @@ def build_settings_from_inputs(
 
     return dataclasses.replace(
         base,
-        tmp_folder=inputs.tmp_folder if inputs.tmp_folder is not None else base.tmp_folder,
+        tmp_folder=tmp_folder if tmp_folder is not None else base.tmp_folder,
         dataset=dataset,
         data_loader=data_loader,
+        training=training,
         models=models,
         timeline=timeline,
         transcription=transcription,
         runtime_flags=runtime_flags,
+        medium_training=medium_training,
+        quality_gate=quality_gate,
+        schema=schema_config,
         torch_runtime=torch_runtime,
         mesh=mesh,
         fast_runtime=runtime_for("fast", base.fast_runtime),

@@ -67,6 +67,21 @@ def read_env_path(env: dict[str, str], name: str) -> Path | None:
     return Path(raw).expanduser() if raw is not None else None
 
 
+def _first(reader, env: dict[str, str], *names: str):
+    """First non-None read across alias env names (listed first wins).
+
+    The reference and this rebuild spell several knobs differently (e.g.
+    reference ``SER_MODELS_DIR`` vs ``SER_MODELS_FOLDER``); both are honored
+    so reference deployments drop in unchanged
+    (reference ``settings_inputs.py:375-386``, ``bootstrap.py:169-186``).
+    """
+    for name in names:
+        value = reader(env, name)
+        if value is not None:
+            return value
+    return None
+
+
 @dataclass(frozen=True)
 class ProfileRuntimeOverrides:
     """Captured per-profile SER_<PROFILE>_* runtime knob overrides (partial)."""
@@ -96,11 +111,35 @@ class ResolvedSettingsInputs:
     data_loader_max_workers: int | None = None
     data_loader_max_failed_files: int | None = None
     data_loader_max_failed_file_ratio: float | None = None
+    data_loader_max_failed_file_ratio_per_corpus: float | None = None
+    data_loader_max_failed_file_ratio_per_class: float | None = None
+    data_loader_max_failures_per_reason: int | None = None
+    data_loader_min_remaining_per_class_split: int | None = None
+    data_loader_strict_quarantine: bool | None = None
+    training_test_size: float | None = None
+    training_dev_size: float | None = None
+    training_random_state: int | None = None
+    # Root re-homing (reference settings_inputs.py:375-386): SER_CACHE_DIR /
+    # SER_DATA_DIR relocate every derived folder that is not itself overridden.
+    cache_root: Path | None = None
+    data_root: Path | None = None
     models_folder: Path | None = None
     model_cache_dir: Path | None = None
     transcripts_folder: Path | None = None
     tmp_folder: Path | None = None
     num_cores: int | None = None
+    model_file_name: str | None = None
+    secure_model_file_name: str | None = None
+    training_report_file_name: str | None = None
+    output_schema_version: str | None = None
+    artifact_schema_version: str | None = None
+    medium_min_window_std: float | None = None
+    medium_max_windows_per_clip: int | None = None
+    quality_gate_min_uar_delta: float | None = None
+    quality_gate_min_macro_f1_delta: float | None = None
+    quality_gate_max_medium_segments_per_minute: float | None = None
+    quality_gate_min_medium_median_segment_duration_seconds: float | None = None
+    enable_profile_pipeline: bool | None = None
     # Profile enables + model ids
     enable_medium_profile: bool | None = None
     enable_accurate_profile: bool | None = None
@@ -162,15 +201,23 @@ def _capture_profile_overrides(
     return captured
 
 
+def _split_manifest_paths(raw: str) -> tuple[Path, ...]:
+    """Comma-separated manifest paths (reference ``bootstrap.py:46-51``).
+
+    Colon-separated lists (this rebuild's earlier convention) keep working
+    when no comma is present.
+    """
+    separator = "," if "," in raw else os.pathsep
+    return tuple(
+        Path(item.strip()).expanduser() for item in raw.split(separator) if item.strip()
+    )
+
+
 def capture_settings_inputs(env: dict[str, str] | None = None) -> ResolvedSettingsInputs:
     """Captures all recognized environment variables into one frozen snapshot."""
     env = dict(os.environ) if env is None else env
     manifests_raw = read_env_str(env, "SER_DATASET_MANIFESTS")
-    manifests = (
-        tuple(Path(p.strip()).expanduser() for p in manifests_raw.split(os.pathsep) if p.strip())
-        if manifests_raw
-        else ()
-    )
+    manifests = _split_manifest_paths(manifests_raw) if manifests_raw else ()
     allowed_raw = read_env_str(env, "SER_ALLOWED_RESTRICTED_BACKENDS")
     allowed = (
         tuple(item.strip() for item in allowed_raw.split(",") if item.strip())
@@ -178,21 +225,68 @@ def capture_settings_inputs(env: dict[str, str] | None = None) -> ResolvedSettin
         else ()
     )
     return ResolvedSettingsInputs(
-        dataset_folder=read_env_path(env, "SER_DATASET_FOLDER"),
+        dataset_folder=_first(read_env_path, env, "SER_DATASET_FOLDER", "DATASET_FOLDER"),
         dataset_manifests=manifests,
         dataset_recipe=read_env_str(env, "SER_DATASET_RECIPE"),
         dataset_registry_root=read_env_path(env, "SER_DATASET_REGISTRY_ROOT"),
-        dataset_strict_audit=read_env_bool(env, "SER_DATASET_STRICT_AUDIT"),
-        data_loader_max_workers=read_env_int(env, "SER_DATA_LOADER_MAX_WORKERS"),
-        data_loader_max_failed_files=read_env_int(env, "SER_DATA_LOADER_MAX_FAILED_FILES"),
-        data_loader_max_failed_file_ratio=read_env_float(
-            env, "SER_DATA_LOADER_MAX_FAILED_FILE_RATIO"
+        dataset_strict_audit=_first(
+            read_env_bool, env, "SER_DATASET_STRICT_AUDIT", "SER_STRICT_DATASET_AUDIT"
         ),
-        models_folder=read_env_path(env, "SER_MODELS_FOLDER"),
+        data_loader_max_workers=_first(
+            read_env_int, env, "SER_DATA_LOADER_MAX_WORKERS", "SER_MAX_WORKERS"
+        ),
+        data_loader_max_failed_files=_first(
+            read_env_int, env, "SER_DATA_LOADER_MAX_FAILED_FILES", "SER_MAX_FAILED_FILES"
+        ),
+        data_loader_max_failed_file_ratio=_first(
+            read_env_float,
+            env,
+            "SER_DATA_LOADER_MAX_FAILED_FILE_RATIO",
+            "SER_MAX_FAILED_FILE_RATIO",
+        ),
+        data_loader_max_failed_file_ratio_per_corpus=read_env_float(
+            env, "SER_MAX_FAILED_FILE_RATIO_PER_CORPUS"
+        ),
+        data_loader_max_failed_file_ratio_per_class=read_env_float(
+            env, "SER_MAX_FAILED_FILE_RATIO_PER_CLASS"
+        ),
+        data_loader_max_failures_per_reason=read_env_int(
+            env, "SER_MAX_FAILURES_PER_REASON"
+        ),
+        data_loader_min_remaining_per_class_split=read_env_int(
+            env, "SER_MIN_REMAINING_PER_CLASS_SPLIT"
+        ),
+        data_loader_strict_quarantine=read_env_bool(env, "SER_STRICT_QUARANTINE"),
+        training_test_size=read_env_float(env, "SER_TEST_SIZE"),
+        training_dev_size=read_env_float(env, "SER_DEV_SIZE"),
+        training_random_state=read_env_int(env, "SER_RANDOM_STATE"),
+        cache_root=read_env_path(env, "SER_CACHE_DIR"),
+        data_root=read_env_path(env, "SER_DATA_DIR"),
+        models_folder=_first(read_env_path, env, "SER_MODELS_FOLDER", "SER_MODELS_DIR"),
         model_cache_dir=read_env_path(env, "SER_MODEL_CACHE_DIR"),
-        transcripts_folder=read_env_path(env, "SER_TRANSCRIPTS_FOLDER"),
-        tmp_folder=read_env_path(env, "SER_TMP_FOLDER"),
+        transcripts_folder=_first(
+            read_env_path, env, "SER_TRANSCRIPTS_FOLDER", "SER_TRANSCRIPTS_DIR"
+        ),
+        tmp_folder=_first(read_env_path, env, "SER_TMP_FOLDER", "SER_TMP_DIR"),
         num_cores=read_env_int(env, "SER_NUM_CORES"),
+        model_file_name=read_env_str(env, "SER_MODEL_FILE_NAME"),
+        secure_model_file_name=read_env_str(env, "SER_SECURE_MODEL_FILE_NAME"),
+        training_report_file_name=read_env_str(env, "SER_TRAINING_REPORT_FILE_NAME"),
+        output_schema_version=read_env_str(env, "SER_OUTPUT_SCHEMA_VERSION"),
+        artifact_schema_version=read_env_str(env, "SER_ARTIFACT_SCHEMA_VERSION"),
+        medium_min_window_std=read_env_float(env, "SER_MEDIUM_MIN_WINDOW_STD"),
+        medium_max_windows_per_clip=read_env_int(env, "SER_MEDIUM_MAX_WINDOWS_PER_CLIP"),
+        quality_gate_min_uar_delta=read_env_float(env, "SER_QUALITY_GATE_MIN_UAR_DELTA"),
+        quality_gate_min_macro_f1_delta=read_env_float(
+            env, "SER_QUALITY_GATE_MIN_MACRO_F1_DELTA"
+        ),
+        quality_gate_max_medium_segments_per_minute=read_env_float(
+            env, "SER_QUALITY_GATE_MAX_MEDIUM_SEGMENTS_PER_MINUTE"
+        ),
+        quality_gate_min_medium_median_segment_duration_seconds=read_env_float(
+            env, "SER_QUALITY_GATE_MIN_MEDIUM_MEDIAN_SEGMENT_DURATION_SECONDS"
+        ),
+        enable_profile_pipeline=read_env_bool(env, "SER_ENABLE_PROFILE_PIPELINE"),
         enable_medium_profile=read_env_bool(env, "SER_ENABLE_MEDIUM_PROFILE"),
         enable_accurate_profile=read_env_bool(env, "SER_ENABLE_ACCURATE_PROFILE"),
         enable_accurate_research_profile=read_env_bool(
@@ -200,7 +294,9 @@ def capture_settings_inputs(env: dict[str, str] | None = None) -> ResolvedSettin
         ),
         enable_restricted_backends=read_env_bool(env, "SER_ENABLE_RESTRICTED_BACKENDS"),
         allowed_restricted_backends=allowed,
-        new_output_schema=read_env_bool(env, "SER_NEW_OUTPUT_SCHEMA"),
+        new_output_schema=_first(
+            read_env_bool, env, "SER_NEW_OUTPUT_SCHEMA", "SER_ENABLE_NEW_OUTPUT_SCHEMA"
+        ),
         medium_model_id=read_env_str(env, "SER_MEDIUM_MODEL_ID"),
         accurate_model_id=read_env_str(env, "SER_ACCURATE_MODEL_ID"),
         accurate_research_model_id=read_env_str(env, "SER_ACCURATE_RESEARCH_MODEL_ID"),
@@ -215,7 +311,9 @@ def capture_settings_inputs(env: dict[str, str] | None = None) -> ResolvedSettin
         whisper_length_penalty=read_env_float(env, "WHISPER_LENGTH_PENALTY"),
         mesh_data_axis_size=read_env_int(env, "SER_MESH_DATA_AXIS_SIZE"),
         mesh_model_axis_size=read_env_int(env, "SER_MESH_MODEL_AXIS_SIZE"),
-        default_language=read_env_str(env, "SER_DEFAULT_LANGUAGE"),
+        default_language=_first(
+            read_env_str, env, "SER_DEFAULT_LANGUAGE", "DEFAULT_LANGUAGE"
+        ),
         profile_runtime_overrides=_capture_profile_overrides(env),
     )
 

@@ -121,3 +121,95 @@ def test_env_whisper_length_penalty_validation():
             build_settings_from_inputs(
                 capture_settings_inputs(env={"WHISPER_LENGTH_PENALTY": bad})
             )
+
+
+def test_reference_alias_env_names_are_honored():
+    # Reference deployments spell these differently (SER_MODELS_DIR,
+    # SER_MAX_WORKERS, ...); both spellings configure the same knobs.
+    env = {
+        "SER_MODELS_DIR": "/ref/models",
+        "SER_TRANSCRIPTS_DIR": "/ref/transcripts",
+        "SER_TMP_DIR": "/ref/tmp",
+        "SER_MAX_WORKERS": "5",
+        "SER_MAX_FAILED_FILES": "11",
+        "SER_MAX_FAILED_FILE_RATIO": "0.07",
+        "SER_STRICT_DATASET_AUDIT": "1",
+        "SER_ENABLE_NEW_OUTPUT_SCHEMA": "1",
+        "DATASET_FOLDER": "/ref/dataset",
+        "DEFAULT_LANGUAGE": "fr",
+    }
+    settings = build_settings_from_inputs(capture_settings_inputs(env=env))
+    assert settings.models.folder == Path("/ref/models")
+    assert settings.timeline.folder == Path("/ref/transcripts")
+    assert settings.tmp_folder == Path("/ref/tmp")
+    assert settings.data_loader.max_workers == 5
+    assert settings.data_loader.max_failed_files == 11
+    assert settings.data_loader.max_failed_file_ratio == 0.07
+    assert settings.dataset.strict_audit is True
+    assert settings.runtime_flags.new_output_schema is True
+    assert settings.dataset.folder == Path("/ref/dataset")
+    assert settings.default_language == "fr"
+
+
+def test_repo_specific_names_beat_reference_aliases():
+    env = {
+        "SER_MODELS_FOLDER": "/repo/models",
+        "SER_MODELS_DIR": "/ref/models",
+        "SER_DEFAULT_LANGUAGE": "en",
+        "DEFAULT_LANGUAGE": "fr",
+    }
+    settings = build_settings_from_inputs(capture_settings_inputs(env=env))
+    assert settings.models.folder == Path("/repo/models")
+    assert settings.default_language == "en"
+
+
+def test_cache_and_data_roots_rehome_derived_folders():
+    env = {"SER_CACHE_DIR": "/c", "SER_DATA_DIR": "/d"}
+    settings = build_settings_from_inputs(capture_settings_inputs(env=env))
+    assert settings.tmp_folder == Path("/c/tmp")
+    assert settings.models.model_cache_dir == Path("/c/model-cache")
+    assert settings.models.folder == Path("/d/models")
+    assert settings.timeline.folder == Path("/d/transcripts")
+    # Specific overrides win over the roots.
+    env2 = {**env, "SER_TMP_FOLDER": "/elsewhere/tmp"}
+    settings2 = build_settings_from_inputs(capture_settings_inputs(env=env2))
+    assert settings2.tmp_folder == Path("/elsewhere/tmp")
+
+
+def test_training_split_and_quality_gate_env_knobs():
+    env = {
+        "SER_TEST_SIZE": "0.4",
+        "SER_DEV_SIZE": "0.2",
+        "SER_RANDOM_STATE": "7",
+        "SER_QUALITY_GATE_MIN_UAR_DELTA": "0.05",
+        "SER_MEDIUM_MIN_WINDOW_STD": "0.5",
+        "SER_MEDIUM_MAX_WINDOWS_PER_CLIP": "9",
+        "SER_OUTPUT_SCHEMA_VERSION": "v2",
+        "SER_ARTIFACT_SCHEMA_VERSION": "v3",
+        "SER_MODEL_FILE_NAME": "m.pkl",
+        "SER_ENABLE_PROFILE_PIPELINE": "1",
+        "SER_STRICT_QUARANTINE": "1",
+        "SER_MAX_FAILURES_PER_REASON": "3",
+        "SER_MIN_REMAINING_PER_CLASS_SPLIT": "5",
+    }
+    settings = build_settings_from_inputs(capture_settings_inputs(env=env))
+    assert settings.training.test_size == 0.4
+    assert settings.training.dev_size == 0.2
+    assert settings.training.random_state == 7
+    assert settings.quality_gate.min_uar_delta == 0.05
+    assert settings.medium_training.min_window_std == 0.5
+    assert settings.medium_training.max_windows_per_clip == 9
+    assert settings.schema.output_schema_version == "v2"
+    assert settings.schema.artifact_schema_version == "v3"
+    assert settings.models.model_file_name == "m.pkl"
+    assert settings.runtime_flags.profile_pipeline is True
+    assert settings.data_loader.strict_quarantine is True
+    assert settings.data_loader.max_failures_per_reason == 3
+    assert settings.data_loader.min_remaining_per_class_split == 5
+
+
+def test_manifest_lists_split_on_comma_or_pathsep():
+    comma = capture_settings_inputs(env={"SER_DATASET_MANIFESTS": "/a.jsonl,/b.jsonl"})
+    assert comma.dataset_manifests == (Path("/a.jsonl"), Path("/b.jsonl"))
+    colon = capture_settings_inputs(env={"SER_DATASET_MANIFESTS": "/a.jsonl:/b.jsonl"})
+    assert colon.dataset_manifests == (Path("/a.jsonl"), Path("/b.jsonl"))

@@ -221,6 +221,120 @@ def op_artifact_names(payload: dict) -> dict:
     return {"suffix": suffix, "names": list(names), "profile_from_flags": profile}
 
 
+def op_resolve_settings(payload: dict) -> dict:
+    """Builds a reference AppConfig under a controlled environment and
+    flattens the env-tunable knobs for field-by-field comparison."""
+    import os
+
+    from ser._internal.config import bootstrap as ref_bootstrap
+
+    saved = dict(os.environ)
+    try:
+        for key in list(os.environ):
+            if key.startswith(("SER_", "WHISPER_", "PYTORCH_", "DATASET_", "DEFAULT_")):
+                del os.environ[key]
+        os.environ.update(payload["env"])
+        settings = ref_bootstrap.reload_settings()
+    finally:
+        os.environ.clear()
+        os.environ.update(saved)
+
+    def runtime(profile_runtime) -> dict:
+        return {
+            name: getattr(profile_runtime, name)
+            for name in (
+                "timeout_seconds",
+                "max_timeout_retries",
+                "max_transient_retries",
+                "retry_backoff_seconds",
+                "pool_window_size_seconds",
+                "pool_window_stride_seconds",
+                "post_smoothing_window_frames",
+                "post_hysteresis_enter_confidence",
+                "post_hysteresis_exit_confidence",
+                "post_min_segment_duration_seconds",
+            )
+        }
+
+    return {
+        "emotions": dict(settings.emotions),
+        "default_language": settings.default_language,
+        "dataset_folder": str(settings.dataset.folder),
+        "dataset_recipe": settings.dataset.recipe,
+        "dataset_strict_audit": settings.dataset.strict_audit,
+        "manifest_paths": [str(p) for p in settings.dataset.manifest_paths],
+        "data_loader": {
+            name: getattr(settings.data_loader, name)
+            for name in (
+                "max_workers",
+                "max_failed_file_ratio",
+                "max_failed_files",
+                "max_failed_file_ratio_per_corpus",
+                "max_failed_file_ratio_per_class",
+                "max_failures_per_reason",
+                "min_remaining_per_class_split",
+                "strict_quarantine",
+            )
+        },
+        "training": {
+            name: getattr(settings.training, name)
+            for name in ("test_size", "dev_size", "random_state")
+        },
+        "flags": {
+            name: getattr(settings.runtime_flags, name)
+            for name in (
+                "profile_pipeline",
+                "medium_profile",
+                "accurate_profile",
+                "accurate_research_profile",
+                "restricted_backends",
+                "new_output_schema",
+            )
+        },
+        "models": {
+            "medium_model_id": settings.models.medium_model_id,
+            "accurate_model_id": settings.models.accurate_model_id,
+            "accurate_research_model_id": settings.models.accurate_research_model_id,
+            "model_file_name": settings.models.model_file_name,
+            "secure_model_file_name": settings.models.secure_model_file_name,
+            "training_report_file_name": settings.models.training_report_file_name,
+            "num_cores": settings.models.num_cores,
+            "folder": str(settings.models.folder),
+            "model_cache_dir": str(settings.models.model_cache_dir),
+        },
+        "tmp_folder": str(settings.tmp_folder),
+        "transcripts_folder": str(settings.timeline.folder),
+        "transcription": {
+            "backend_id": settings.transcription.backend_id,
+            "use_demucs": settings.transcription.use_demucs,
+            "use_vad": settings.transcription.use_vad,
+        },
+        "medium_training": {
+            "min_window_std": settings.medium_training.min_window_std,
+            "max_windows_per_clip": settings.medium_training.max_windows_per_clip,
+        },
+        "quality_gate": {
+            name: getattr(settings.quality_gate, name)
+            for name in (
+                "min_uar_delta",
+                "min_macro_f1_delta",
+                "max_medium_segments_per_minute",
+                "min_medium_median_segment_duration_seconds",
+            )
+        },
+        "schema": {
+            "output_schema_version": settings.schema.output_schema_version,
+            "artifact_schema_version": settings.schema.artifact_schema_version,
+        },
+        "runtimes": {
+            "fast": runtime(settings.fast_runtime),
+            "medium": runtime(settings.medium_runtime),
+            "accurate": runtime(settings.accurate_runtime),
+            "accurate-research": runtime(settings.accurate_research_runtime),
+        },
+    }
+
+
 _OPS = {
     "postprocess": op_postprocess,
     "windows": op_windows,
@@ -236,6 +350,7 @@ _OPS = {
     "catalog_snapshot": op_catalog_snapshot,
     "catalog_validate": op_catalog_validate,
     "artifact_names": op_artifact_names,
+    "resolve_settings": op_resolve_settings,
 }
 
 
