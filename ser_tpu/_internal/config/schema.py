@@ -371,6 +371,21 @@ class QualityGateConfig:
 
 
 @dataclass(frozen=True)
+class OntologyConfig:
+    """Label-ontology policy knobs (reference ``label_ontology.py:12-44``).
+
+    ``allowed_labels`` empty = derive from the configured emotion map's
+    values; ``unknown_label_policy`` controls out-of-ontology labels during
+    dataset preparation (drop them, abort, or fold into ``other_label``).
+    """
+
+    ontology_id: str = "default_v1"
+    allowed_labels: tuple[str, ...] = ()
+    unknown_label_policy: str = "drop"
+    other_label: str = "other"
+
+
+@dataclass(frozen=True)
 class SchemaConfig:
     """Version controls for runtime and artifact schema compatibility."""
 
@@ -460,6 +475,7 @@ class AppConfig:
     )
     medium_training: MediumTrainingConfig = field(default_factory=MediumTrainingConfig)
     quality_gate: QualityGateConfig = field(default_factory=QualityGateConfig)
+    ontology: OntologyConfig = field(default_factory=OntologyConfig)
     schema: SchemaConfig = field(default_factory=SchemaConfig)
     torch_runtime: TorchRuntimeConfig = field(default_factory=TorchRuntimeConfig)
     feature_runtime_policy: FeatureRuntimePolicyConfig = field(
@@ -501,6 +517,7 @@ __all__ = [
     "ModelsConfig",
     "NeuralNetConfig",
     "ProfileRuntimeConfig",
+    "OntologyConfig",
     "QualityGateConfig",
     "RuntimeFlags",
     "SchemaConfig",

@@ -196,6 +196,19 @@ def build_settings_from_inputs(
     if gate_changes:
         quality_gate = dataclasses.replace(quality_gate, **gate_changes)
 
+    ontology = base.ontology
+    ontology_changes: dict[str, object] = {}
+    if inputs.label_ontology_id is not None:
+        ontology_changes["ontology_id"] = inputs.label_ontology_id
+    if inputs.allowed_labels:
+        ontology_changes["allowed_labels"] = inputs.allowed_labels
+    if inputs.unknown_label_policy is not None:
+        ontology_changes["unknown_label_policy"] = inputs.unknown_label_policy
+    if inputs.other_label is not None:
+        ontology_changes["other_label"] = inputs.other_label
+    if ontology_changes:
+        ontology = dataclasses.replace(ontology, **ontology_changes)
+
     schema_config = base.schema
     schema_changes = {
         name: value
@@ -290,6 +303,7 @@ def build_settings_from_inputs(
         runtime_flags=runtime_flags,
         medium_training=medium_training,
         quality_gate=quality_gate,
+        ontology=ontology,
         schema=schema_config,
         torch_runtime=torch_runtime,
         mesh=mesh,

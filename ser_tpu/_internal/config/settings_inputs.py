@@ -140,6 +140,10 @@ class ResolvedSettingsInputs:
     quality_gate_max_medium_segments_per_minute: float | None = None
     quality_gate_min_medium_median_segment_duration_seconds: float | None = None
     enable_profile_pipeline: bool | None = None
+    label_ontology_id: str | None = None
+    allowed_labels: tuple[str, ...] = ()
+    unknown_label_policy: str | None = None
+    other_label: str | None = None
     # Profile enables + model ids
     enable_medium_profile: bool | None = None
     enable_accurate_profile: bool | None = None
@@ -199,6 +203,16 @@ def _capture_profile_overrides(
         if any(value is not None for value in values.values()):
             captured[name] = ProfileRuntimeOverrides(**values)
     return captured
+
+
+def _read_label_policy(env: dict[str, str]) -> str | None:
+    """``SER_UNKNOWN_LABEL_POLICY`` with the reference's silent fallback to
+    "drop" for unrecognized values (reference ``label_ontology.py:12-18``)."""
+    raw = read_env_str(env, "SER_UNKNOWN_LABEL_POLICY")
+    if raw is None:
+        return None
+    lowered = raw.lower()
+    return lowered if lowered in ("drop", "error", "map_to_other") else "drop"
 
 
 def _split_manifest_paths(raw: str) -> tuple[Path, ...]:
@@ -287,6 +301,16 @@ def capture_settings_inputs(env: dict[str, str] | None = None) -> ResolvedSettin
             env, "SER_QUALITY_GATE_MIN_MEDIUM_MEDIAN_SEGMENT_DURATION_SECONDS"
         ),
         enable_profile_pipeline=read_env_bool(env, "SER_ENABLE_PROFILE_PIPELINE"),
+        label_ontology_id=read_env_str(env, "SER_LABEL_ONTOLOGY_ID"),
+        allowed_labels=(
+            tuple(
+                item.strip()
+                for item in (read_env_str(env, "SER_ALLOWED_LABELS") or "").split(",")
+                if item.strip()
+            )
+        ),
+        unknown_label_policy=_read_label_policy(env),
+        other_label=read_env_str(env, "SER_OTHER_LABEL"),
         enable_medium_profile=read_env_bool(env, "SER_ENABLE_MEDIUM_PROFILE"),
         enable_accurate_profile=read_env_bool(env, "SER_ENABLE_ACCURATE_PROFILE"),
         enable_accurate_research_profile=read_env_bool(

@@ -48,10 +48,17 @@ _JL_EMOTIONS = {
 
 
 def parse_crema_d(path: Path) -> Utterance | None:
+    # Three underscore-separated fields suffice: actor_clip_code[_level]
+    # (reference crema_d.py:146-159 parses code from parts[2] whenever at
+    # least three parts exist; the intensity suffix is optional).
     parts = path.stem.split("_")
-    if len(parts) < 4:
+    if len(parts) < 3:
         return None
-    label = _CREMA_EMOTIONS.get(parts[2].upper())
+    # Code is taken verbatim (stripped, case-sensitive) and empty actors
+    # become None — matching the reference extractors exactly
+    # (crema_d.py:146-159).
+    code = parts[2].strip()
+    label = _CREMA_EMOTIONS.get(code)
     if label is None:
         return None
     return Utterance(
@@ -59,8 +66,8 @@ def parse_crema_d(path: Path) -> Utterance | None:
         corpus="crema-d",
         audio_path=str(path),
         label=label,
-        raw_label=parts[2].upper(),
-        speaker_id=parts[0],
+        raw_label=code,
+        speaker_id=parts[0].strip() or None,
         language="en",
     )
 

@@ -224,11 +224,16 @@ def load_utterances(
             utterances.extend(read_manifest_jsonl(manifest))
         return utterances or None
 
+    from ser_tpu._internal.data.ontology import remap_label, resolve_label_ontology
+
     emotion_map = dict(settings.emotions)
+    ontology = resolve_label_ontology(settings)
     utterances = []
     for file in discover_dataset_files(settings):
         code = extract_ravdess_emotion_code(os.path.basename(file))
-        label = emotion_map.get(code or "")
+        if code is None:
+            continue
+        label = remap_label(raw_label=code, mapping=emotion_map, ontology=ontology)
         if label is None:
             continue
         utterances.append(
@@ -237,7 +242,7 @@ def load_utterances(
                 corpus="ravdess",
                 audio_path=file,
                 label=label,
-                raw_label=code or "",
+                raw_label=code,
                 speaker_id=extract_ravdess_speaker_id_from_path(file),
                 language=settings.default_language,
             )

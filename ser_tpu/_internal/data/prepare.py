@@ -99,8 +99,10 @@ def _build_csv_manifest(
     labels_csv_path: Path,
     audio_base_dir: Path | None,
     default_language: str,
+    ontology=None,
 ) -> list[Utterance]:
     from ser_tpu._internal.data.manifest import EXTENDED_LABELS
+    from ser_tpu._internal.data.ontology import remap_label
     from ser_tpu._internal.data.strategies import _TOKEN_LABELS
 
     utterances = []
@@ -118,7 +120,18 @@ def _build_csv_manifest(
         for row_no, row in enumerate(reader, start=2):
             raw = str(row[label_col]).strip().lower()
             label = raw if raw in PRIMARY_EMOTIONS or raw in EXTENDED_LABELS else _TOKEN_LABELS.get(raw)
-            if label is None:
+            if ontology is not None:
+                # Unknown labels follow the ontology's disposition — dropped,
+                # folded into other_label, or raised — never a bespoke CSV
+                # error (reference csv_manifest_builder.py:102-105).
+                label = remap_label(
+                    raw_label=label if label is not None else raw,
+                    mapping=None,
+                    ontology=ontology,
+                )
+                if label is None:
+                    continue
+            elif label is None:
                 raise ValueError(
                     f"{labels_csv_path}:{row_no}: label {raw!r} is neither canonical "
                     "nor a known synonym."
@@ -188,16 +201,23 @@ def prepare_dataset(
         if labels_csv_path is None and generated_csv.is_file():
             labels_csv_path = generated_csv
         if labels_csv_path is not None:
+            from ser_tpu._internal.data.ontology import resolve_label_ontology
+
             utterances = _build_csv_manifest(
                 dataset_id,
                 labels_csv_path,
                 audio_base_dir or root,
                 default_language or settings.default_language,
+                ontology=resolve_label_ontology(settings),
             )
         elif dataset_id == "ravdess":
             utterances = _build_ravdess_manifest(root, settings)
         else:
-            utterances = get_strategy(dataset_id).build(root)
+            from ser_tpu._internal.data.ontology import resolve_label_ontology
+
+            utterances = get_strategy(dataset_id).build(
+                root, ontology=resolve_label_ontology(settings)
+            )
         if not utterances:
             raise RuntimeError(f"No labeled utterances found for {dataset_id} under {root}.")
         target = (

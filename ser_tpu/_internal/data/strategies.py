@@ -175,7 +175,17 @@ class DatasetStrategy:
     audio_glob: str = "**/*.wav"
     csv_only_hint: str | None = None
 
-    def build(self, root: Path) -> list[Utterance]:
+    def build(self, root: Path, *, ontology=None) -> list[Utterance]:
+        """Walks the staged tree into utterances.
+
+        ``ontology`` (a ``data.ontology.LabelOntology``) optionally gates
+        resolved labels through the reference's unknown-label policy
+        (drop/error/map_to_other, reference ``ontology.py:33-66``); without
+        one, resolver output is kept verbatim — the manifest schema's
+        primary+extended label validation still applies downstream.
+        """
+        from ser_tpu._internal.data.ontology import remap_label
+
         if self.resolver is None:
             raise ValueError(
                 f"Dataset {self.corpus_id!r} has no filename convention"
@@ -193,6 +203,10 @@ class DatasetStrategy:
             if resolved is None:
                 continue
             label, raw, *extra = resolved
+            if ontology is not None:
+                label = remap_label(raw_label=label, mapping=None, ontology=ontology)
+                if label is None:
+                    continue
             speaker = extra[0] if extra else None
             utterances.append(
                 Utterance(

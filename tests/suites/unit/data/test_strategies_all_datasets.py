@@ -11,15 +11,24 @@ from ser_tpu._internal.data.prepare import prepare_dataset
 from ser_tpu._internal.utils.audio_io import write_wav
 
 
-def _settings(tmp_path):
-    return build_settings_from_inputs(
-        capture_settings_inputs(
-            env={
-                "SER_TMP_FOLDER": str(tmp_path / "tmp"),
-                "SER_MODELS_FOLDER": str(tmp_path / "models"),
-            }
-        )
-    )
+def _settings(tmp_path, extra_env=None):
+    env = {
+        "SER_TMP_FOLDER": str(tmp_path / "tmp"),
+        "SER_MODELS_FOLDER": str(tmp_path / "models"),
+    }
+    if extra_env:
+        env.update(extra_env)
+    return build_settings_from_inputs(capture_settings_inputs(env=env))
+
+
+#: Corpora whose native label schema sits outside the 8 primaries; preparing
+#: them needs a widened SER_ALLOWED_LABELS, exactly as the reference's global
+#: ontology requires (label_ontology.py:20-30 derives allowed labels from the
+#: emotion map unless overridden).
+_EXTENDED_ONTOLOGY_ENV = {
+    "att-hack": "friendly,distant,dominant,seductive",
+    "coraa-ser": "neutral,non_neutral_female,non_neutral_male",
+}
 
 
 def _wav(path):
@@ -64,11 +73,14 @@ def test_prepare_from_staged_tree(tmp_path, dataset_id):
     root = tmp_path / dataset_id
     for rel in files:
         _wav(root / rel)
+    allowed = _EXTENDED_ONTOLOGY_ENV.get(dataset_id)
     result = prepare_dataset(
         dataset_id=dataset_id,
         dataset_root=root,
         skip_download=True,
-        settings=_settings(tmp_path),
+        settings=_settings(
+            tmp_path, {"SER_ALLOWED_LABELS": allowed} if allowed else None
+        ),
     )
     assert result.utterance_count == len(files)
     import json
@@ -81,6 +93,22 @@ def test_prepare_from_staged_tree(tmp_path, dataset_id):
     labeled = [r for r in rows if "label" in r]
     assert labeled[0]["label"] == expected_label
     assert labeled[0]["corpus"] == dataset_id
+
+
+def test_default_ontology_drops_extended_labels_on_prepare(tmp_path):
+    """Without SER_ALLOWED_LABELS the global ontology is the 8 primaries and
+    att-hack's attitude labels are dropped at prepare time (reference applies
+    one resolve_label_ontology(settings) to every strategy,
+    application/prepare.py:76)."""
+    root = tmp_path / "att-hack"
+    _wav(root / "F01-friendly-001.wav")
+    with pytest.raises(RuntimeError, match="No labeled utterances"):
+        prepare_dataset(
+            dataset_id="att-hack",
+            dataset_root=root,
+            skip_download=True,
+            settings=_settings(tmp_path),
+        )
 
 
 @pytest.mark.parametrize("dataset_id", sorted(_CSV_ONLY))

@@ -335,6 +335,92 @@ def op_resolve_settings(payload: dict) -> dict:
     }
 
 
+def op_ravdess_extract(payload: dict) -> list[tuple[str | None, str | None]]:
+    from ser._internal.data.adapters import ravdess as ref_ravdess
+
+    return [
+        (
+            ref_ravdess._extract_emotion_code(name),
+            ref_ravdess._extract_speaker_id(name),
+        )
+        for name in payload["names"]
+    ]
+
+
+def op_crema_extract(payload: dict) -> list[tuple[str | None, str | None]]:
+    from ser._internal.data.adapters import crema_d as ref_crema
+
+    return [
+        (
+            ref_crema._extract_emotion_code(name),
+            ref_crema._extract_actor_id(name),
+        )
+        for name in payload["names"]
+    ]
+
+
+def _ontology_from_payload(payload: dict):
+    from ser._internal.data.ontology import LabelOntology
+
+    spec = payload.get("ontology", {})
+    return LabelOntology(
+        ontology_id=spec.get("ontology_id", "default_v1"),
+        allowed_labels=frozenset(spec.get("allowed_labels", ())),
+        unknown_label_policy=spec.get("unknown_label_policy", "drop"),
+        other_label=spec.get("other_label", "other"),
+    )
+
+
+def op_remap_label(payload: dict) -> dict:
+    from ser._internal.data.ontology import remap_label
+
+    ontology = _ontology_from_payload(payload)
+    results = []
+    for raw in payload["raw_labels"]:
+        try:
+            results.append(
+                {
+                    "label": remap_label(
+                        raw_label=raw, mapping=payload.get("mapping"), ontology=ontology
+                    )
+                }
+            )
+        except ValueError as err:
+            results.append({"error": str(err)})
+    return {"results": results}
+
+
+def op_ravdess_utterances(payload: dict) -> dict:
+    from ser._internal.data.adapters.ravdess import build_ravdess_utterances
+
+    try:
+        utterances = build_ravdess_utterances(
+            dataset_root=Path(payload["root"]),
+            dataset_glob_pattern=payload["pattern"],
+            emotion_code_map=payload["emotion_map"],
+            default_language=payload.get("language", "en"),
+            ontology=_ontology_from_payload(payload),
+            max_failed_file_ratio=payload.get("max_failed_file_ratio", 0.01),
+        )
+    except RuntimeError as err:
+        return {"raised": True, "message": str(err)}
+    if utterances is None:
+        return {"raised": False, "utterances": None}
+    return {
+        "raised": False,
+        "utterances": [
+            {
+                "file_name": Path(str(u.audio_path)).name,
+                "label": u.label,
+                "raw_label": u.raw_label,
+                "speaker": (u.speaker_id or "").split(":")[-1] or None,
+                "language": u.language,
+            }
+            for u in utterances
+        ],
+    }
+
+
 _OPS = {
     "postprocess": op_postprocess,
     "windows": op_windows,
@@ -351,6 +437,10 @@ _OPS = {
     "catalog_validate": op_catalog_validate,
     "artifact_names": op_artifact_names,
     "resolve_settings": op_resolve_settings,
+    "ravdess_extract": op_ravdess_extract,
+    "crema_extract": op_crema_extract,
+    "remap_label": op_remap_label,
+    "ravdess_utterances": op_ravdess_utterances,
 }
 
 
