@@ -21,14 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-def _gelu(x):
-    """Exact (erf) GELU — the reference stacks (HF GELUActivation,
-    openai whisper, fairseq F.gelu) all use exact GELU; flax's default is
-    the tanh approximation, which deviates ~1e-3 and compounds over
-    dozens of layers on converted checkpoints."""
-    import jax.nn
-
-    return jax.nn.gelu(x, approximate=False)
+from ser_tpu.ops.activations import gelu_erf as _gelu
 
 
 @dataclass(frozen=True)

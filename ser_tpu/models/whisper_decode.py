@@ -27,6 +27,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ser_tpu.ops.activations import gelu_erf
+
 _NEG_INF = -1e30
 
 
@@ -359,7 +361,7 @@ def _decoder_token_step(
                     # Kernel weights are head-major (H, R, S).
                     align_rows[slot] = weights[head_index][:, None, :]
             h = _layer_norm(lp["mlp_ln"], x2[:, None, :], eps)
-            h = jax.nn.gelu(_dense(lp["mlp_in"], h, cdt), approximate=False)
+            h = gelu_erf(_dense(lp["mlp_in"], h, cdt))
             x2 = x2 + _dense(lp["mlp_out"], h, cdt)[:, 0, :]
         x = x2[:, None, :]
         x = _layer_norm(params["final_ln"], x, eps)
@@ -401,7 +403,7 @@ def _decoder_token_step(
         x = x + _dense(lp["cross"]["out"], out.reshape(rows, 1, -1), cdt)
 
         h = _layer_norm(lp["mlp_ln"], x, eps)
-        h = jax.nn.gelu(_dense(lp["mlp_in"], h, cdt), approximate=False)
+        h = gelu_erf(_dense(lp["mlp_in"], h, cdt))
         x = x + _dense(lp["mlp_out"], h, cdt)
 
     x = _layer_norm(params["final_ln"], x, eps)
@@ -945,7 +947,7 @@ def alignment_forward(
         x = x + _dense(lp["cross"]["out"], out.reshape(batch, seq_len, -1), cdt)
 
         h = _layer_norm(lp["mlp_ln"], x, eps)
-        h = jax.nn.gelu(_dense(lp["mlp_in"], h, cdt), approximate=False)
+        h = gelu_erf(_dense(lp["mlp_in"], h, cdt))
         x = x + _dense(lp["mlp_out"], h, cdt)
 
     return jnp.stack(captured, axis=1)
