@@ -11,6 +11,7 @@ device/dtype metadata.
 from __future__ import annotations
 
 import json
+import os
 import time
 from typing import Any
 
@@ -27,6 +28,7 @@ from ser_tpu._internal.train.eval import speaker_disjoint_split
 from ser_tpu._internal.train.metrics import (
     accuracy,
     compute_grouped_ser_metrics_by_sample,
+    compute_sample_level_ser_metrics,
     compute_ser_metrics,
 )
 from ser_tpu._internal.utils.audio_io import read_audio_file
@@ -35,6 +37,23 @@ from ser_tpu.models.mlp_head import JaxMLPClassifier
 from ser_tpu.profiles import ProfileName, get_profile_catalog
 
 logger = get_logger(__name__)
+
+
+def group_metrics_min_support() -> int:
+    """Minimum per-group sample support for corpus/language metrics.
+
+    Parity: reference ``models/training_support.py:269-279`` —
+    ``SER_GROUP_METRICS_MIN_SUPPORT`` env var, default 20, invalid values
+    fall back to the default, floor of 1.
+    """
+    raw = os.getenv("SER_GROUP_METRICS_MIN_SUPPORT", "").strip()
+    if not raw:
+        return 20
+    try:
+        value = int(raw)
+    except ValueError:
+        return 20
+    return max(1, value)
 
 
 def _windowed_dataset(
@@ -164,6 +183,9 @@ def _train_encoder_profile_model_ready(
         for record in records
         if record.label is not None
     ]
+    groups_by_path = {
+        record.path: (record.corpus, record.language or "unknown") for record in records
+    }
     if not files:
         raise RuntimeError("No labeled dataset files found for encoder training.")
 
@@ -213,9 +235,31 @@ def _train_encoder_profile_model_ready(
     model.fit(x_train, y_train)
     y_pred = [str(item) for item in model.predict(x_test)]
     window_metrics = compute_ser_metrics(y_true=y_test, y_pred=y_pred)
-    grouped = compute_grouped_ser_metrics_by_sample(
+    grouped = compute_sample_level_ser_metrics(
         y_true=y_test, y_pred=y_pred, sample_ids=test_ids
     )
+    # Corpus/language breakdown over per-sample majority votes (reference
+    # training_support.py:188-207 attach_grouped_training_metrics; min
+    # support from SER_GROUP_METRICS_MIN_SUPPORT, default 20).
+    min_support = group_metrics_min_support()
+    corpus_ids = [groups_by_path[i][0] for i in test_ids]
+    language_ids = [groups_by_path[i][1] for i in test_ids]
+    group_metrics = {
+        "by_corpus": compute_grouped_ser_metrics_by_sample(
+            y_true=y_test,
+            y_pred=y_pred,
+            sample_ids=test_ids,
+            group_ids=corpus_ids,
+            min_support=min_support,
+        ),
+        "by_language": compute_grouped_ser_metrics_by_sample(
+            y_true=y_test,
+            y_pred=y_pred,
+            sample_ids=test_ids,
+            group_ids=language_ids,
+            min_support=min_support,
+        ),
+    }
 
     # The RESOLVED id (settings override wins) — the id the backend loaded.
     model_id = resolved_model_id(profile, settings)
@@ -232,6 +276,7 @@ def _train_encoder_profile_model_ready(
             "macro_f1": grouped["macro_f1"],
             "samples_evaluated": grouped["samples_evaluated"],
         },
+        "group_metrics": group_metrics,
         "labels": window_metrics["labels"],
         "training_windows": len(y_train),
         "test_windows": len(y_test),

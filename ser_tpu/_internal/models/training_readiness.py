@@ -135,6 +135,7 @@ class FileRecord:
     corpus: str
     label: str | None
     speaker: str | None = None
+    language: str | None = None
 
 
 def _file_records(files: list[str], settings: AppConfig) -> list[FileRecord]:
@@ -147,12 +148,17 @@ def _file_records(files: list[str], settings: AppConfig) -> list[FileRecord]:
     the attribution (that would fold every corpus into a fictitious
     'ravdess' and mis-scope the per-corpus quarantine budgets).
     """
-    by_path: dict[str, tuple[str, str, str | None]] = {}
+    by_path: dict[str, tuple[str, str, str | None, str | None]] = {}
     if settings.dataset.manifest_paths:
         try:
             for utterance in loader.load_utterances(settings=settings) or []:
                 key = str(Path(utterance.audio_path).resolve())
-                by_path[key] = (utterance.corpus, utterance.label, utterance.speaker_id)
+                by_path[key] = (
+                    utterance.corpus,
+                    utterance.label,
+                    utterance.speaker_id,
+                    utterance.language,
+                )
         except Exception as err:  # noqa: BLE001 - manifest defects surface later
             logger.warning("Manifest attribution unavailable: %s", err)
     emotion_map = dict(settings.emotions)
@@ -160,14 +166,19 @@ def _file_records(files: list[str], settings: AppConfig) -> list[FileRecord]:
     for file in files:
         resolved = str(Path(file).resolve())
         if resolved in by_path:
-            corpus, label, speaker = by_path[resolved]
+            corpus, label, speaker, language = by_path[resolved]
         else:
             corpus = "ravdess"
             label = emotion_map.get(
                 loader.extract_ravdess_emotion_code(Path(file).name) or ""
             )
             speaker = loader.extract_ravdess_speaker_id_from_path(file)
-        records.append(FileRecord(path=file, corpus=corpus, label=label, speaker=speaker))
+            language = "en"  # RAVDESS adapter default (reference adapters/ravdess.py:102)
+        records.append(
+            FileRecord(
+                path=file, corpus=corpus, label=label, speaker=speaker, language=language
+            )
+        )
     return records
 
 

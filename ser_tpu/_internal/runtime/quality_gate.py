@@ -104,10 +104,10 @@ def evaluate_head_cross_folds(
         predictions = [str(p) for p in model.predict(features[test_idx])]
         if clip_ids is not None:
             from ser_tpu._internal.train.metrics import (
-                compute_grouped_ser_metrics_by_sample,
+                compute_sample_level_ser_metrics,
             )
 
-            metrics = compute_grouped_ser_metrics_by_sample(
+            metrics = compute_sample_level_ser_metrics(
                 y_true=[labels[i] for i in test_idx],
                 y_pred=predictions,
                 sample_ids=[clip_ids[i] for i in test_idx],

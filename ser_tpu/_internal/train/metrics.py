@@ -75,7 +75,83 @@ def accuracy(y_true: Sequence[str], y_pred: Sequence[str]) -> float:
     )
 
 
+def _mode(values: list[str]) -> str:
+    """Majority vote with the reference's deterministic tie-break: highest
+    count first, then lexicographically smallest label
+    (reference ``train/metrics.py:117-123``)."""
+    counts: dict[str, int] = {}
+    for value in values:
+        counts[value] = counts.get(value, 0) + 1
+    return sorted(counts.items(), key=lambda item: (-item[1], item[0]))[0][0]
+
+
 def compute_grouped_ser_metrics_by_sample(
+    *,
+    y_true: Sequence[str],
+    y_pred: Sequence[str],
+    sample_ids: Sequence[str],
+    group_ids: Sequence[str],
+    min_support: int,
+) -> dict[str, object]:
+    """Per-group (corpus/language) metrics over per-sample majority votes.
+
+    Parity surface: reference ``train/metrics.py:76-162`` — window-level
+    inputs are aggregated per sample id by majority vote (labels, predictions,
+    AND group ids each voted independently), samples are then grouped by the
+    voted group id, and groups with fewer than ``min_support`` samples are
+    reported under ``excluded`` instead of receiving metrics.
+    """
+    if not (len(y_true) == len(y_pred) == len(sample_ids) == len(group_ids)):
+        raise ValueError("y_true/y_pred/sample_ids/group_ids must have equal length")
+    if min_support < 1:
+        raise ValueError("min_support must be >= 1")
+    if not y_true:
+        return {
+            "unit": "samples",
+            "min_support": min_support,
+            "included": {},
+            "excluded": {},
+        }
+
+    per_sample: dict[str, tuple[list[str], list[str], list[str]]] = {}
+    for true, pred, sample, group in zip(
+        y_true, y_pred, sample_ids, group_ids, strict=True
+    ):
+        trues, preds, groups = per_sample.setdefault(str(sample), ([], [], []))
+        trues.append(str(true))
+        preds.append(str(pred))
+        groups.append(str(group))
+
+    grouped_true: dict[str, list[str]] = {}
+    grouped_pred: dict[str, list[str]] = {}
+    for sample_id in sorted(per_sample):
+        trues, preds, groups = per_sample[sample_id]
+        grouped_true.setdefault(_mode(groups), []).append(_mode(trues))
+        grouped_pred.setdefault(_mode(groups), []).append(_mode(preds))
+
+    included: dict[str, object] = {}
+    excluded: dict[str, object] = {}
+    for group_id in sorted(grouped_true):
+        support = len(grouped_true[group_id])
+        if support < min_support:
+            excluded[group_id] = {"support": support}
+            continue
+        included[group_id] = {
+            "support": support,
+            "metrics": compute_ser_metrics(
+                y_true=grouped_true[group_id],
+                y_pred=grouped_pred[group_id],
+            ),
+        }
+    return {
+        "unit": "samples",
+        "min_support": min_support,
+        "included": included,
+        "excluded": excluded,
+    }
+
+
+def compute_sample_level_ser_metrics(
     *,
     y_true: Sequence[str],
     y_pred: Sequence[str],
@@ -84,8 +160,10 @@ def compute_grouped_ser_metrics_by_sample(
 ) -> dict[str, object]:
     """Majority-vote per-sample metrics (window predictions → clip label).
 
-    Windows vote within each sample id; ties resolve lexically. Samples with
-    fewer than ``min_support`` windows are excluded.
+    Flat (ungrouped) companion to :func:`compute_grouped_ser_metrics_by_sample`
+    used by training reports and the quality gate: windows vote within each
+    sample id; ties resolve lexically. Samples with fewer than ``min_support``
+    windows are excluded.
     """
     if not (len(y_true) == len(y_pred) == len(sample_ids)):
         raise ValueError("y_true, y_pred, and sample_ids must have identical lengths.")
@@ -124,4 +202,9 @@ def compute_grouped_ser_metrics_by_sample(
     return metrics
 
 
-__all__ = ["accuracy", "compute_grouped_ser_metrics_by_sample", "compute_ser_metrics"]
+__all__ = [
+    "accuracy",
+    "compute_grouped_ser_metrics_by_sample",
+    "compute_sample_level_ser_metrics",
+    "compute_ser_metrics",
+]

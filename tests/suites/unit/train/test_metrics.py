@@ -6,6 +6,7 @@ import pytest
 from ser_tpu._internal.train.metrics import (
     accuracy,
     compute_grouped_ser_metrics_by_sample,
+    compute_sample_level_ser_metrics,
     compute_ser_metrics,
 )
 
@@ -46,7 +47,7 @@ def test_matches_sklearn_reference():
 
 
 def test_grouped_majority_vote():
-    metrics = compute_grouped_ser_metrics_by_sample(
+    metrics = compute_sample_level_ser_metrics(
         y_true=["a", "a", "a", "b", "b"],
         y_pred=["a", "a", "b", "b", "b"],
         sample_ids=["s1", "s1", "s1", "s2", "s2"],
@@ -56,7 +57,7 @@ def test_grouped_majority_vote():
 
 
 def test_grouped_min_support_excludes():
-    metrics = compute_grouped_ser_metrics_by_sample(
+    metrics = compute_sample_level_ser_metrics(
         y_true=["a", "a", "b"],
         y_pred=["a", "a", "b"],
         sample_ids=["s1", "s1", "s2"],
@@ -73,3 +74,57 @@ def test_validation():
         compute_ser_metrics(y_true=["a"], y_pred=["a", "b"])
     with pytest.raises(ValueError):
         accuracy([], [])
+
+
+def test_group_metrics_reference_semantics():
+    # Two corpora; corpus "d" has one sample and falls under min_support.
+    result = compute_grouped_ser_metrics_by_sample(
+        y_true=["a", "a", "b", "b", "a"],
+        y_pred=["a", "b", "b", "b", "b"],
+        sample_ids=["s1", "s1", "s2", "s2", "s3"],
+        group_ids=["c", "c", "c", "c", "d"],
+        min_support=2,
+    )
+    assert result["unit"] == "samples"
+    assert result["min_support"] == 2
+    assert set(result["included"]) == {"c"}
+    assert result["included"]["c"]["support"] == 2
+    # s1 votes: true a, pred tie a/b -> lexical "a"; s2: true b, pred b.
+    assert result["included"]["c"]["metrics"]["uar"] == 1.0
+    assert result["excluded"] == {"d": {"support": 1}}
+
+
+def test_group_metrics_group_id_majority_vote():
+    # A sample whose windows disagree on group id resolves by mode with
+    # lexical tie-break.
+    result = compute_grouped_ser_metrics_by_sample(
+        y_true=["a", "a", "a"],
+        y_pred=["a", "a", "a"],
+        sample_ids=["s1", "s1", "s1"],
+        group_ids=["x", "y", "y"],
+        min_support=1,
+    )
+    assert set(result["included"]) == {"y"}
+
+
+def test_group_metrics_empty_returns_report_not_raise():
+    result = compute_grouped_ser_metrics_by_sample(
+        y_true=[], y_pred=[], sample_ids=[], group_ids=[], min_support=3
+    )
+    assert result == {
+        "unit": "samples",
+        "min_support": 3,
+        "included": {},
+        "excluded": {},
+    }
+
+
+def test_group_metrics_validation():
+    with pytest.raises(ValueError):
+        compute_grouped_ser_metrics_by_sample(
+            y_true=["a"], y_pred=["a"], sample_ids=["s"], group_ids=[], min_support=1
+        )
+    with pytest.raises(ValueError):
+        compute_grouped_ser_metrics_by_sample(
+            y_true=["a"], y_pred=["a"], sample_ids=["s"], group_ids=["c"], min_support=0
+        )

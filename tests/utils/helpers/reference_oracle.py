@@ -13,6 +13,7 @@ import pickle
 import struct
 import subprocess
 import sys
+import tempfile
 from pathlib import Path
 
 REFERENCE_ROOT = Path("/root/reference")
@@ -39,27 +40,40 @@ class ReferenceOracle:
     def __init__(self) -> None:
         # -I: isolated mode — ignores PYTHONPATH and keeps the repo root (and
         # its `ser` alias package) off the worker's sys.path entirely.
+        # stderr goes to a FILE, not a pipe: nobody drains it during calls,
+        # and a chatty reference stage (sklearn metric warnings, per-call
+        # logging) filling a 64 KiB pipe buffer deadlocks the protocol — the
+        # worker blocks on the stderr write while the client blocks reading
+        # the stdout response.
+        self._stderr_file = tempfile.TemporaryFile()
         self._process = subprocess.Popen(
             [sys.executable, "-I", str(_WORKER_PATH)],
             stdin=subprocess.PIPE,
             stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
+            stderr=self._stderr_file,
         )
+
+    def _stderr_tail(self) -> str:
+        try:
+            self._stderr_file.seek(0)
+            return self._stderr_file.read().decode(errors="replace")[-4000:]
+        except Exception:  # noqa: BLE001 - diagnostics only
+            return "<stderr unavailable>"
 
     def call(self, op: str, **payload):
         """Runs one reference stage; raises OracleRemoteError on remote raise."""
         process = self._process
         if process.poll() is not None:
-            stderr = process.stderr.read().decode(errors="replace") if process.stderr else ""
-            raise RuntimeError(f"reference oracle worker died:\n{stderr[-4000:]}")
+            raise RuntimeError(f"reference oracle worker died:\n{self._stderr_tail()}")
         blob = pickle.dumps({"op": op, **payload}, protocol=pickle.HIGHEST_PROTOCOL)
         process.stdin.write(struct.pack(">Q", len(blob)))
         process.stdin.write(blob)
         process.stdin.flush()
         header = process.stdout.read(8)
         if len(header) < 8:
-            stderr = process.stderr.read().decode(errors="replace") if process.stderr else ""
-            raise RuntimeError(f"reference oracle worker closed the pipe:\n{stderr[-4000:]}")
+            raise RuntimeError(
+                f"reference oracle worker closed the pipe:\n{self._stderr_tail()}"
+            )
         (length,) = struct.unpack(">Q", header)
         response = pickle.loads(process.stdout.read(length))
         if "error" in response:
@@ -70,6 +84,7 @@ class ReferenceOracle:
         if self._process.poll() is None:
             self._process.stdin.close()
             self._process.wait(timeout=10)
+        self._stderr_file.close()
 
 
 __all__ = ["OracleRemoteError", "ReferenceOracle", "reference_available"]

@@ -421,6 +421,44 @@ def op_ravdess_utterances(payload: dict) -> dict:
     }
 
 
+def op_ser_metrics(payload: dict) -> dict:
+    from ser._internal.train import metrics as ref_metrics
+
+    return ref_metrics.compute_ser_metrics(
+        y_true=payload["y_true"],
+        y_pred=payload["y_pred"],
+        labels=payload.get("labels"),
+    )
+
+
+def op_grouped_metrics(payload: dict) -> dict:
+    from ser._internal.train import metrics as ref_metrics
+
+    return ref_metrics.compute_grouped_ser_metrics_by_sample(
+        y_true=payload["y_true"],
+        y_pred=payload["y_pred"],
+        sample_ids=payload["sample_ids"],
+        group_ids=payload["group_ids"],
+        min_support=payload["min_support"],
+    )
+
+
+def op_segment_predictions(payload: dict) -> list[dict]:
+    from ser._internal.models import fast_path as ref_fast_path
+
+    segments = ref_fast_path.segment_predictions(_frames_from_payload(payload["frames"]))
+    return [
+        {
+            "emotion": segment.emotion,
+            "start_seconds": segment.start_seconds,
+            "end_seconds": segment.end_seconds,
+            "confidence": segment.confidence,
+            "probabilities": segment.probabilities,
+        }
+        for segment in segments
+    ]
+
+
 _OPS = {
     "postprocess": op_postprocess,
     "windows": op_windows,
@@ -441,6 +479,9 @@ _OPS = {
     "crema_extract": op_crema_extract,
     "remap_label": op_remap_label,
     "ravdess_utterances": op_ravdess_utterances,
+    "ser_metrics": op_ser_metrics,
+    "grouped_metrics": op_grouped_metrics,
+    "segment_predictions": op_segment_predictions,
 }
 
 
