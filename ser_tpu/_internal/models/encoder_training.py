@@ -196,6 +196,27 @@ def _train_encoder_profile_model_ready(
         test_size=settings.training.test_size,
         random_state=settings.training.random_state,
     )
+    # Split provenance, reference MediumSplitMetadata shape
+    # (models/dataset_splitting.py:146-170): strategy, speaker grouping,
+    # id coverage, per-side unique speakers, overlap (must be 0 when grouped).
+    resolved = [item[2] for item in files if item[2] is not None]
+    train_speakers = {item[2] for item in train_files if item[2] is not None}
+    test_speakers = {item[2] for item in test_files if item[2] is not None}
+    speaker_grouped = len({item[2] or item[0] for item in files}) >= 2
+    split_metadata = {
+        "split_strategy": (
+            "group_shuffle_split" if speaker_grouped else "stratified_shuffle_split_fallback"
+        ),
+        "speaker_grouped": speaker_grouped,
+        "speaker_id_coverage": len(resolved) / len(files),
+        "train_unique_speakers": len(train_speakers),
+        "test_unique_speakers": len(test_speakers),
+        "speaker_overlap_count": len(train_speakers & test_speakers),
+    }
+    if speaker_grouped and split_metadata["speaker_overlap_count"] > 0:
+        raise RuntimeError(
+            "Grouped training split produced overlapping speakers in train/test."
+        )
 
     from ser_tpu._internal.data.embedding_cache import EmbeddingCache
 
@@ -277,6 +298,7 @@ def _train_encoder_profile_model_ready(
             "samples_evaluated": grouped["samples_evaluated"],
         },
         "group_metrics": group_metrics,
+        "split_metadata": split_metadata,
         "labels": window_metrics["labels"],
         "training_windows": len(y_train),
         "test_windows": len(y_test),

@@ -76,7 +76,7 @@ def evaluate_head_cross_folds(
     *,
     profile: str,
     settings: AppConfig,
-    n_folds: int = 4,
+    n_folds: int = 5,  # reference gate default n_splits=5 (profile_quality_gate.py:419)
     clip_ids: list[str] | None = None,
 ) -> ProfileEvaluation:
     """Speaker-grouped K-fold evaluation of the configured head on features.
@@ -91,6 +91,7 @@ def evaluate_head_cross_folds(
     folds = stratified_group_folds(
         items,
         speaker_of=lambda i: speakers[i],
+        label_of=lambda i: labels[i],
         n_folds=n_folds,
         random_state=settings.training.random_state,
     )

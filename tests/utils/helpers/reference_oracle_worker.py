@@ -459,6 +459,45 @@ def op_segment_predictions(payload: dict) -> list[dict]:
     ]
 
 
+def op_grouped_split(payload: dict) -> dict:
+    from ser._internal.train import eval as ref_eval
+
+    features = np.zeros((len(payload["labels"]), 1), dtype=np.float64)
+    split = ref_eval.grouped_train_test_split(
+        features,
+        payload["labels"],
+        payload["speaker_ids"],
+        test_size=payload["test_size"],
+        random_state=payload["random_state"],
+    )
+    return {
+        "train": split.train_indices.tolist(),
+        "test": split.test_indices.tolist(),
+        "y_train": split.y_train,
+        "y_test": split.y_test,
+    }
+
+
+def op_speaker_cv(payload: dict) -> list:
+    from ser._internal.train import eval as ref_eval
+
+    features = np.zeros((len(payload["labels"]), 1), dtype=np.float64)
+    folds = ref_eval.speaker_independent_cv(
+        features,
+        payload["labels"],
+        payload["speaker_ids"],
+        n_splits=payload["n_splits"],
+        random_state=payload["random_state"],
+    )
+    return [(train.tolist(), test.tolist()) for train, test in folds]
+
+
+def op_extract_speaker_id(payload: dict) -> str | None:
+    from ser._internal.train import eval as ref_eval
+
+    return ref_eval.extract_ravdess_speaker_id(payload["file_name"])
+
+
 _OPS = {
     "postprocess": op_postprocess,
     "windows": op_windows,
@@ -482,6 +521,9 @@ _OPS = {
     "ser_metrics": op_ser_metrics,
     "grouped_metrics": op_grouped_metrics,
     "segment_predictions": op_segment_predictions,
+    "grouped_split": op_grouped_split,
+    "speaker_cv": op_speaker_cv,
+    "extract_speaker_id": op_extract_speaker_id,
 }
 
 
