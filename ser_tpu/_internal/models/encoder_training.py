@@ -162,6 +162,82 @@ def train_encoder_profile_model(
         )
 
 
+def _split_training_files(
+    *,
+    files: list[tuple[str, str, str | None]],
+    settings: AppConfig,
+) -> tuple[
+    list[tuple[str, str, str | None]],
+    list[tuple[str, str, str | None]],
+    dict[str, Any],
+]:
+    """Train/test file split with the reference's ladder and provenance.
+
+    Manifest-attributed runs split at utterance granularity
+    (``dataset_splitting.split_utterances``: manifest split -> grouped ->
+    salted hash, reference ``models/dataset_splitting.py:254-366``); glob
+    runs use the speaker-disjoint grouped split with this repo's rare-class
+    pullback extension.
+    """
+    from pathlib import Path
+
+    from ser_tpu._internal.models.dataset_splitting import split_utterances
+
+    if settings.dataset.manifest_paths:
+        try:
+            utterances = loader.load_utterances(settings=settings) or []
+        except Exception as err:  # noqa: BLE001 - fall back to file split
+            logger.warning("Manifest split unavailable: %s", err)
+            utterances = []
+        by_resolved = {str(Path(u.audio_path).resolve()): u for u in utterances}
+        file_by_resolved = {str(Path(item[0]).resolve()): item for item in files}
+        if by_resolved and set(file_by_resolved) <= set(by_resolved):
+            samples = [by_resolved[key] for key in file_by_resolved]
+            train_u, test_u, metadata = split_utterances(
+                samples=samples, settings=settings
+            )
+            train = [
+                file_by_resolved[str(Path(u.audio_path).resolve())] for u in train_u
+            ]
+            test = [
+                file_by_resolved[str(Path(u.audio_path).resolve())] for u in test_u
+            ]
+            return train, test, metadata.as_dict()
+
+    train, test = speaker_disjoint_split(
+        files,
+        speaker_of=lambda item: item[2] or item[0],
+        label_of=lambda item: item[1],
+        test_size=settings.training.test_size,
+        random_state=settings.training.random_state,
+    )
+    resolved = [item[2] for item in files if item[2] is not None]
+    train_speakers = {item[2] for item in train if item[2] is not None}
+    test_speakers = {item[2] for item in test if item[2] is not None}
+    speaker_grouped = len({item[2] or item[0] for item in files}) >= 2
+    overlap = len(train_speakers & test_speakers)
+    if speaker_grouped and overlap > 0:
+        raise RuntimeError(
+            "Grouped training split produced overlapping speakers in train/test."
+        )
+    return (
+        train,
+        test,
+        {
+            "split_strategy": (
+                "group_shuffle_split"
+                if speaker_grouped
+                else "stratified_shuffle_split_fallback"
+            ),
+            "speaker_grouped": speaker_grouped,
+            "speaker_id_coverage": len(resolved) / len(files),
+            "train_unique_speakers": len(train_speakers),
+            "test_unique_speakers": len(test_speakers),
+            "speaker_overlap_count": overlap,
+        },
+    )
+
+
 def _train_encoder_profile_model_ready(
     *, profile, settings, backend, spec, started
 ) -> dict[str, Any]:
@@ -189,34 +265,9 @@ def _train_encoder_profile_model_ready(
     if not files:
         raise RuntimeError("No labeled dataset files found for encoder training.")
 
-    train_files, test_files = speaker_disjoint_split(
-        files,
-        speaker_of=lambda item: item[2] or item[0],
-        label_of=lambda item: item[1],
-        test_size=settings.training.test_size,
-        random_state=settings.training.random_state,
+    train_files, test_files, split_metadata = _split_training_files(
+        files=files, settings=settings
     )
-    # Split provenance, reference MediumSplitMetadata shape
-    # (models/dataset_splitting.py:146-170): strategy, speaker grouping,
-    # id coverage, per-side unique speakers, overlap (must be 0 when grouped).
-    resolved = [item[2] for item in files if item[2] is not None]
-    train_speakers = {item[2] for item in train_files if item[2] is not None}
-    test_speakers = {item[2] for item in test_files if item[2] is not None}
-    speaker_grouped = len({item[2] or item[0] for item in files}) >= 2
-    split_metadata = {
-        "split_strategy": (
-            "group_shuffle_split" if speaker_grouped else "stratified_shuffle_split_fallback"
-        ),
-        "speaker_grouped": speaker_grouped,
-        "speaker_id_coverage": len(resolved) / len(files),
-        "train_unique_speakers": len(train_speakers),
-        "test_unique_speakers": len(test_speakers),
-        "speaker_overlap_count": len(train_speakers & test_speakers),
-    }
-    if speaker_grouped and split_metadata["speaker_overlap_count"] > 0:
-        raise RuntimeError(
-            "Grouped training split produced overlapping speakers in train/test."
-        )
 
     from ser_tpu._internal.data.embedding_cache import EmbeddingCache
 

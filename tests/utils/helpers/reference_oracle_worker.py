@@ -498,6 +498,106 @@ def op_extract_speaker_id(payload: dict) -> str | None:
     return ref_eval.extract_ravdess_speaker_id(payload["file_name"])
 
 
+def _ref_utterances(items: list[dict]):
+    from ser._internal.data.manifest import Utterance as RefUtterance
+
+    return [
+        RefUtterance(
+            schema_version=2,
+            sample_id=item["sample_id"],
+            corpus=item["corpus"],
+            audio_path=Path(item["audio_path"]),
+            label=item["label"],
+            speaker_id=item.get("speaker_id"),
+            split=item.get("split"),
+        )
+        for item in items
+    ]
+
+
+def op_hash_split(payload: dict) -> dict:
+    from ser._internal.models import dataset_splitting as ref_splitting
+
+    train, test = ref_splitting.hash_stratified_split(
+        samples=_ref_utterances(payload["samples"]),
+        test_size=payload["test_size"],
+        salt=payload["salt"],
+    )
+    return {
+        "train": [item.sample_id for item in train],
+        "test": [item.sample_id for item in test],
+    }
+
+
+def op_split_utterances(payload: dict) -> dict:
+    import logging
+
+    from ser._internal.models import dataset_splitting as ref_splitting
+
+    settings = SimpleNamespace(
+        training=SimpleNamespace(
+            test_size=payload["test_size"],
+            random_state=payload["random_state"],
+        )
+    )
+    train, test, metadata = ref_splitting.split_utterances(
+        samples=_ref_utterances(payload["samples"]),
+        settings=settings,
+        logger=logging.getLogger("oracle"),
+    )
+    return {
+        "train": [item.sample_id for item in train],
+        "test": [item.sample_id for item in test],
+        "metadata": {
+            "split_strategy": metadata.split_strategy,
+            "speaker_grouped": metadata.speaker_grouped,
+            "speaker_id_coverage": metadata.speaker_id_coverage,
+            "train_unique_speakers": metadata.train_unique_speakers,
+            "test_unique_speakers": metadata.test_unique_speakers,
+            "speaker_overlap_count": metadata.speaker_overlap_count,
+        },
+    }
+
+
+def op_split_utterances_three_way(payload: dict) -> dict:
+    import logging
+    from dataclasses import dataclass
+
+    from ser._internal.models import dataset_splitting as ref_splitting
+
+    # Real (frozen) dataclasses: the reference three-way split rescales
+    # dev_size via dataclasses.replace, which rejects SimpleNamespace.
+    @dataclass(frozen=True)
+    class _Training:
+        test_size: float
+        dev_size: float
+        random_state: int
+
+    @dataclass(frozen=True)
+    class _Settings:
+        training: _Training
+
+    settings = _Settings(
+        training=_Training(
+            test_size=payload["test_size"],
+            dev_size=payload["dev_size"],
+            random_state=payload["random_state"],
+        )
+    )
+    train, dev, test, metadata = ref_splitting.split_utterances_three_way(
+        samples=_ref_utterances(payload["samples"]),
+        settings=settings,
+        logger=logging.getLogger("oracle"),
+    )
+    return {
+        "train": [item.sample_id for item in train],
+        "dev": [item.sample_id for item in dev],
+        "test": [item.sample_id for item in test],
+        "split_strategy": metadata.split_strategy,
+        "speaker_overlap_count": metadata.speaker_overlap_count,
+    }
+
+
 _OPS = {
     "postprocess": op_postprocess,
     "windows": op_windows,
@@ -524,6 +624,9 @@ _OPS = {
     "grouped_split": op_grouped_split,
     "speaker_cv": op_speaker_cv,
     "extract_speaker_id": op_extract_speaker_id,
+    "hash_split": op_hash_split,
+    "split_utterances": op_split_utterances,
+    "split_utterances_three_way": op_split_utterances_three_way,
 }
 
 
