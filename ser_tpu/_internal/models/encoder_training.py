@@ -21,6 +21,7 @@ from ser_tpu._internal.config.bootstrap import reload_settings
 from ser_tpu._internal.config.schema import AppConfig, profile_artifact_file_names
 from ser_tpu._internal.data import loader
 from ser_tpu._internal.models import artifacts
+from ser_tpu._internal.models.noise_controls import NoiseControlStats, apply_noise_controls
 from ser_tpu._internal.pool import mean_std_pool, temporal_pooling_windows
 from ser_tpu._internal.repr import FeatureBackend
 from ser_tpu._internal.repr.runtime_policy import resolve_feature_runtime
@@ -64,8 +65,8 @@ def _windowed_dataset(
     window_size: float,
     window_stride: float,
     cache=None,
-) -> tuple[np.ndarray, list[str], list[str]]:
-    """Per-window mean+std features with labels and sample ids."""
+) -> tuple[np.ndarray, list[str], list[str], NoiseControlStats]:
+    """Per-window mean+std features with labels, sample ids, and noise stats."""
     min_std = settings.medium_training.min_window_std
     max_windows = settings.medium_training.max_windows_per_clip
 
@@ -107,26 +108,24 @@ def _windowed_dataset(
     flush_pending()
 
     rows, labels, sample_ids = [], [], []
+    noise_stats = NoiseControlStats()
     for path, label, _speaker in files:
         encoded = encoded_by_path[path]
         windows = temporal_pooling_windows(
             encoded, window_size_seconds=window_size, window_stride_seconds=window_stride
         )
         pooled = mean_std_pool(encoded, windows)
-        dim = pooled.shape[1] // 2
-        kept = 0
-        for row in pooled:
-            if max_windows > 0 and kept >= max_windows:
-                break
-            if min_std > 0.0 and float(np.mean(row[dim:])) < min_std:
-                continue
+        kept, _, clip_stats = apply_noise_controls(
+            pooled, min_window_std=min_std, max_windows_per_clip=max_windows
+        )
+        noise_stats = noise_stats.merged(clip_stats)
+        for row in kept:
             rows.append(row)
             labels.append(label)
             sample_ids.append(path)
-            kept += 1
     if not rows:
         raise RuntimeError("No training windows survived the noise controls.")
-    return np.vstack(rows), labels, sample_ids
+    return np.vstack(rows), labels, sample_ids, noise_stats
 
 
 def train_encoder_profile_model(
@@ -286,7 +285,7 @@ def _train_encoder_profile_model_ready(
     )
 
     runtime_config = settings.profile_runtime(profile)  # type: ignore[arg-type]
-    x_train, y_train, _ = _windowed_dataset(
+    x_train, y_train, _, train_noise_stats = _windowed_dataset(
         files=train_files,
         backend=backend,
         settings=settings,
@@ -294,7 +293,7 @@ def _train_encoder_profile_model_ready(
         window_stride=runtime_config.pool_window_stride_seconds,
         cache=cache,
     )
-    x_test, y_test, test_ids = _windowed_dataset(
+    x_test, y_test, test_ids, test_noise_stats = _windowed_dataset(
         files=test_files,
         backend=backend,
         settings=settings,
@@ -350,6 +349,8 @@ def _train_encoder_profile_model_ready(
         },
         "group_metrics": group_metrics,
         "split_metadata": split_metadata,
+        "train_noise_stats": train_noise_stats.as_dict(),
+        "test_noise_stats": test_noise_stats.as_dict(),
         "labels": window_metrics["labels"],
         "training_windows": len(y_train),
         "test_windows": len(y_test),

@@ -885,7 +885,7 @@ def _prepare_encoder_features(
         raise RuntimeError("No usable labeled clips to prepare.")
     backend = build_encoder_backend(profile, settings=settings)
     runtime_config = settings.profile_runtime(profile)  # type: ignore[arg-type]
-    features, labels, sample_ids = _windowed_dataset(
+    features, labels, sample_ids, _noise_stats = _windowed_dataset(
         files=files,
         backend=backend,
         settings=settings,

@@ -598,6 +598,26 @@ def op_split_utterances_three_way(payload: dict) -> dict:
     }
 
 
+def op_noise_controls(payload: dict) -> dict:
+    from ser._internal.models import medium_noise_controls as ref_noise
+
+    filtered, stats = ref_noise.apply_medium_noise_controls(
+        np.asarray(payload["pooled"], dtype=np.float64),
+        min_window_std=payload["min_window_std"],
+        max_windows_per_clip=payload["max_windows_per_clip"],
+    )
+    return {
+        "filtered": filtered,
+        "stats": {
+            "total_windows": stats.total_windows,
+            "kept_windows": stats.kept_windows,
+            "dropped_low_std_windows": stats.dropped_low_std_windows,
+            "dropped_cap_windows": stats.dropped_cap_windows,
+            "forced_keep_windows": stats.forced_keep_windows,
+        },
+    }
+
+
 _OPS = {
     "postprocess": op_postprocess,
     "windows": op_windows,
@@ -627,6 +647,7 @@ _OPS = {
     "hash_split": op_hash_split,
     "split_utterances": op_split_utterances,
     "split_utterances_three_way": op_split_utterances_three_way,
+    "noise_controls": op_noise_controls,
 }
 
 
