@@ -129,23 +129,52 @@ def evaluate_head_cross_folds(
     )
 
 
+def clip_stability_metrics(
+    segments: list[SegmentPrediction],
+) -> tuple[float, list[float]]:
+    """One clip's segments-per-minute rate and positive segment durations.
+
+    Parity: reference ``quality_gate_evaluation.py:114-132`` — the clip span
+    is min(start)..max(end) (segments need not be sorted), the rate is
+    ``len * 60 / span`` (0.0 for empty or zero-span clips), and zero/negative
+    durations are excluded from the duration pool.
+    """
+    if not segments:
+        return 0.0, []
+    clip_start = min(segment.start_seconds for segment in segments)
+    clip_end = max(segment.end_seconds for segment in segments)
+    span = max(0.0, clip_end - clip_start)
+    rate = (float(len(segments)) * 60.0) / span if span > 0.0 else 0.0
+    durations = [
+        duration
+        for duration in (
+            segment.end_seconds - segment.start_seconds for segment in segments
+        )
+        if duration > 0.0
+    ]
+    return rate, durations
+
+
 def temporal_stability_of(
     segment_lists: list[list[SegmentPrediction]],
 ) -> TemporalStability:
-    """Aggregates segment churn over a set of clips."""
-    total_segments = sum(len(segments) for segments in segment_lists)
-    total_minutes = sum(
-        (segments[-1].end_seconds - segments[0].start_seconds) / 60.0
-        for segments in segment_lists
-        if segments
-    )
-    durations = [
-        segment.end_seconds - segment.start_seconds
-        for segments in segment_lists
-        for segment in segments
-    ]
+    """Aggregates segment churn over a set of clips.
+
+    Parity: reference ``quality_gate_evaluation.py:196-236`` — the headline
+    rate is the MEAN of per-clip rates (every evaluated clip contributes,
+    empty clips as 0.0), not a pooled total/total ratio which would weight
+    long clips more; the median runs over the pooled positive durations.
+    """
+    per_clip_rates: list[float] = []
+    durations: list[float] = []
+    for segments in segment_lists:
+        rate, clip_durations = clip_stability_metrics(segments)
+        per_clip_rates.append(rate)
+        durations.extend(clip_durations)
     return TemporalStability(
-        segments_per_minute=(total_segments / total_minutes) if total_minutes > 0 else 0.0,
+        segments_per_minute=(
+            float(np.mean(per_clip_rates)) if per_clip_rates else 0.0
+        ),
         median_segment_duration_seconds=float(median(durations)) if durations else 0.0,
     )
 
@@ -201,11 +230,36 @@ def decide_quality_gate(
     )
 
 
+def duration_weighted_clip_label(
+    segments: list[SegmentPrediction],
+    *,
+    unknown_label: str = "unknown",
+) -> str:
+    """Duration-weighted clip-level label from segment predictions.
+
+    Parity: reference ``quality_gate_evaluation.py:96-111`` — each segment
+    votes its duration (floored at 1e-6 so zero-length segments still count),
+    ties break to the lexicographically smallest label, and an empty segment
+    list yields ``unknown_label``.
+    """
+    if not segments:
+        return unknown_label
+    weighted: dict[str, float] = {}
+    for segment in segments:
+        duration = segment.end_seconds - segment.start_seconds
+        weighted[segment.emotion] = weighted.get(segment.emotion, 0.0) + (
+            duration if duration > 0.0 else 1e-6
+        )
+    return min(weighted, key=lambda label: (-weighted[label], label))
+
+
 __all__ = [
     "ProfileEvaluation",
     "QualityGateDecision",
     "TemporalStability",
+    "clip_stability_metrics",
     "decide_quality_gate",
+    "duration_weighted_clip_label",
     "evaluate_head_cross_folds",
     "temporal_stability_of",
 ]

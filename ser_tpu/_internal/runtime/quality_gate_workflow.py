@@ -16,6 +16,7 @@ from pathlib import Path
 import numpy as np
 
 from ser_tpu._internal.config.schema import AppConfig
+from ser_tpu._internal.models.noise_controls import apply_noise_controls
 from ser_tpu._internal.runtime.quality_gate import (
     QualityGateDecision,
     decide_quality_gate,
@@ -86,18 +87,14 @@ def evaluate_candidate_gate(
                 window_stride_seconds=runtime.pool_window_stride_seconds,
             )
             pooled = mean_std_pool(sequence, windows)
-            dim = pooled.shape[1] // 2
-            kept = 0
-            for row in pooled:
-                if max_windows > 0 and kept >= max_windows:
-                    break
-                if min_std > 0.0 and float(np.mean(row[dim:])) < min_std:
-                    continue
+            kept_rows, _, _ = apply_noise_controls(
+                pooled, min_window_std=min_std, max_windows_per_clip=max_windows
+            )
+            for row in kept_rows:
                 window_rows.append(row)
                 window_labels.append(clip.label)
                 window_speakers.append(clip.speaker_id or clip.file_path)
                 window_clips.append(clip.file_path)
-                kept += 1
     if not window_rows:
         raise RuntimeError("Quality gate: no candidate windows survived noise controls.")
     candidate_eval = evaluate_head_cross_folds(
@@ -126,6 +123,23 @@ def evaluate_candidate_gate(
                 for clip in clips[:stability_clips]
             ]
             stability = temporal_stability_of(segment_lists)
+            # Full-pipeline agreement over the stability sample: the
+            # reference gate scores clip labels by duration-weighted segment
+            # vote (quality_gate_evaluation.py:96-111); recorded as evidence.
+            from ser_tpu._internal.runtime.quality_gate import (
+                duration_weighted_clip_label,
+            )
+
+            agreement = [
+                duration_weighted_clip_label(segments) == clip.label
+                for clip, segments in zip(clips[:stability_clips], segment_lists)
+            ]
+            if agreement:
+                logger.info(
+                    "Full-pipeline clip agreement (duration-weighted vote): %d/%d",
+                    sum(agreement),
+                    len(agreement),
+                )
     except Exception as err:  # noqa: BLE001 - stability is optional evidence
         logger.info("Temporal stability unavailable: %s", err)
 

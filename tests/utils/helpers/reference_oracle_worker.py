@@ -618,6 +618,60 @@ def op_noise_controls(payload: dict) -> dict:
     }
 
 
+def _ref_normalized_segments(items: list[dict]):
+    from ser._internal.runtime.quality_gate_evaluation import NormalizedSegment
+
+    return [
+        NormalizedSegment(
+            emotion=item["emotion"],
+            start_seconds=item["start_seconds"],
+            end_seconds=item["end_seconds"],
+        )
+        for item in items
+    ]
+
+
+def op_clip_stability(payload: dict) -> dict:
+    from ser._internal.runtime import quality_gate_evaluation as ref_gate
+
+    rate, durations = ref_gate.clip_stability_metrics(
+        _ref_normalized_segments(payload["segments"])
+    )
+    return {"rate": rate, "durations": durations}
+
+
+def op_clip_label(payload: dict) -> str:
+    from ser._internal.runtime import quality_gate_evaluation as ref_gate
+
+    return ref_gate.clip_label_from_segments(
+        _ref_normalized_segments(payload["segments"]),
+        unknown_label=payload["unknown_label"],
+    )
+
+
+def op_compare_profiles(payload: dict) -> dict:
+    from ser._internal.runtime import quality_gate_policy as ref_policy
+
+    fast = SimpleNamespace(
+        metrics=payload["fast_metrics"],
+        temporal_stability=SimpleNamespace(**payload["fast_stability"]),
+    )
+    medium = SimpleNamespace(
+        metrics=payload["medium_metrics"],
+        temporal_stability=SimpleNamespace(**payload["medium_stability"]),
+    )
+    thresholds = SimpleNamespace(**payload["thresholds"])
+    result = ref_policy.compare_profiles(
+        fast=fast, medium=medium, thresholds=thresholds
+    )
+    return {
+        "uar_delta": result.medium_minus_fast_uar,
+        "macro_f1_delta": result.medium_minus_fast_macro_f1,
+        "passes": result.passes_quality_gate,
+        "failure_count": len(result.failure_reasons),
+    }
+
+
 _OPS = {
     "postprocess": op_postprocess,
     "windows": op_windows,
@@ -648,6 +702,9 @@ _OPS = {
     "split_utterances": op_split_utterances,
     "split_utterances_three_way": op_split_utterances_three_way,
     "noise_controls": op_noise_controls,
+    "clip_stability": op_clip_stability,
+    "clip_label": op_clip_label,
+    "compare_profiles": op_compare_profiles,
 }
 
 
