@@ -151,7 +151,7 @@ def load_labeled_clips(
                 "Aborting data load: "
                 f"{failure_ratio * 100.0:.1f}% file failures exceeded configured limit "
                 f"{settings.data_loader.max_failed_file_ratio * 100.0:.1f}%. "
-                "You can relax this limit by increasing the SER_DATA_LOADER_MAX_FAILED_FILE_RATIO "
+                "You can relax this limit by increasing the SER_MAX_FAILED_FILE_RATIO "
                 "environment variable."
             )
     return clips
