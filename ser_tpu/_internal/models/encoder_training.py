@@ -334,10 +334,21 @@ def _train_encoder_profile_model_ready(
 
     # The RESOLVED id (settings override wins) — the id the backend loaded.
     model_id = resolved_model_id(profile, settings)
+    from collections import Counter
+    from datetime import UTC, datetime
+
     report: dict[str, Any] = {
         "profile": profile,
         "backend_id": spec.backend_id,
         "backend_model_id": model_id,
+        # Reference persisted-report schema (training_reporting.py:121-171).
+        "artifact_version": artifacts.MODEL_ARTIFACT_VERSION,
+        "artifact_schema_version": artifacts.ARTIFACT_SCHEMA_VERSION,
+        "created_at_utc": datetime.now(tz=UTC).isoformat(),
+        "train_samples": len(train_files),
+        "test_samples": len(test_files),
+        "label_distribution": dict(Counter([*y_train, *y_test])),
+        "metrics": window_metrics,
         "accuracy": accuracy(y_test, y_pred),
         "uar": window_metrics["uar"],
         "macro_f1": window_metrics["macro_f1"],

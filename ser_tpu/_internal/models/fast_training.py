@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import time
+from pathlib import Path
 from typing import Any
 
 import numpy as np
@@ -72,15 +73,35 @@ def _train_fast_model_ready(settings: AppConfig, started: float) -> dict[str, An
 
     y_pred = [str(item) for item in model.predict(x_test)]
     metrics = compute_ser_metrics(y_true=y_test, y_pred=y_pred)
+    # Persisted-report schema parity: the reference's training_report.json
+    # keys (training_reporting.py:121-171 build_training_report) plus this
+    # repo's extras (uar/confusion at top level, iteration diagnostics).
+    import glob as _glob
+    from collections import Counter
+    from datetime import UTC, datetime
+
+    all_labels = [str(item) for item in (*y_train, *y_test)]
+    corpus_samples = len(_glob.glob(settings.dataset.glob_pattern))
+    effective_samples = len(y_train) + len(y_test)
     report: dict[str, Any] = {
         "profile": "fast",
         "backend_id": "handcrafted",
+        "artifact_version": artifacts.MODEL_ARTIFACT_VERSION,
+        "artifact_schema_version": artifacts.ARTIFACT_SCHEMA_VERSION,
+        "created_at_utc": datetime.now(tz=UTC).isoformat(),
+        "dataset_glob_pattern": settings.dataset.glob_pattern,
+        "dataset_corpus_samples": corpus_samples,
+        "dataset_effective_samples": effective_samples,
+        "dataset_skipped_samples": max(0, corpus_samples - effective_samples),
         "accuracy": accuracy(y_test, y_pred),
         "uar": metrics["uar"],
         "macro_f1": metrics["macro_f1"],
         "per_class_recall": metrics["per_class_recall"],
         "confusion_matrix": metrics["confusion_matrix"],
-        "labels": metrics["labels"],
+        "metrics": metrics,
+        "labels": sorted(set(all_labels)),
+        "label_distribution": dict(Counter(all_labels)),
+        "train_samples": len(y_train),
         "training_samples": len(y_train),
         "test_samples": len(y_test),
         "feature_vector_size": int(x_train.shape[1]),
@@ -110,6 +131,14 @@ def _train_fast_model_ready(settings: AppConfig, started: float) -> dict[str, An
     envelope = artifacts.build_model_artifact(model, metadata)
     model_path = artifacts.save_model_artifact(envelope, settings.models.model_file)
     report["model_path"] = model_path
+    report["artifact_metadata"] = metadata
+    # The metadata sidecar is this repo's secure twin (inspectable without
+    # unpickling; reference ships a skops artifact in this slot).
+    _target = Path(model_path)
+    report["model_artifacts"] = {
+        "pickle": str(model_path),
+        "secure": str(_target.with_suffix(_target.suffix + ".meta.json")),
+    }
 
     settings.models.folder.mkdir(parents=True, exist_ok=True)
     settings.models.training_report_file.write_text(

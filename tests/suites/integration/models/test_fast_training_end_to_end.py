@@ -50,6 +50,36 @@ def test_report_carries_the_reference_metric_set(trained):
     assert report["training_samples"] >= 2
 
 
+def test_report_carries_the_reference_schema_keys(trained):
+    # Persisted training_report.json contract: reference
+    # training_reporting.py:121-171 build_training_report.
+    _, report = trained
+    for key in (
+        "artifact_version",
+        "artifact_schema_version",
+        "created_at_utc",
+        "dataset_glob_pattern",
+        "dataset_corpus_samples",
+        "dataset_effective_samples",
+        "dataset_skipped_samples",
+        "train_samples",
+        "test_samples",
+        "feature_vector_size",
+        "labels",
+        "label_distribution",
+        "metrics",
+        "artifact_metadata",
+        "model_artifacts",
+    ):
+        assert key in report, key
+    assert report["dataset_effective_samples"] == (
+        report["train_samples"] + report["test_samples"]
+    )
+    assert sum(report["label_distribution"].values()) == report["dataset_effective_samples"]
+    assert "pickle" in report["model_artifacts"]
+    assert Path(report["model_artifacts"]["secure"]).exists()  # metadata sidecar
+
+
 def test_artifact_persists_and_reloads_for_inference(trained):
     _, report = trained
     model_path = Path(report["model_path"])
