@@ -56,13 +56,17 @@ def run_latency_benchmark(
         operation()
         samples.append(time.perf_counter() - start)
     arr = np.asarray(samples)
+    ordered = np.sort(arr)
+    # Nearest-rank p95, reference benchmarks.py:43-47 (NOT interpolated:
+    # with 5 runs the reference reports the max, np.percentile would not).
+    p95_index = min(len(ordered) - 1, int(round(0.95 * float(len(ordered) - 1))))
     return LatencyReport(
         runs=runs,
         mean_seconds=float(arr.mean()),
         median_seconds=float(np.median(arr)),
-        p95_seconds=float(np.percentile(arr, 95)),
-        min_seconds=float(arr.min()),
-        max_seconds=float(arr.max()),
+        p95_seconds=float(ordered[p95_index]),
+        min_seconds=float(ordered[0]),
+        max_seconds=float(ordered[-1]),
     )
 
 

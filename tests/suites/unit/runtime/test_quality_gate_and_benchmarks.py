@@ -124,3 +124,31 @@ def test_environment_plan_scoping():
     with temporary_process_env(plan):
         assert os.environ["SER_TEST_PLAN_VAR"] == "on"
     assert "SER_TEST_PLAN_VAR" not in os.environ
+
+
+def test_latency_p95_is_nearest_rank_not_interpolated():
+    # Reference benchmarks.py:43-47: with 5 runs p95 lands on the max sample
+    # (round(0.95*4)=4); an interpolated percentile would report less.
+    from ser_tpu._internal.runtime.benchmarks import run_latency_benchmark
+
+    durations = iter([0.010, 0.020, 0.030, 0.040, 0.100])
+    import time as _time
+
+    real = _time.perf_counter
+    state = {"now": 0.0, "pending": None}
+
+    def fake_counter():
+        if state["pending"] is None:
+            state["pending"] = next(durations, 0.0)
+            return state["now"]
+        state["now"] += state["pending"]
+        state["pending"] = None
+        return state["now"]
+
+    _time.perf_counter = fake_counter
+    try:
+        report = run_latency_benchmark(lambda: None, runs=5, warmup_runs=0)
+    finally:
+        _time.perf_counter = real
+    assert report.p95_seconds == report.max_seconds == 0.100
+    assert report.min_seconds == 0.010
