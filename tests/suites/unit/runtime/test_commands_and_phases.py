@@ -103,3 +103,13 @@ def test_timed_phase_accumulates_on_reentry():
         with phases.timed_phase("transcription_setup", timings):
             _time.sleep(0.01)
     assert timings["transcription_setup"] >= 0.03
+
+
+def test_phase_labels_match_reference_contract():
+    # Reference phase_contract.py:17-26 — the human-readable label set.
+    from ser_tpu._internal.runtime.phases import ALL_PHASES, PHASE_LABELS, phase_label
+
+    assert set(PHASE_LABELS) == set(ALL_PHASES)
+    assert phase_label("workflow_total") == "SER workflow"
+    assert phase_label("transcription_model_load") == "Transcription model load"
+    assert phase_label("not_a_phase") == "not_a_phase"
