@@ -170,6 +170,34 @@ def test_split_utterances_three_way_parity(oracle, inputs, dev_size):
         assert metadata.speaker_overlap_count == theirs["speaker_overlap_count"]
 
 
+def test_ravdess_filename_speaker_fallback_parity(oracle):
+    # Utterances without speaker_id but with RAVDESS-named files: the ladder
+    # must resolve corpus-scoped speakers from the filename on both sides
+    # (reference dataset_splitting.py:171-181) and still produce a grouped
+    # split.
+    utterances = [
+        Utterance(
+            sample_id=f"rav-{i:02d}",
+            corpus="ravdess",
+            audio_path=f"/data/03-01-0{1 + i % 4}-01-01-01-{1 + i % 6:02d}.wav",
+            label=LABELS[i % 4],
+        )
+        for i in range(18)
+    ]
+    config = SimpleNamespace(training=SimpleNamespace(test_size=0.25, random_state=3))
+    train, test, metadata = split_utterances(samples=utterances, settings=config)
+    theirs = oracle.call(
+        "split_utterances",
+        samples=_payload(utterances),
+        test_size=0.25,
+        random_state=3,
+    )
+    assert metadata.split_strategy == "group_shuffle_split"
+    assert [item.sample_id for item in train] == theirs["train"]
+    assert [item.sample_id for item in test] == theirs["test"]
+    assert metadata.as_dict() == theirs["metadata"]
+
+
 def test_manifest_split_strategy_parity(oracle):
     # All-assigned manifests honor the recorded split (train+dev vs test).
     utterances = [
