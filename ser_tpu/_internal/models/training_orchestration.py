@@ -105,6 +105,12 @@ def ensure_entrypoint_readiness(
     if state is not None:
         state.readiness = report
         state.phase = "readiness_complete"
+    try:
+        from ser_tpu._internal.models.training_readiness import write_readiness_report
+
+        write_readiness_report(report, settings=settings)
+    except Exception as err:  # noqa: BLE001 - audit artifact must not block training
+        logger.warning("Could not persist readiness report: %s", err)
     if report.blocking:
         blocking = [f for f in report.findings if f.severity.value == "blocking"]
         raise TrainingNotReadyError(

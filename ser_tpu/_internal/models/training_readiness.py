@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
+import time
 from collections import Counter
 from contextlib import contextmanager
 from dataclasses import dataclass
@@ -1100,6 +1102,57 @@ def load_prepared_plan(
     return features, labels, groups
 
 
+def default_readiness_report_path(settings: AppConfig, profile: ProfileName) -> Path:
+    """Readiness-report location (reference ``training_readiness.py:870-873``:
+    ``<tmp>/training-readiness-<profile>.json``)."""
+    return settings.tmp_folder / f"training-readiness-{profile}.json"
+
+
+def write_readiness_report(
+    report: ReadinessReport, *, settings: AppConfig
+) -> Path:
+    """Atomically persists the readiness report JSON for audit/tooling.
+
+    Parity: the reference persists every readiness run to the default path
+    via write-temp + rename (its repair catalog cleans the
+    ``.training-readiness-*`` staging remnants — mirrored in
+    ``training_repair._STAGING_PATTERNS``).
+    """
+    import tempfile
+
+    target = default_readiness_report_path(settings, report.profile)
+    target.parent.mkdir(parents=True, exist_ok=True)
+    payload = {
+        "profile": report.profile,
+        "blocking": report.blocking,
+        "findings": [
+            {
+                "scope": finding.scope.value,
+                "severity": finding.severity.value,
+                "reason": finding.reason,
+                "message": finding.message,
+                "sample_id": finding.sample_id,
+            }
+            for finding in report.findings
+        ],
+        "usable_files": list(report.usable_files),
+        "quarantined_files": list(report.quarantined_files),
+        "generated_at_unix": time.time(),
+    }
+    fd, tmp_name = tempfile.mkstemp(
+        dir=target.parent, prefix=f".training-readiness-{report.profile}."
+    )
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as handle:
+            json.dump(payload, handle, indent=2, default=str)
+        os.replace(tmp_name, target)
+    except BaseException:
+        if os.path.exists(tmp_name):
+            os.unlink(tmp_name)
+        raise
+    return target
+
+
 def run_training_readiness_cli(
     *,
     settings: AppConfig,
@@ -1123,6 +1176,8 @@ def run_training_readiness_cli(
         return 0
 
     report = run_training_readiness(settings=settings, profile=profile)
+    report_path = write_readiness_report(report, settings=settings)
+    print(f"readiness report: {report_path}")
     ledger = write_quarantine_ledger(report, settings=settings)
     if ledger is not None:
         print(f"quarantine ledger: {ledger}")
@@ -1151,9 +1206,11 @@ __all__ = [
     "QuarantinePolicy",
     "ReadinessFinding",
     "ReadinessReport",
+    "default_readiness_report_path",
     "load_prepared_plan",
     "run_backend_smoke",
     "run_training_readiness",
     "run_training_readiness_cli",
     "write_prepared_plan",
+    "write_readiness_report",
 ]

@@ -84,14 +84,20 @@ def _reset_for_integration(request):
 
 @pytest.fixture(autouse=True)
 def _isolated_dataset_registry(tmp_path, monkeypatch):
-    """Every test writes its dataset registry under its own tmp dir.
+    """Every test reads/writes its dataset registry under its own tmp dir.
 
-    Settings built from explicit env dicts bypass the ambient
-    SER_DATASET_REGISTRY_ROOT, so without this, prepare tests pollute the
-    developer's global XDG registry with tmp-path records.
+    Two isolation layers, both needed:
+    - the env var: settings captured during a test (reload_settings /
+      capture_settings_inputs) resolve registry_root from it, and SUBPROCESS
+      tests (smoke CLI) inherit os.environ — with only the session-shared
+      default, a unit test registering a bogus record poisoned the smoke
+      CLI's readiness registry check;
+    - the symbol patch: settings built from explicit env dicts bypass the
+      ambient env var and fall back to default_data_root().
     """
     from ser_tpu._internal.data import registry as _registry
 
+    monkeypatch.setenv("SER_DATASET_REGISTRY_ROOT", str(tmp_path / "registry-root"))
     monkeypatch.setattr(
         _registry, "default_data_root", lambda: tmp_path / "registry-root"
     )

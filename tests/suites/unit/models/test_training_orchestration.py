@@ -144,3 +144,25 @@ class TestEntrypointReadiness:
         )
         with pytest.raises(TrainingNotReadyError, match="smoke timed out"):
             ensure_entrypoint_readiness(settings=object(), profile="medium", smoke=True)
+
+
+def test_readiness_report_persisted_at_default_path(monkeypatch, tmp_path):
+    # Reference persists training-readiness-<profile>.json atomically
+    # (training_readiness.py:870-873); the entrypoint writes it best-effort.
+    import json
+    from types import SimpleNamespace
+
+    monkeypatch.setattr(
+        orchestration,
+        "run_training_readiness",
+        lambda *, settings, profile: _report(blocking=False),
+    )
+    settings = SimpleNamespace(tmp_folder=tmp_path)
+    ensure_entrypoint_readiness(settings=settings, profile="medium", smoke=False)
+    target = tmp_path / "training-readiness-medium.json"
+    assert target.exists()
+    payload = json.loads(target.read_text())
+    assert payload["profile"] == "medium"
+    assert payload["blocking"] is False
+    assert payload["usable_files"] == ["/tmp/a.wav"]
+    assert not list(tmp_path.glob(".training-readiness-*"))  # staging temp cleaned
