@@ -900,6 +900,56 @@ def _prepare_encoder_features(
     return features, labels, digests, [f for f, _, _ in files], groups
 
 
+def _plan_split_salt(settings: AppConfig) -> str:
+    from ser_tpu._internal.models.dataset_splitting import split_salt
+
+    return split_salt(settings)
+
+
+def split_digest(report: ReadinessReport, settings: AppConfig) -> str:
+    """Digest of the deterministic three-way split over the usable samples.
+
+    Parity: reference ``training_orchestration.py:212-231`` — the prepared
+    plan must invalidate when split MEMBERSHIP changes, not only when split
+    settings change: ``SER_SPLIT_SALT`` lives in the environment (outside the
+    settings digest), and a different effective-sample set reshuffles every
+    hash-ordered assignment.
+    """
+    from ser_tpu._internal.data.manifest import Utterance
+    from ser_tpu._internal.models.dataset_splitting import split_utterances_three_way
+
+    samples = [
+        Utterance(
+            sample_id=record.path,
+            corpus=record.corpus,
+            audio_path=record.path,
+            label=record.label,
+            speaker_id=record.speaker,
+            language=record.language or "en",
+        )
+        for record in report.usable_records
+        if record.label is not None
+    ]
+    if len(samples) < 2:
+        return "insufficient-samples"
+    try:
+        train, dev, test, metadata = split_utterances_three_way(
+            samples=samples, settings=settings
+        )
+    except (RuntimeError, ValueError) as err:
+        return f"split-error:{type(err).__name__}"
+    canonical = json.dumps(
+        {
+            "metadata": metadata.as_dict(),
+            "train": sorted(item.sample_id for item in train),
+            "dev": sorted(item.sample_id for item in dev),
+            "test": sorted(item.sample_id for item in test),
+        },
+        sort_keys=True,
+    )
+    return sha256(canonical.encode("utf-8")).hexdigest()
+
+
 def write_prepared_plan(
     *,
     settings: AppConfig,
@@ -936,6 +986,8 @@ def write_prepared_plan(
         "backend": _backend_fingerprint(settings, profile),
         "settings_digest": _settings_digest(settings, profile),
         "quarantine_ledger_digest": quarantine_ledger_digest(settings, profile),
+        "split_digest": split_digest(report, settings),
+        "split_salt": _plan_split_salt(settings),
         "files": kept_files,
         "sample_digests": digests,
         "payload": str(payload_path),
@@ -1069,6 +1121,15 @@ def load_prepared_plan(
         raise PreparedPlanError(
             "Prepared plan quarantine-ledger digest mismatch: exclusions changed "
             "since preparation. Re-run --prepare-only."
+        )
+    # SER_SPLIT_SALT lives in the environment, outside the settings digest —
+    # a salt change reshuffles split membership and must invalidate the plan
+    # (reference training_orchestration.py:212-231 recomputes the split
+    # digest; the salt is its only input not already pinned here).
+    if "split_salt" in plan and plan["split_salt"] != _plan_split_salt(settings):
+        raise PreparedPlanError(
+            "Prepared plan split salt mismatch: SER_SPLIT_SALT changed since "
+            "preparation. Re-run --prepare-only."
         )
     expected_backend = _backend_fingerprint(settings, profile)
     if plan.get("backend") != expected_backend:

@@ -357,3 +357,41 @@ def test_prepared_plan_missing_payload_is_validation_error(tmp_path):
     plan_path.write_text("{not json")
     with pytest.raises(tr.PreparedPlanError, match="Cannot read"):
         tr.load_prepared_plan(plan_path, settings=settings, profile="fast")
+
+
+def test_prepared_plan_rejects_split_salt_change(tmp_path, monkeypatch):
+    # SER_SPLIT_SALT reshuffles hash-split membership but lives outside the
+    # settings digest — the plan pins it (reference recomputes the whole
+    # split digest, training_orchestration.py:212-231).
+    monkeypatch.delenv("SER_SPLIT_SALT", raising=False)
+    _make_corpus(tmp_path)
+    settings = _settings(tmp_path)
+    report = tr.run_training_readiness(settings=settings, profile="fast")
+    plan_dir = settings.tmp_folder / "prepared" / "fast"
+    plan_path = tr.write_prepared_plan(
+        settings=settings, profile="fast", report=report, plan_dir=plan_dir
+    )
+    plan = json.loads(plan_path.read_text())
+    assert plan["split_salt"] == f"ser:{settings.training.random_state}"
+    assert len(plan["split_digest"]) == 64  # sha256 of the 3-way membership
+    tr.load_prepared_plan(plan_path, settings=settings, profile="fast")
+    monkeypatch.setenv("SER_SPLIT_SALT", "different-salt")
+    with pytest.raises(tr.PreparedPlanError, match="split salt"):
+        tr.load_prepared_plan(plan_path, settings=settings, profile="fast")
+
+
+def test_split_digest_tracks_membership(tmp_path):
+    _make_corpus(tmp_path)
+    settings = _settings(tmp_path)
+    report = tr.run_training_readiness(settings=settings, profile="fast")
+    first = tr.split_digest(report, settings)
+    assert first == tr.split_digest(report, settings)  # deterministic
+    # Dropping one usable sample changes the membership digest.
+    import dataclasses as _dc
+
+    smaller = _dc.replace(
+        report,
+        usable_records=report.usable_records[:-1],
+        usable_files=report.usable_files[:-1],
+    )
+    assert tr.split_digest(smaller, settings) != first
