@@ -188,3 +188,20 @@ def test_ravdess_single_class_returns_none_on_both_sides(oracle, tmp_path):
     )
     assert not ref["raised"]
     assert ref["utterances"] is None
+
+
+def test_dataset_catalog_compliance_parity(oracle):
+    """Every dataset's policy/license/display/source/manual-download metadata
+    matches the reference catalog exactly (dataset_prepare.py:89-218) —
+    these ids persist into manifests and consent stores."""
+    from ser_tpu._internal.data.catalog import DATASET_CATALOG
+
+    reference = oracle.call("dataset_catalog")
+    assert set(DATASET_CATALOG) == set(reference)
+    for dataset_id, spec in DATASET_CATALOG.items():
+        expected = reference[dataset_id]
+        assert spec.display_name == expected["display_name"], dataset_id
+        assert spec.policy_id == expected["policy_id"], dataset_id
+        assert spec.license_id == expected["license_id"], dataset_id
+        assert spec.source_url == expected["source_url"], dataset_id
+        assert spec.requires_manual_download == expected["requires_manual_download"], dataset_id

@@ -18,8 +18,10 @@ class TestCatalog:
         assert "ravdess" in ids and "msp-podcast" in ids
 
     def test_every_spec_carries_compliance_metadata(self):
+        # Reference policy classes (dataset_prepare.py:89-218).
+        allowed = {"open", "noncommercial", "share_alike", "academic_only", "research_only"}
         for spec in DATASET_CATALOG.values():
-            assert spec.policy_id.endswith("-v1")
+            assert spec.policy_id in allowed, spec.dataset_id
             assert spec.license_id
             assert spec.languages
             assert spec.provider in (
@@ -59,14 +61,14 @@ class TestConsents:
         assert consents.show_dataset_consents().policy_ids == ("a-policy", "b-policy")
 
     def test_ensure_raises_without_consent(self, consent_root):
-        with pytest.raises(consents.ConsentError, match="ravdess-policy-v1"):
+        with pytest.raises(consents.ConsentError, match="noncommercial"):
             consents.ensure_dataset_consent("ravdess")
 
     def test_accept_license_records_and_passes(self, consent_root):
         consents.ensure_dataset_consent("ravdess", accept_license=True)
         record = consents.show_dataset_consents()
-        assert "ravdess-policy-v1" in record.policy_ids
-        assert "CC-BY-NC-SA-4.0" in record.license_ids
+        assert "noncommercial" in record.policy_ids
+        assert "cc-by-nc-sa-4.0" in record.license_ids
         consents.ensure_dataset_consent("ravdess")  # now passes
 
     def test_partial_consent_still_blocks(self, consent_root):

@@ -672,6 +672,21 @@ def op_compare_profiles(payload: dict) -> dict:
     }
 
 
+def op_dataset_catalog(payload: dict) -> dict:
+    from ser._internal.data.dataset_prepare import SUPPORTED_DATASETS
+
+    return {
+        dataset_id: {
+            "display_name": descriptor.display_name,
+            "policy_id": descriptor.policy_id,
+            "license_id": descriptor.license_id,
+            "source_url": descriptor.source_url,
+            "requires_manual_download": descriptor.requires_manual_download,
+        }
+        for dataset_id, descriptor in SUPPORTED_DATASETS.items()
+    }
+
+
 _OPS = {
     "postprocess": op_postprocess,
     "windows": op_windows,
@@ -705,6 +720,7 @@ _OPS = {
     "clip_stability": op_clip_stability,
     "clip_label": op_clip_label,
     "compare_profiles": op_compare_profiles,
+    "dataset_catalog": op_dataset_catalog,
 }
 
 
