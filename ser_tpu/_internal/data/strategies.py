@@ -136,13 +136,18 @@ def att_hack_label(path: Path) -> tuple[str, str] | None:
 
 
 def coraa_ser_label(path: Path) -> tuple[str, str] | None:
-    """CORAA-SER's binary-plus-gender scheme from canonical filename parts."""
-    compact = re.sub(r"[^a-z]", "", path.stem.lower())
+    """CORAA-SER's binary-plus-gender scheme (reference label mapping:
+    neutral / non_neutral_female / non_neutral_male, ``public_datasets.py``).
+
+    Labels resolve from the filename first, then from parent directories —
+    staged trees group clips under label directories.
+    """
+    compact = re.sub(r"[^a-z]", "", str(path).lower())
     if "nonneutralfemale" in compact:
         return "non_neutral_female", "non_neutral_female"
     if "nonneutralmale" in compact:
         return "non_neutral_male", "non_neutral_male"
-    if "neutral" in _normalize_tokens(Path(path.name)):
+    if "neutral" in _normalize_tokens(path):
         return "neutral", "neutral"
     return None
 

@@ -205,3 +205,29 @@ def test_dataset_catalog_compliance_parity(oracle):
         assert spec.license_id == expected["license_id"], dataset_id
         assert spec.source_url == expected["source_url"], dataset_id
         assert spec.requires_manual_download == expected["requires_manual_download"], dataset_id
+
+
+def test_csv_label_mapping_parity(oracle):
+    """Every reference per-corpus raw→primary label mapping
+    (catalog/public_datasets.py:87-289) resolves identically here.
+
+    Path-token corpora run the real strategy resolver on a path embedding the
+    raw label; filename-adapter corpora (emodb-2.0, jl-corpus) are pinned via
+    the shared multilingual token map the adapters and strategies draw from.
+    """
+    from pathlib import Path
+
+    from ser_tpu._internal.data.strategies import _TOKEN_LABELS, STRATEGIES
+
+    reference = oracle.call("csv_label_mappings")
+    adapter_corpora = {"emodb-2.0", "jl-corpus"}
+    for corpus, mapping in sorted(reference.items()):
+        for raw, expected in mapping.items():
+            if corpus in adapter_corpora:
+                assert _TOKEN_LABELS.get(raw, raw) == expected, (corpus, raw)
+                continue
+            strategy = STRATEGIES[corpus]
+            resolved = strategy.resolver(Path(f"{raw}/sample_0001.wav"))
+            assert resolved is not None, (corpus, raw)
+            label = resolved[0]
+            assert label == expected, (corpus, raw, label, expected)

@@ -672,6 +672,17 @@ def op_compare_profiles(payload: dict) -> dict:
     }
 
 
+def op_csv_label_mappings(payload: dict) -> dict:
+    from ser._internal.data.catalog import public_datasets as ref_catalog
+
+    out = {}
+    for name in dir(ref_catalog):
+        if name.endswith("_MANIFEST_SPEC"):
+            spec = getattr(ref_catalog, name)
+            out[spec.corpus_id] = dict(spec.label_mapping)
+    return out
+
+
 def op_dataset_catalog(payload: dict) -> dict:
     from ser._internal.data.dataset_prepare import SUPPORTED_DATASETS
 
@@ -721,6 +732,7 @@ _OPS = {
     "clip_label": op_clip_label,
     "compare_profiles": op_compare_profiles,
     "dataset_catalog": op_dataset_catalog,
+    "csv_label_mappings": op_csv_label_mappings,
 }
 
 
