@@ -147,7 +147,7 @@ def _run_doctor(args, settings) -> int:
         include_training_readiness=args.training_readiness,
     )
     print(service.render_report(report, style=args.style))
-    return EXIT_OK if not report.has_errors else 1
+    return EXIT_OK if not report.has_error else 1
 
 
 def _run_data(args, settings) -> int:

@@ -3,8 +3,12 @@
 Parity surface: reference ``ser/_internal/diagnostics/service.py:113-470`` —
 structured findings for runtime capability, media tooling, transcription
 assets, dataset registry health, and model artifacts; text/brief/json
-renderers; fail policy by mode (off/warn/strict). TPU addition: an
-accelerator check reporting the visible JAX devices.
+renderers; fail policy (off → never; any BLOCKING finding → always; strict
+additionally on warning-or-higher, reference ``:184-191``). TPU additions/
+deviations: an accelerator check reporting the visible JAX devices, and
+ffmpeg absence is a WARNING here, not the reference's blocking error — audio
+decode is in-house (WAV/FLAC) and transcription runs the JAX backend, so
+ffmpeg is optional on this stack.
 """
 
 from __future__ import annotations
@@ -31,17 +35,17 @@ def _check_accelerator() -> DiagnosticFinding:
         devices = jax.devices()
         kinds = sorted({d.platform for d in devices})
         return DiagnosticFinding(
-            check_id="accelerator",
+            code="accelerator",
             severity=DiagnosticSeverity.INFO,
-            summary=f"{len(devices)} JAX device(s) visible ({', '.join(kinds)}).",
+            message=f"{len(devices)} JAX device(s) visible ({', '.join(kinds)}).",
         )
     except Exception as err:  # pragma: no cover - broken jax install
         return DiagnosticFinding(
-            check_id="accelerator",
+            code="accelerator",
             severity=DiagnosticSeverity.ERROR,
-            summary="JAX device enumeration failed.",
-            detail=str(err),
-            remediation="Check the JAX installation and TPU runtime.",
+            message=f"JAX device enumeration failed: {err}",
+            remediation=("Check the JAX installation and TPU runtime.",),
+            blocking=True,
         )
 
 
@@ -55,24 +59,24 @@ def _check_profiles(settings: AppConfig) -> list[DiagnosticFinding]:
         if capability.available:
             findings.append(
                 DiagnosticFinding(
-                    check_id=f"profile.{profile}",
+                    code=f"profile.{profile}",
                     severity=DiagnosticSeverity.INFO,
-                    summary=f"Profile {profile} available (backend {capability.backend_id}).",
+                    message=f"Profile {profile} available (backend {capability.backend_id}).",
                 )
             )
         else:
-            severity = (
-                DiagnosticSeverity.WARNING
-                if profile != "fast"
-                else DiagnosticSeverity.ERROR
-            )
+            # The always-on fast profile being unavailable blocks execution
+            # (reference runtime_capability_unavailable, service.py:320-329).
+            is_fast = profile == "fast"
             findings.append(
                 DiagnosticFinding(
-                    check_id=f"profile.{profile}",
-                    severity=severity,
-                    summary=f"Profile {profile} unavailable.",
-                    detail=capability.message,
-                    remediation="Enable the profile flag or install missing modules.",
+                    code=f"profile.{profile}",
+                    severity=(
+                        DiagnosticSeverity.ERROR if is_fast else DiagnosticSeverity.WARNING
+                    ),
+                    message=f"Profile {profile} unavailable. {capability.message or ''}".strip(),
+                    remediation=("Enable the profile flag or install missing modules.",),
+                    blocking=is_fast,
                 )
             )
     return findings
@@ -81,15 +85,15 @@ def _check_profiles(settings: AppConfig) -> list[DiagnosticFinding]:
 def _check_media_tooling() -> DiagnosticFinding:
     if shutil.which("ffmpeg"):
         return DiagnosticFinding(
-            check_id="media.ffmpeg",
+            code="media.ffmpeg",
             severity=DiagnosticSeverity.INFO,
-            summary="ffmpeg found on PATH.",
+            message="ffmpeg found on PATH.",
         )
     return DiagnosticFinding(
-        check_id="media.ffmpeg",
+        code="media.ffmpeg",
         severity=DiagnosticSeverity.WARNING,
-        summary="ffmpeg not found; only WAV decoding is available.",
-        remediation="Install ffmpeg to decode non-WAV containers.",
+        message="ffmpeg not found; only WAV/FLAC decoding is available.",
+        remediation=("Install ffmpeg to decode non-WAV containers.",),
     )
 
 
@@ -101,38 +105,37 @@ def _check_transcription_assets(settings: AppConfig) -> DiagnosticFinding:
         # A stray FILE at the configured root: the doctor diagnoses broken
         # setups — it must report this, not traceback on it.
         return DiagnosticFinding(
-            check_id="transcription.assets",
+            code="transcription.assets",
             severity=DiagnosticSeverity.WARNING,
-            summary=f"whisper_download_root {root} is a file, not a directory.",
-            remediation="Remove the file and stage model assets in a directory.",
+            message=f"whisper_download_root {root} is a file, not a directory.",
+            remediation=("Remove the file and stage model assets in a directory.",),
         )
     if has_assets:
         return DiagnosticFinding(
-            check_id="transcription.assets",
+            code="transcription.assets",
             severity=DiagnosticSeverity.INFO,
-            summary=f"Transcription model assets present under {root}.",
+            message=f"Transcription model assets present under {root}.",
         )
     return DiagnosticFinding(
-        check_id="transcription.assets",
+        code="transcription.assets",
         severity=DiagnosticSeverity.WARNING,
-        summary="No transcription model assets found.",
-        detail=f"Expected Whisper weights under {root}.",
-        remediation="Pre-download Whisper weights or run with --no-transcript.",
+        message=f"No transcription model assets found (expected Whisper weights under {root}).",
+        remediation=("Pre-download Whisper weights or run with --no-transcript.",),
     )
 
 
 def _check_model_artifacts(settings: AppConfig) -> DiagnosticFinding:
     if settings.models.model_file.exists():
         return DiagnosticFinding(
-            check_id="models.fast_artifact",
+            code="models.fast_artifact",
             severity=DiagnosticSeverity.INFO,
-            summary=f"Fast-profile artifact present at {settings.models.model_file}.",
+            message=f"Fast-profile artifact present at {settings.models.model_file}.",
         )
     return DiagnosticFinding(
-        check_id="models.fast_artifact",
+        code="models.fast_artifact",
         severity=DiagnosticSeverity.WARNING,
-        summary="No trained fast-profile artifact found.",
-        remediation="Run `ser --train` to fit the fast-profile head.",
+        message="No trained fast-profile artifact found.",
+        remediation=("Run `ser --train` to fit the fast-profile head.",),
     )
 
 
@@ -142,16 +145,16 @@ def _check_dataset_registry(settings: AppConfig) -> DiagnosticFinding:
     issues = audit_registry_health(settings=settings)
     if not issues:
         return DiagnosticFinding(
-            check_id="data.registry",
+            code="data.registry",
             severity=DiagnosticSeverity.INFO,
-            summary="Dataset registry healthy.",
+            message="Dataset registry healthy.",
         )
+    detail = "; ".join(issue.message for issue in issues[:5])
     return DiagnosticFinding(
-        check_id="data.registry",
+        code="data.registry",
         severity=DiagnosticSeverity.WARNING,
-        summary=f"Dataset registry has {len(issues)} issue(s).",
-        detail="; ".join(issue.message for issue in issues[:5]),
-        remediation="Run `ser data prepare` or repair the registry entries.",
+        message=f"Dataset registry has {len(issues)} issue(s): {detail}",
+        remediation=("Run `ser data prepare` or repair the registry entries.",),
     )
 
 
@@ -183,10 +186,10 @@ def _check_training_readiness(settings: AppConfig) -> list[DiagnosticFinding]:
     except Exception as err:  # noqa: BLE001 - readiness crash is itself a finding
         return [
             DiagnosticFinding(
-                check_id="training.readiness",
+                code="training.readiness",
                 severity=DiagnosticSeverity.ERROR,
-                summary="Training readiness crashed.",
-                detail=str(err),
+                message=f"Training readiness crashed: {err}",
+                blocking=True,
             )
         ]
     severity = (
@@ -194,15 +197,17 @@ def _check_training_readiness(settings: AppConfig) -> list[DiagnosticFinding]:
         if report.blocking
         else (DiagnosticSeverity.WARNING if report.findings else DiagnosticSeverity.INFO)
     )
+    detail = "; ".join(f.message for f in report.findings[:5])
     return [
         DiagnosticFinding(
-            check_id="training.readiness",
+            code="training.readiness",
             severity=severity,
-            summary=(
+            message=(
                 f"Readiness: usable={len(report.usable_files)} "
                 f"quarantined={len(report.quarantined_files)} blocking={report.blocking}."
+                + (f" {detail}" if detail else "")
             ),
-            detail="; ".join(f.message for f in report.findings[:5]),
+            blocking=report.blocking,
         )
     ]
 
@@ -222,21 +227,14 @@ def run_startup_preflight(
 
 
 def render_report(report: DiagnosticReport, *, style: str = "text") -> str:
-    """Renders one report as text, brief, or json."""
+    """Renders one report as text, brief, or json.
+
+    JSON is the reference's exact payload (``report.to_dict()``, sorted keys,
+    reference ``service.py:275``) — summary counts + per-finding
+    code/severity/message/blocking/remediation.
+    """
     if style == "json":
-        return json.dumps(
-            [
-                {
-                    "check_id": f.check_id,
-                    "severity": f.severity.value,
-                    "summary": f.summary,
-                    "detail": f.detail,
-                    "remediation": f.remediation,
-                }
-                for f in report.findings
-            ],
-            indent=2,
-        )
+        return json.dumps(report.to_dict(), indent=2, sort_keys=True)
     icons = {
         DiagnosticSeverity.INFO: "ok",
         DiagnosticSeverity.WARNING: "warn",
@@ -246,22 +244,28 @@ def render_report(report: DiagnosticReport, *, style: str = "text") -> str:
     for finding in report.findings:
         if style == "brief" and finding.severity is DiagnosticSeverity.INFO:
             continue
-        line = f"[{icons[finding.severity]:>4}] {finding.check_id}: {finding.summary}"
-        if style == "text" and finding.detail:
-            line += f"\n       {finding.detail}"
-        if style == "text" and finding.remediation:
-            line += f"\n       → {finding.remediation}"
+        line = f"[{icons[finding.severity]:>4}] {finding.code}: {finding.message}"
+        if style == "text":
+            for step in finding.remediation:
+                line += f"\n       → {step}"
         lines.append(line)
     return "\n".join(lines) if lines else "All checks passed."
 
 
 def preflight_should_abort(report: DiagnosticReport, mode: PreflightMode) -> bool:
-    """Fail policy by mode (reference service.py:184-191)."""
+    """Fail policy (reference ``should_fail_preflight``, service.py:184-191):
+    ``off`` never aborts; any BLOCKING finding always aborts; ``strict``
+    additionally aborts on warning-or-higher."""
     if mode == "off":
         return False
-    if mode == "warn":
-        return report.has_errors
-    return report.has_errors or report.has_warnings
+    if report.has_blocking_findings:
+        return True
+    return mode == "strict" and report.has_warning_or_higher
+
+
+def should_fail_preflight(*, report: DiagnosticReport, mode: PreflightMode) -> bool:
+    """Reference-named alias of :func:`preflight_should_abort`."""
+    return preflight_should_abort(report, mode)
 
 
 __all__ = [
@@ -269,4 +273,5 @@ __all__ = [
     "render_report",
     "run_doctor_diagnostics",
     "run_startup_preflight",
+    "should_fail_preflight",
 ]

@@ -67,8 +67,9 @@ def test_cli_train_infer_doctor_flow(env):
 
     result = _run(["doctor", "--style", "json", "--no-transcription-checks"], env_vars)
     assert result.returncode == 0, result.stderr
-    findings = json.loads(result.stdout[result.stdout.index("[") :])
-    assert any(f["check_id"] == "profile.fast" for f in findings)
+    payload = json.loads(result.stdout[result.stdout.index("{") :])
+    assert any(f["code"] == "profile.fast" for f in payload["findings"])
+    assert "counts" in payload["summary"]
 
 
 def test_cli_validation_exit_codes(env):

@@ -1,8 +1,11 @@
 """Per-owner tests for the doctor/preflight diagnostics service.
 
-Parity surface: reference ``ser/_internal/diagnostics/service.py:113-470`` —
-structured findings, three renderers, fail policy by mode. These run against
-real settings built from an explicit env dict (no ambient state).
+Parity surface: reference ``ser/_internal/diagnostics/service.py:113-470`` +
+``ser/diagnostics/domain.py:8-70`` — structured findings (code/severity/
+message/remediation/blocking), three renderers (JSON = ``report.to_dict()``),
+and the fail policy (off → never; blocking → always; strict additionally on
+warning-or-higher). These run against real settings built from an explicit
+env dict (no ambient state).
 """
 
 import json
@@ -15,6 +18,7 @@ from ser_tpu._internal.diagnostics.service import (
     render_report,
     run_doctor_diagnostics,
     run_startup_preflight,
+    should_fail_preflight,
 )
 from ser_tpu.diagnostics.domain import (
     DiagnosticFinding,
@@ -32,13 +36,13 @@ def _settings(tmp_path, **env):
     return build_settings_from_inputs(capture_settings_inputs(env=base))
 
 
-def _by_check(report):
-    return {f.check_id: f for f in report.findings}
+def _by_code(report):
+    return {f.code: f for f in report.findings}
 
 
 def test_doctor_reports_every_core_check(tmp_path):
     report = run_doctor_diagnostics(settings=_settings(tmp_path))
-    checks = _by_check(report)
+    checks = _by_code(report)
     assert "accelerator" in checks
     assert checks["accelerator"].severity is DiagnosticSeverity.INFO
     for profile in ("fast", "medium", "accurate", "accurate-research"):
@@ -50,7 +54,7 @@ def test_doctor_reports_every_core_check(tmp_path):
 
 
 def test_missing_artifacts_surface_as_warnings_not_errors(tmp_path):
-    checks = _by_check(run_doctor_diagnostics(settings=_settings(tmp_path)))
+    checks = _by_code(run_doctor_diagnostics(settings=_settings(tmp_path)))
     # Nothing is staged in tmp_path: assets/artifacts are warnings with
     # remediation, never crashes.
     assert checks["transcription.assets"].severity is DiagnosticSeverity.WARNING
@@ -63,24 +67,24 @@ def test_whisper_root_as_file_is_diagnosed_not_raised(tmp_path):
     root = settings.models.whisper_download_root
     root.parent.mkdir(parents=True, exist_ok=True)
     root.write_text("not a directory")
-    checks = _by_check(run_doctor_diagnostics(settings=settings))
+    checks = _by_code(run_doctor_diagnostics(settings=settings))
     finding = checks["transcription.assets"]
     assert finding.severity is DiagnosticSeverity.WARNING
-    assert "file, not a directory" in finding.summary
+    assert "file, not a directory" in finding.message
 
 
 def test_preflight_is_a_strict_subset_of_doctor(tmp_path):
     settings = _settings(tmp_path)
-    doctor = {f.check_id for f in run_doctor_diagnostics(settings=settings).findings}
+    doctor = {f.code for f in run_doctor_diagnostics(settings=settings).findings}
     preflight = {
-        f.check_id
+        f.code
         for f in run_startup_preflight(
             settings=settings, include_transcription_checks=True
         ).findings
     }
     assert preflight < doctor
     without = {
-        f.check_id
+        f.code
         for f in run_startup_preflight(
             settings=settings, include_transcription_checks=False
         ).findings
@@ -101,14 +105,13 @@ def _mixed_report():
     return DiagnosticReport(
         findings=(
             DiagnosticFinding(
-                check_id="ok", severity=DiagnosticSeverity.INFO, summary="fine"
+                code="ok", severity=DiagnosticSeverity.INFO, message="fine"
             ),
             DiagnosticFinding(
-                check_id="warned",
+                code="warned",
                 severity=DiagnosticSeverity.WARNING,
-                summary="issue",
-                detail="ctx",
-                remediation="do the thing",
+                message="issue",
+                remediation=("do the thing",),
             ),
         )
     )
@@ -121,15 +124,20 @@ def test_render_styles_text_brief_json():
     brief = render_report(report, style="brief")
     assert "fine" not in brief and "issue" in brief  # INFO suppressed
     parsed = json.loads(render_report(report, style="json"))
-    assert [row["check_id"] for row in parsed] == ["ok", "warned"]
-    assert parsed[1]["severity"] == "warning"
+    # Reference payload: report.to_dict() — summary counts + findings.
+    assert parsed["summary"]["counts"] == {"info": 1, "warning": 1, "error": 0}
+    assert parsed["summary"]["has_warning_or_higher"] is True
+    assert parsed["summary"]["has_blocking_findings"] is False
+    assert [row["code"] for row in parsed["findings"]] == ["ok", "warned"]
+    assert parsed["findings"][1]["severity"] == "warning"
+    assert parsed["findings"][1]["remediation"] == ["do the thing"]
 
 
 def test_brief_render_of_all_info_report_says_all_passed():
     report = DiagnosticReport(
         findings=(
             DiagnosticFinding(
-                check_id="ok", severity=DiagnosticSeverity.INFO, summary="fine"
+                code="ok", severity=DiagnosticSeverity.INFO, message="fine"
             ),
         )
     )
@@ -137,23 +145,54 @@ def test_brief_render_of_all_info_report_says_all_passed():
 
 
 def test_preflight_abort_policy_matrix():
+    # Reference service.py:184-191: off never aborts; any BLOCKING finding
+    # always aborts; strict additionally aborts on warning-or-higher. A
+    # non-blocking error does NOT abort warn mode.
     info = DiagnosticReport(
         findings=(
-            DiagnosticFinding(
-                check_id="a", severity=DiagnosticSeverity.INFO, summary="s"
-            ),
+            DiagnosticFinding(code="a", severity=DiagnosticSeverity.INFO, message="s"),
         )
     )
     warn = _mixed_report()
-    error = DiagnosticReport(
+    nonblocking_error = DiagnosticReport(
+        findings=(
+            DiagnosticFinding(code="b", severity=DiagnosticSeverity.ERROR, message="s"),
+        )
+    )
+    blocking_error = DiagnosticReport(
         findings=(
             DiagnosticFinding(
-                check_id="b", severity=DiagnosticSeverity.ERROR, summary="s"
+                code="c",
+                severity=DiagnosticSeverity.ERROR,
+                message="s",
+                blocking=True,
             ),
         )
     )
-    assert not preflight_should_abort(error, "off")
+    assert not preflight_should_abort(blocking_error, "off")
     assert not preflight_should_abort(warn, "warn")
-    assert preflight_should_abort(error, "warn")
+    assert not preflight_should_abort(nonblocking_error, "warn")
+    assert preflight_should_abort(blocking_error, "warn")
     assert preflight_should_abort(warn, "strict")
+    assert preflight_should_abort(nonblocking_error, "strict")
     assert not preflight_should_abort(info, "strict")
+    # Reference-named alias.
+    assert should_fail_preflight(report=blocking_error, mode="warn")
+
+
+def test_report_to_dict_reference_shape():
+    payload = _mixed_report().to_dict()
+    assert set(payload) == {"summary", "findings"}
+    assert set(payload["summary"]) == {
+        "counts",
+        "has_blocking_findings",
+        "has_warning_or_higher",
+        "has_error",
+    }
+    assert set(payload["findings"][0]) == {
+        "code",
+        "severity",
+        "message",
+        "blocking",
+        "remediation",
+    }
