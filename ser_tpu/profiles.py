@@ -276,18 +276,67 @@ def resolve_profile_name(
     return "fast"
 
 
+# --- Reference-named public surface (reference ser/profiles.py:17-53,681-698) ---
+
+type ProfileEnableFlag = Literal[
+    "SER_ENABLE_MEDIUM_PROFILE",
+    "SER_ENABLE_ACCURATE_PROFILE",
+    "SER_ENABLE_ACCURATE_RESEARCH_PROFILE",
+]
+
+#: Reference aliases: the catalog entry/model types under their public names.
+ProfileCatalogEntry = ProfileSpec
+ProfileModelDefinition = ProfileModelSpec
+
+
+@dataclass(frozen=True)
+class RuntimeProfile:
+    """Resolved runtime profile configuration (reference ``profiles.py:44-53``)."""
+
+    name: ProfileName
+    description: str
+
+
+def available_profiles() -> dict[str, RuntimeProfile]:
+    """Immutable runtime profile definitions (reference ``profiles.py:681-683``)."""
+    return {
+        name: RuntimeProfile(name=name, description=entry.description)
+        for name, entry in get_profile_catalog().items()
+    }
+
+
+def resolve_profile(settings) -> RuntimeProfile:
+    """Resolves the full profile definition from runtime flags
+    (reference ``profiles.py:696-698``)."""
+    flags = getattr(settings, "runtime_flags", None)
+    name = resolve_profile_name(
+        medium_profile=bool(getattr(flags, "medium_profile", False)),
+        accurate_profile=bool(getattr(flags, "accurate_profile", False)),
+        accurate_research_profile=bool(
+            getattr(flags, "accurate_research_profile", False)
+        ),
+    )
+    return available_profiles()[name]
+
+
 __all__ = [
     "PROFILE_NAMES",
     "PROFILE_PRECEDENCE",
+    "ProfileCatalogEntry",
     "ProfileCatalogError",
+    "ProfileEnableFlag",
     "ProfileFeatureRuntimeDefaults",
+    "ProfileModelDefinition",
     "ProfileModelSpec",
     "ProfileName",
     "ProfileRuntimeDefaults",
     "ProfileSpec",
     "ProfileTranscriptionDefaults",
+    "RuntimeProfile",
     "TranscriptionBackendId",
+    "available_profiles",
     "get_profile_catalog",
     "list_profile_names",
+    "resolve_profile",
     "resolve_profile_name",
 ]

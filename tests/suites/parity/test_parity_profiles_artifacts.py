@@ -132,3 +132,18 @@ def test_artifact_names_parity(oracle, model_id, profile):
         accurate_research_model_id=model_id,
     )
     assert list(repo_names) == reference["names"]
+
+
+def test_runtime_profile_surface_parity(oracle):
+    """available_profiles()/resolve_profile() match the reference's public
+    shape (reference profiles.py:44-53,681-698). Descriptions deliberately
+    deviate: they describe this stack (the reference's fast description says
+    "CPU-first"), so only presence is asserted."""
+    from ser_tpu.profiles import available_profiles
+
+    ours = available_profiles()
+    theirs = oracle.call("available_profiles")
+    assert set(ours) == set(theirs)
+    for name, profile in ours.items():
+        assert profile.name == name
+        assert profile.description  # non-empty; wording is ours

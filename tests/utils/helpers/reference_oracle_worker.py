@@ -178,6 +178,13 @@ def op_resolve_profile(payload: dict) -> str:
     return ref_profiles.resolve_profile_name(settings)
 
 
+def op_available_profiles(payload: dict) -> dict:
+    return {
+        name: profile.description
+        for name, profile in ref_profiles.available_profiles().items()
+    }
+
+
 def op_catalog_snapshot(payload: dict) -> dict:
     catalog = ref_profiles.get_profile_catalog()
 
@@ -710,6 +717,7 @@ _OPS = {
     "subtitle_request": op_subtitle_request,
     "subtitle_cues": op_subtitle_cues,
     "resolve_profile": op_resolve_profile,
+    "available_profiles": op_available_profiles,
     "catalog_snapshot": op_catalog_snapshot,
     "catalog_validate": op_catalog_validate,
     "artifact_names": op_artifact_names,
