@@ -235,6 +235,36 @@ def render_report(report: DiagnosticReport, *, style: str = "text") -> str:
     """
     if style == "json":
         return json.dumps(report.to_dict(), indent=2, sort_keys=True)
+    if style == "text":
+        # Reference format_report_text (service.py:193-218): header +
+        # severity counts, [LEVEL] code: status message, remediation lines.
+        counts = report.counts_by_severity()
+        lines = [
+            "SER diagnostics report",
+            f"summary: info={counts['info']} warning={counts['warning']} error={counts['error']}",
+        ]
+        if not report.findings:
+            lines.append("status: ok (no findings)")
+            return "\n".join(lines)
+        for finding in report.findings:
+            level = finding.severity.value.upper()
+            status_label = (
+                " blocking"
+                if finding.blocking
+                else (
+                    " advisory"
+                    if finding.severity is DiagnosticSeverity.WARNING
+                    else (
+                        " informational"
+                        if finding.severity is DiagnosticSeverity.INFO
+                        else ""
+                    )
+                )
+            )
+            lines.append(f"[{level}] {finding.code}:{status_label} {finding.message}")
+            for remediation in finding.remediation:
+                lines.append(f"  remediation: {remediation}")
+        return "\n".join(lines)
     icons = {
         DiagnosticSeverity.INFO: "ok",
         DiagnosticSeverity.WARNING: "warn",
@@ -242,13 +272,9 @@ def render_report(report: DiagnosticReport, *, style: str = "text") -> str:
     }
     lines = []
     for finding in report.findings:
-        if style == "brief" and finding.severity is DiagnosticSeverity.INFO:
+        if finding.severity is DiagnosticSeverity.INFO:
             continue
-        line = f"[{icons[finding.severity]:>4}] {finding.code}: {finding.message}"
-        if style == "text":
-            for step in finding.remediation:
-                line += f"\n       → {step}"
-        lines.append(line)
+        lines.append(f"[{icons[finding.severity]:>4}] {finding.code}: {finding.message}")
     return "\n".join(lines) if lines else "All checks passed."
 
 

@@ -120,7 +120,12 @@ def _mixed_report():
 def test_render_styles_text_brief_json():
     report = _mixed_report()
     text = render_report(report, style="text")
-    assert "ok: fine" in text and "do the thing" in text
+    # Reference text format (service.py:193-218).
+    assert text.startswith("SER diagnostics report")
+    assert "summary: info=1 warning=1 error=0" in text
+    assert "[INFO] ok: informational fine" in text
+    assert "[WARNING] warned: advisory issue" in text
+    assert "  remediation: do the thing" in text
     brief = render_report(report, style="brief")
     assert "fine" not in brief and "issue" in brief  # INFO suppressed
     parsed = json.loads(render_report(report, style="json"))
