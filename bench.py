@@ -465,7 +465,43 @@ def _bench_transcript() -> tuple[float, str, dict]:
     return seconds / p50, "transcript_lane_audio_seconds_per_second_per_chip", extras
 
 
+def _ensure_live_backend(probe_timeout_s: float = 240.0) -> str:
+    """Probes accelerator availability in a SUBPROCESS before any in-process
+    jax init.
+
+    A dead remote-TPU tunnel makes ``jax.devices()`` HANG inside backend
+    init (not raise), which cannot be interrupted from Python once entered —
+    the driver's bench run would stall forever. The probe isolates that hang
+    in a killable child; on failure this process pins JAX to CPU so the
+    benchmark still emits its JSON line (marked ``platform: cpu-fallback``).
+    """
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return "cpu"
+    import subprocess
+
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True,
+            text=True,
+            timeout=probe_timeout_s,
+        )
+        platform = probe.stdout.strip().splitlines()[-1] if probe.stdout.strip() else ""
+        if probe.returncode == 0 and platform:
+            return platform
+    except subprocess.TimeoutExpired:
+        pass
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    print(
+        "WARNING: accelerator backend unavailable (probe failed/timed out); "
+        "falling back to CPU — numbers are NOT hardware truth.",
+        file=sys.stderr,
+    )
+    return "cpu-fallback"
+
+
 def main() -> int:
+    platform = _ensure_live_backend()
     _honor_platform_env()
     profile = os.environ.get("SER_BENCH_PROFILE", "accurate")
     trace_dir = os.environ.get("SER_BENCH_TRACE_DIR")
@@ -519,6 +555,7 @@ def main() -> int:
                 extras.update(lane())
             except Exception as err:  # headline must never break on a lane
                 extras[f"{lane_name}_error"] = f"{type(err).__name__}: {err}"
+    extras["platform"] = platform
 
     print(
         json.dumps(
