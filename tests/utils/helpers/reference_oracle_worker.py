@@ -690,6 +690,57 @@ def op_csv_label_mappings(payload: dict) -> dict:
     return out
 
 
+def op_retry_policy(payload: dict) -> dict:
+    import logging
+
+    from ser._internal.runtime.policy import run_with_retry_policy
+
+    class _Timeout(Exception):
+        pass
+
+    class _Transient(Exception):
+        pass
+
+    class _Exhausted(Exception):
+        pass
+
+    sequence = list(payload["sequence"])
+    attempts = {"n": 0}
+
+    def operation():
+        attempts["n"] += 1
+        step = sequence[min(attempts["n"] - 1, len(sequence) - 1)]
+        if step == "timeout":
+            raise _Timeout("t")
+        if step == "transient":
+            raise _Transient("x")
+        return "ok"
+
+    config = SimpleNamespace(
+        max_timeout_retries=payload["max_timeout_retries"],
+        max_transient_retries=payload["max_transient_retries"],
+        retry_backoff_seconds=0.0,
+    )
+    try:
+        result = run_with_retry_policy(
+            operation=operation,
+            runtime_config=config,
+            allow_retries=payload.get("allow_retries", True),
+            profile_label="oracle",
+            timeout_error_type=_Timeout,
+            transient_error_type=_Transient,
+            transient_exhausted_error=lambda err: _Exhausted(str(err)),
+            retry_delay_seconds=lambda **kwargs: 0.0,
+            logger=logging.getLogger("oracle"),
+        )
+        outcome = result
+    except _Timeout:
+        outcome = "timeout_raised"
+    except _Exhausted:
+        outcome = "transient_exhausted"
+    return {"attempts": attempts["n"], "outcome": outcome}
+
+
 def op_dataset_catalog(payload: dict) -> dict:
     from ser._internal.data.dataset_prepare import SUPPORTED_DATASETS
 
@@ -741,6 +792,7 @@ _OPS = {
     "compare_profiles": op_compare_profiles,
     "dataset_catalog": op_dataset_catalog,
     "csv_label_mappings": op_csv_label_mappings,
+    "retry_policy": op_retry_policy,
 }
 
 
