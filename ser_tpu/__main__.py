@@ -66,8 +66,27 @@ def build_parser() -> argparse.ArgumentParser:
 
     subparsers = parser.add_subparsers(dest="command")
 
-    configure = subparsers.add_parser("configure", help="Record restricted-backend consents.")
+    configure = subparsers.add_parser(
+        "configure", help="Record dataset/restricted-backend consents."
+    )
     configure.add_argument("--enable-backend", action="append", default=[])
+    # Dataset-consent surface, reference `ser configure` (data/cli.py:108-154).
+    configure.add_argument(
+        "--accept-dataset-policy", nargs="+", default=[],
+        help="Dataset policy IDs to acknowledge (e.g., academic_only share_alike).",
+    )
+    configure.add_argument(
+        "--accept-dataset-license", nargs="+", default=[],
+        help="Dataset license IDs to acknowledge (e.g., odbl-1.0 cc-by-nc-sa-4.0).",
+    )
+    configure.add_argument(
+        "--persist", action="store_true",
+        help="Persist acknowledgements to a local config file.",
+    )
+    configure.add_argument(
+        "--show", action="store_true",
+        help="Show currently persisted dataset consents.",
+    )
 
     doctor = subparsers.add_parser("doctor", help="Run environment diagnostics.")
     doctor.add_argument("--style", choices=("text", "brief", "json"), default="text")
@@ -246,7 +265,7 @@ def _run_data(args, settings) -> int:
     return EXIT_VALIDATION
 
 
-def _run_configure(args) -> int:
+def _run_configure(args, settings) -> int:
     for backend_id in args.enable_backend:
         if backend_id not in restricted_backends.RESTRICTED_BACKEND_POLICIES:
             print(f"Backend {backend_id!r} is not restricted; nothing to record.")
@@ -255,8 +274,28 @@ def _run_configure(args) -> int:
         print(policy.notice)
         restricted_backends.record_backend_consent(backend_id)
         print(f"Recorded consent for {backend_id} (policy {policy.policy_id}).")
-    if not args.enable_backend:
-        print("Nothing to configure. Use --enable-backend <backend_id>.")
+
+    # Dataset-consent flow, reference semantics (data/cli.py:108-154): show
+    # (or no accept flags) prints the persisted record; accepting without
+    # --persist refuses with exit 2.
+    accepts = bool(args.accept_dataset_policy or args.accept_dataset_license)
+    if args.show or (not accepts and not args.enable_backend):
+        record = api.show_dataset_consents(settings=settings)
+        policies = ", ".join(sorted(record.policy_ids)) or "(none)"
+        licenses = ", ".join(sorted(record.license_ids)) or "(none)"
+        print(f"Persisted dataset policy consents: {policies}")
+        print(f"Persisted dataset license consents: {licenses}")
+        return EXIT_OK
+    if accepts:
+        if not args.persist:
+            print("Refusing to modify local config without --persist.")
+            return EXIT_VALIDATION
+        api.configure_dataset_consents(
+            accept_policy_ids=tuple(args.accept_dataset_policy),
+            accept_license_ids=tuple(args.accept_dataset_license),
+            settings=settings,
+            source="ser configure",
+        )
     return EXIT_OK
 
 
@@ -388,7 +427,7 @@ def main(argv: list[str] | None = None) -> int:
     settings = reload_settings()
 
     if args.command == "configure":
-        return _run_configure(args)
+        return _run_configure(args, settings)
     if args.command == "doctor":
         return _run_doctor(args, settings)
     if args.command == "data":

@@ -87,3 +87,31 @@ def test_cli_data_surface(env):
     result = _run(["data", "prepare", "ravdess", "--accept-license"], env_vars)
     assert result.returncode == 0, result.stderr
     assert "32 utterances" in result.stdout
+
+
+def test_cli_configure_dataset_consent_flow(env):
+    # Reference `ser configure` semantics (data/cli.py:108-154): show prints
+    # the persisted record; accepting without --persist refuses with exit 2.
+    root, env_vars = env
+    consent_env = dict(env_vars, XDG_DATA_HOME=str(root / "xdg"))
+    result = _run(["configure", "--show"], consent_env)
+    assert result.returncode == 0
+    assert "Persisted dataset policy consents: (none)" in result.stdout
+
+    result = _run(["configure", "--accept-dataset-policy", "noncommercial"], consent_env)
+    assert result.returncode == 2
+    assert "Refusing to modify local config without --persist." in result.stdout
+
+    result = _run(
+        [
+            "configure",
+            "--accept-dataset-policy", "noncommercial",
+            "--accept-dataset-license", "cc-by-nc-sa-4.0",
+            "--persist",
+        ],
+        consent_env,
+    )
+    assert result.returncode == 0
+    result = _run(["configure", "--show"], consent_env)
+    assert "noncommercial" in result.stdout
+    assert "cc-by-nc-sa-4.0" in result.stdout
