@@ -108,6 +108,31 @@ def build_parser() -> argparse.ArgumentParser:
     prepare.add_argument("--labels-csv", type=Path, default=None)
     prepare.add_argument("--accept-license", action="store_true")
     prepare.add_argument("--skip-download", action="store_true", default=False)
+    download = data_sub.add_parser(
+        "download", help="Download/prepare one dataset (reference data/cli.py:163)."
+    )
+    download.add_argument("--dataset", dest="dataset_id", required=True)
+    download.add_argument("--root", type=Path, default=None)
+    download.add_argument("--manifest", type=Path, default=None)
+    download.add_argument("--labels-csv", type=Path, default=None)
+    download.add_argument("--accept-license", action="store_true")
+    download.add_argument(
+        "--skip-download", action="store_true", default=False,
+        help="Skip download step (useful when the dataset is already present).",
+    )
+    uninstall = data_sub.add_parser(
+        "uninstall", help="Remove one dataset registry entry and local artifacts."
+    )
+    uninstall.add_argument("--dataset", dest="dataset_id", required=True)
+    uninstall.add_argument(
+        "--keep-files", action="store_true",
+        help="Only remove the registry entry (keep dataset_root and manifest files).",
+    )
+    catalog = data_sub.add_parser(
+        "catalog", help="Show dataset capabilities and pipeline-use candidates."
+    )
+    catalog.add_argument("--all", action="store_true")
+    catalog.add_argument("--format", choices=("text", "json"), default="text")
     audit = data_sub.add_parser(
         "audit", help="Build the leakage-safe split ledger for registered manifests."
     )
@@ -188,7 +213,9 @@ def _run_data(args, settings) -> int:
         if not issues:
             print("Registry healthy.")
         return EXIT_OK
-    if args.data_command == "prepare":
+    if args.data_command in ("prepare", "download"):
+        # `download` is the reference's acquisition verb (data/cli.py:163):
+        # same pipeline as prepare, acquisition ON unless --skip-download.
         result, code = run_command(
             lambda: api.prepare_dataset(
                 dataset_id=args.dataset_id,
@@ -199,7 +226,7 @@ def _run_data(args, settings) -> int:
                 skip_download=args.skip_download,
                 settings=settings,
             ),
-            label="dataset prepare",
+            label=f"dataset {args.data_command}",
         )
         if result is not None:
             print(
@@ -209,6 +236,62 @@ def _run_data(args, settings) -> int:
             for warning in result.warnings:
                 print(f"warning: {warning}")
         return code
+    if args.data_command == "uninstall":
+        from ser_tpu._internal.data.registry import unregister_dataset
+
+        removed = unregister_dataset(args.dataset_id, settings=settings)
+        if removed is None:
+            print(f"Dataset {args.dataset_id!r} is not registered.", file=sys.stderr)
+            return EXIT_VALIDATION
+        if not args.keep_files:
+            import shutil as _shutil
+
+            root = Path(removed.dataset_root)
+            if root.exists():
+                _shutil.rmtree(root, ignore_errors=True)
+            manifest = Path(removed.manifest_path)
+            if manifest.exists():
+                manifest.unlink(missing_ok=True)
+        print(
+            f"Uninstalled {removed.dataset_id}"
+            + (" (files kept)" if args.keep_files else " (files removed)")
+        )
+        return EXIT_OK
+    if args.data_command == "catalog":
+        import json as json_module
+
+        from ser_tpu._internal.data.catalog import DATASET_CATALOG
+
+        installed = {
+            record.dataset_id for record in api.list_registered_datasets(settings=settings)
+        }
+        rows = []
+        for dataset_id, spec in sorted(DATASET_CATALOG.items()):
+            if not args.all and dataset_id not in installed:
+                continue
+            rows.append(
+                {
+                    "dataset_id": dataset_id,
+                    "display_name": spec.display_name,
+                    "installed": dataset_id in installed,
+                    "policy_id": spec.policy_id,
+                    "license_id": spec.license_id,
+                    "provider": spec.provider,
+                    "requires_manual_download": spec.requires_manual_download,
+                }
+            )
+        if args.format == "json":
+            print(json_module.dumps(rows, indent=2))
+        else:
+            for row in rows:
+                marker = "installed" if row["installed"] else "available"
+                print(
+                    f"{row['dataset_id']}: {marker} ({row['policy_id']}/"
+                    f"{row['license_id']}, provider={row['provider']})"
+                )
+            if not rows:
+                print("No datasets installed. Use --all to list the catalog.")
+        return EXIT_OK
     if args.data_command == "audit":
         import json as json_module
 

@@ -127,6 +127,29 @@ def register_dataset(record: DatasetRegistryRecord, *, settings: AppConfig | Non
         tmp.replace(path)
 
 
+def unregister_dataset(
+    dataset_id: str, *, settings: AppConfig | None = None
+) -> DatasetRegistryRecord | None:
+    """Removes one dataset record; returns it (or None when absent).
+
+    Parity surface: reference ``ser data uninstall``
+    (``data/application/uninstall.py``) — the registry entry goes away under
+    the same lock discipline as registration; file removal is the caller's
+    decision (``--keep-files``).
+    """
+    path = _registry_path(settings)
+    with _registry_lock(path):
+        raw = _read_raw(settings)
+        entry = raw.pop(dataset_id, None)
+        if entry is None:
+            return None
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_suffix(f".tmp.{os.getpid()}")
+        tmp.write_text(json.dumps(raw, indent=2), encoding="utf-8")
+        tmp.replace(path)
+        return DatasetRegistryRecord(dataset_id=dataset_id, **entry)
+
+
 def audit_registry_health(
     *, settings: AppConfig | None = None
 ) -> tuple[DatasetRegistryHealthIssueRecord, ...]:
@@ -188,4 +211,5 @@ __all__ = [
     "list_registered_datasets",
     "now_unix",
     "register_dataset",
+    "unregister_dataset",
 ]

@@ -101,3 +101,56 @@ def test_benchmark_subcommand_reports_latency_json(env, monkeypatch, capsys):
     payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["runs"] == 3
     assert set(payload) >= {"mean_seconds", "median_seconds", "p95_seconds"}
+
+
+def test_download_catalog_uninstall_verbs(tmp_path):
+    """Reference data verbs (data/cli.py:160-210): download = acquisition+
+    prepare+register; catalog shows installed/available with compliance ids;
+    uninstall removes the registry entry (and files unless --keep-files)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[4] / "scripts"))
+    from build_synthetic_ravdess_dataset import build_dataset
+
+    build_dataset(tmp_path / "ravdess", actors=1, repetitions=2, seconds=1.0)
+    env = dict(
+        __import__("os").environ,
+        XDG_DATA_HOME=str(tmp_path / "xdg"),
+        SER_DATASET_REGISTRY_ROOT=str(tmp_path / "reg"),
+        JAX_PLATFORMS="cpu",
+    )
+
+    def run(*argv):
+        return subprocess.run(
+            [sys.executable, "-m", "ser_tpu", "data", *argv],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=300,
+        )
+
+    result = run(
+        "download", "--dataset", "ravdess", "--root", str(tmp_path / "ravdess"),
+        "--accept-license", "--skip-download",
+    )
+    assert result.returncode == 0, result.stderr
+    assert "Prepared ravdess" in result.stdout
+
+    result = run("catalog")
+    assert "ravdess: installed (noncommercial/cc-by-nc-sa-4.0" in result.stdout
+
+    result = run("catalog", "--all", "--format", "json")
+    import json
+
+    rows = json.loads(result.stdout)
+    assert len(rows) == 16
+    assert any(r["dataset_id"] == "ravdess" and r["installed"] for r in rows)
+
+    result = run("uninstall", "--dataset", "ravdess", "--keep-files")
+    assert result.returncode == 0 and "files kept" in result.stdout
+    assert (tmp_path / "ravdess" / "ravdess.manifest.jsonl").exists()
+
+    result = run("uninstall", "--dataset", "ravdess")
+    assert result.returncode == 2  # already removed
