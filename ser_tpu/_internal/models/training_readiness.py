@@ -184,27 +184,180 @@ def _file_records(files: list[str], settings: AppConfig) -> list[FileRecord]:
     return records
 
 
+#: Device selectors the JAX runtime policy resolves without surprises
+#: (``repr/runtime_policy.py``); the reference validates torch's set the same
+#: way (``training_readiness.py:1118-1127``).
+_ALLOWED_DEVICE_SELECTORS = frozenset({"auto", "cpu", "tpu", "cuda", "gpu", "accelerator"})
+_ALLOWED_DTYPE_SELECTORS = frozenset({"auto", "float16", "float32", "bfloat16"})
+
+
+def _blocking_config(reason: str, message: str) -> ReadinessFinding:
+    return ReadinessFinding(FindingScope.CONFIG, FindingSeverity.BLOCKING, reason, message)
+
+
 def _config_findings(settings: AppConfig) -> list[ReadinessFinding]:
-    findings = []
+    """Validates every training-relevant knob before any media is touched.
+
+    Reference breadth: ``ser/_internal/models/training_readiness.py:975-1195``
+    — unit-interval splits, data-loader failure budgets, classifier
+    hyper-parameters, all four per-profile runtime envelopes (timeouts,
+    retry budgets, pooling window geometry, postprocessing hysteresis),
+    device/dtype selectors, and quarantine-policy construction.
+    """
+    import math
+
+    findings: list[ReadinessFinding] = []
     folder = settings.dataset.folder
     if not folder.exists():
         findings.append(
-            ReadinessFinding(
-                FindingScope.CONFIG,
-                FindingSeverity.BLOCKING,
-                "dataset_folder_missing",
-                f"Dataset folder does not exist: {folder}",
+            _blocking_config(
+                "dataset_folder_missing", f"Dataset folder does not exist: {folder}"
             )
         )
-    if settings.training.test_size <= 0 or settings.training.test_size >= 1:
+
+    numeric_checks: tuple[tuple[str, float, object], ...] = (
+        ("training.test_size", settings.training.test_size, lambda v: 0.0 < v < 1.0),
+        ("training.dev_size", settings.training.dev_size, lambda v: 0.0 < v < 1.0),
+        (
+            "data_loader.max_failed_file_ratio",
+            settings.data_loader.max_failed_file_ratio,
+            lambda v: 0.0 <= v <= 1.0,
+        ),
+        (
+            "data_loader.max_failed_file_ratio_per_corpus",
+            settings.data_loader.max_failed_file_ratio_per_corpus,
+            lambda v: 0.0 <= v <= 1.0,
+        ),
+        (
+            "data_loader.max_failed_file_ratio_per_class",
+            settings.data_loader.max_failed_file_ratio_per_class,
+            lambda v: 0.0 <= v <= 1.0,
+        ),
+        (
+            "audio_read.retry_delay_seconds",
+            settings.audio_read.retry_delay_seconds,
+            lambda v: v >= 0.0,
+        ),
+        ("nn.alpha", settings.nn.alpha, lambda v: v >= 0.0),
+        ("nn.epsilon", settings.nn.epsilon, lambda v: v > 0.0),
+        (
+            "medium_training.min_window_std",
+            settings.medium_training.min_window_std,
+            lambda v: v >= 0.0,
+        ),
+    )
+    for name, value, predicate in numeric_checks:
+        if not math.isfinite(value) or not predicate(value):
+            findings.append(
+                _blocking_config(
+                    "invalid_configuration", f"Invalid training setting {name}={value!r}."
+                )
+            )
+    if settings.training.test_size + settings.training.dev_size >= 1.0:
         findings.append(
-            ReadinessFinding(
-                FindingScope.CONFIG,
-                FindingSeverity.BLOCKING,
-                "invalid_test_size",
-                f"training.test_size must be in (0,1); got {settings.training.test_size}.",
+            _blocking_config(
+                "invalid_configuration",
+                "training.test_size + training.dev_size must be below 1.0.",
             )
         )
+
+    for profile_name in ("fast", "medium", "accurate", "accurate-research"):
+        runtime = settings.profile_runtime(profile_name)
+        runtime_values = (
+            ("timeout_seconds", runtime.timeout_seconds, lambda v: v >= 0.0),
+            ("retry_backoff_seconds", runtime.retry_backoff_seconds, lambda v: v >= 0.0),
+            ("pool_window_size_seconds", runtime.pool_window_size_seconds, lambda v: v > 0.0),
+            (
+                "pool_window_stride_seconds",
+                runtime.pool_window_stride_seconds,
+                lambda v: v > 0.0,
+            ),
+            (
+                "post_hysteresis_enter_confidence",
+                runtime.post_hysteresis_enter_confidence,
+                lambda v: 0.0 <= v <= 1.0,
+            ),
+            (
+                "post_hysteresis_exit_confidence",
+                runtime.post_hysteresis_exit_confidence,
+                lambda v: 0.0 <= v <= 1.0,
+            ),
+            (
+                "post_min_segment_duration_seconds",
+                runtime.post_min_segment_duration_seconds,
+                lambda v: v >= 0.0,
+            ),
+        )
+        for name, value, predicate in runtime_values:
+            if not math.isfinite(value) or not predicate(value):
+                findings.append(
+                    _blocking_config(
+                        "invalid_configuration",
+                        f"Invalid {profile_name} runtime setting {name}={value!r}.",
+                    )
+                )
+        if runtime.pool_window_stride_seconds > runtime.pool_window_size_seconds:
+            findings.append(
+                _blocking_config(
+                    "invalid_configuration",
+                    f"{profile_name} pooling stride cannot exceed its window size.",
+                )
+            )
+        if (
+            runtime.max_timeout_retries < 0
+            or runtime.max_transient_retries < 0
+            or runtime.post_smoothing_window_frames <= 0
+        ):
+            findings.append(
+                _blocking_config(
+                    "invalid_configuration",
+                    f"{profile_name} retry/smoothing counts are invalid.",
+                )
+            )
+
+    if (
+        settings.training.random_state < 0
+        or settings.nn.random_state < 0
+        or settings.audio_read.max_retries <= 0
+        or settings.data_loader.max_workers <= 0
+        or settings.data_loader.max_failed_files < 0
+        or settings.data_loader.max_failures_per_reason < 0
+        or settings.data_loader.min_remaining_per_class_split < 0
+        or settings.medium_training.max_windows_per_clip < 0
+    ):
+        findings.append(
+            _blocking_config(
+                "invalid_configuration",
+                "Training seeds, retries, workers, iterations, and budgets are invalid.",
+            )
+        )
+
+    if (
+        settings.nn.max_iter <= 0
+        or any(size <= 0 for size in settings.nn.hidden_layer_sizes)
+    ):
+        findings.append(
+            _blocking_config(
+                "invalid_configuration",
+                "Classifier iteration counts and layer sizes must be positive.",
+            )
+        )
+
+    requested_device = settings.torch_runtime.device.split(":", 1)[0].lower()
+    if (
+        requested_device not in _ALLOWED_DEVICE_SELECTORS
+        or settings.torch_runtime.dtype not in _ALLOWED_DTYPE_SELECTORS
+    ):
+        findings.append(
+            _blocking_config(
+                "invalid_configuration", "Runtime device/dtype selector is unsupported."
+            )
+        )
+
+    try:
+        QuarantinePolicy.from_settings(settings)
+    except ValueError as error:
+        findings.append(_blocking_config("invalid_configuration", str(error)))
     return findings
 
 

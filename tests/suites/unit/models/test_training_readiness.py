@@ -395,3 +395,116 @@ def test_split_digest_tracks_membership(tmp_path):
         usable_files=report.usable_files[:-1],
     )
     assert tr.split_digest(smaller, settings) != first
+
+
+# --- Configuration-finding breadth (reference training_readiness.py:975-1195) ---
+
+
+def _config_reasons(settings):
+    return [f.reason for f in tr._config_findings(settings)]
+
+
+def _replace_section(settings, section, **kwargs):
+    import dataclasses as _dc
+
+    return _dc.replace(settings, **{section: _dc.replace(getattr(settings, section), **kwargs)})
+
+
+def test_config_findings_clean_settings_pass(tmp_path):
+    _make_corpus(tmp_path)
+    assert tr._config_findings(_settings(tmp_path)) == []
+
+
+def test_config_findings_reject_bad_split_sizes(tmp_path):
+    _make_corpus(tmp_path)
+    base = _settings(tmp_path)
+    assert "invalid_configuration" in _config_reasons(
+        _replace_section(base, "training", dev_size=0.0)
+    )
+    assert "invalid_configuration" in _config_reasons(
+        _replace_section(base, "training", test_size=1.5)
+    )
+    # Individually valid sizes whose sum crowds out the train split.
+    summed = _replace_section(base, "training", test_size=0.6, dev_size=0.5)
+    assert "invalid_configuration" in _config_reasons(summed)
+
+
+def test_config_findings_reject_non_finite_and_out_of_range(tmp_path):
+    _make_corpus(tmp_path)
+    base = _settings(tmp_path)
+    assert "invalid_configuration" in _config_reasons(
+        _replace_section(base, "data_loader", max_failed_file_ratio=float("nan"))
+    )
+    assert "invalid_configuration" in _config_reasons(
+        _replace_section(base, "nn", epsilon=0.0)
+    )
+    assert "invalid_configuration" in _config_reasons(
+        _replace_section(base, "audio_read", retry_delay_seconds=-1.0)
+    )
+
+
+def test_config_findings_validate_every_profile_runtime(tmp_path):
+    _make_corpus(tmp_path)
+    base = _settings(tmp_path)
+    for section in (
+        "fast_runtime",
+        "medium_runtime",
+        "accurate_runtime",
+        "accurate_research_runtime",
+    ):
+        bad_stride = _replace_section(
+            base,
+            section,
+            pool_window_size_seconds=1.0,
+            pool_window_stride_seconds=2.0,
+        )
+        assert "invalid_configuration" in _config_reasons(bad_stride), section
+        bad_hysteresis = _replace_section(
+            base, section, post_hysteresis_enter_confidence=1.5
+        )
+        assert "invalid_configuration" in _config_reasons(bad_hysteresis), section
+        bad_retries = _replace_section(base, section, max_timeout_retries=-1)
+        assert "invalid_configuration" in _config_reasons(bad_retries), section
+
+
+def test_config_findings_reject_bad_seeds_workers_and_classifier(tmp_path):
+    _make_corpus(tmp_path)
+    base = _settings(tmp_path)
+    assert "invalid_configuration" in _config_reasons(
+        _replace_section(base, "training", random_state=-1)
+    )
+    assert "invalid_configuration" in _config_reasons(
+        _replace_section(base, "data_loader", max_workers=0)
+    )
+    assert "invalid_configuration" in _config_reasons(
+        _replace_section(base, "nn", hidden_layer_sizes=(300, 0))
+    )
+
+
+def test_config_findings_reject_unsupported_device_dtype(tmp_path):
+    _make_corpus(tmp_path)
+    base = _settings(tmp_path)
+    assert "invalid_configuration" in _config_reasons(
+        _replace_section(base, "torch_runtime", device="quantum:0")
+    )
+    assert "invalid_configuration" in _config_reasons(
+        _replace_section(base, "torch_runtime", dtype="float8")
+    )
+    # Sub-selector syntax on a known device is fine.
+    assert _config_reasons(_replace_section(base, "torch_runtime", device="tpu:3")) == []
+
+
+def test_config_findings_surface_quarantine_policy_errors(tmp_path):
+    _make_corpus(tmp_path)
+    base = _settings(tmp_path)
+    bad_policy = _replace_section(base, "data_loader", max_failed_file_ratio_per_class=2.0)
+    reasons = _config_reasons(bad_policy)
+    assert reasons.count("invalid_configuration") >= 2  # numeric check + policy ctor
+
+
+def test_config_findings_block_readiness_run(tmp_path):
+    _make_corpus(tmp_path)
+    settings = _replace_section(_settings(tmp_path), "training", test_size=0.0)
+    report = tr.run_training_readiness(settings=settings, profile="fast")
+    assert report.blocking
+    assert any(f.reason == "invalid_configuration" for f in report.findings)
