@@ -361,6 +361,76 @@ def _config_findings(settings: AppConfig) -> list[ReadinessFinding]:
     return findings
 
 
+def _allowed_media_roots(settings: AppConfig) -> tuple[Path, ...]:
+    """Canonical roots manifest media paths may inhabit.
+
+    Reference semantics (``training_readiness.py:1245-1256``): registered
+    dataset roots when a registry exists, else the configured dataset folder
+    plus each manifest's parent directory.
+    """
+    from ser_tpu._internal.data import registry
+
+    try:
+        entries = registry.list_registered_datasets(settings=settings)
+    except Exception:  # noqa: BLE001 - registry defects surface in their own check
+        entries = []
+    roots = {Path(e.dataset_root).expanduser() for e in entries}
+    # Unlike the reference, the configured glob folder stays allowed even when
+    # a registry exists — a registered corpus must not block training on an
+    # unregistered local folder the user explicitly configured.
+    roots.add(settings.dataset.folder.expanduser())
+    roots.update(Path(p).expanduser().parent for p in settings.dataset.manifest_paths)
+    return tuple(sorted(roots, key=str))
+
+
+def _media_integrity_findings(
+    records: list[FileRecord], settings: AppConfig
+) -> tuple[list[ReadinessFinding], list[FileRecord]]:
+    """Blocking manifest-integrity checks that precede any decode.
+
+    Two defects poison training silently if admitted, so both block as in the
+    reference (``training_readiness.py:1441-1540``): a media path that escapes
+    every allowed dataset root (a tampered or mis-rooted manifest), and two
+    records that resolve to the same file (a path alias double-counts a clip
+    and can leak it across speaker-disjoint splits).
+    """
+    findings: list[ReadinessFinding] = []
+    passed: list[FileRecord] = []
+    allowed = [root.resolve() for root in _allowed_media_roots(settings)]
+    seen_paths: dict[str, str] = {}
+    for record in records:
+        resolved = Path(record.path).expanduser().resolve()
+        if allowed and not any(resolved.is_relative_to(root) for root in allowed):
+            findings.append(
+                ReadinessFinding(
+                    FindingScope.MEDIA,
+                    FindingSeverity.BLOCKING,
+                    "media_path_escape",
+                    f"Media path escapes every allowed dataset root: {record.path}",
+                    sample_id=record.path,
+                )
+            )
+            continue
+        key = str(resolved)
+        if key in seen_paths:
+            findings.append(
+                ReadinessFinding(
+                    FindingScope.MEDIA,
+                    FindingSeverity.BLOCKING,
+                    "media_path_alias",
+                    (
+                        f"Records {seen_paths[key]!r} and {record.path!r} resolve "
+                        "to the same media file."
+                    ),
+                    sample_id=record.path,
+                )
+            )
+            continue
+        seen_paths[key] = record.path
+        passed.append(record)
+    return findings, passed
+
+
 def _media_findings(
     records: list[FileRecord], settings: AppConfig
 ) -> tuple[list[ReadinessFinding], list[FileRecord], list[FileRecord], list[str]]:
@@ -374,7 +444,7 @@ def _media_findings(
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    findings: list[ReadinessFinding] = []
+    findings, records = _media_integrity_findings(records, settings)
     quarantined: list[FileRecord] = []
     usable: list[FileRecord] = []
     usable_digests: list[str] = []

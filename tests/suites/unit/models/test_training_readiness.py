@@ -508,3 +508,81 @@ def test_config_findings_block_readiness_run(tmp_path):
     report = tr.run_training_readiness(settings=settings, profile="fast")
     assert report.blocking
     assert any(f.reason == "invalid_configuration" for f in report.findings)
+
+
+# --- Media-integrity pre-pass (reference training_readiness.py:1441-1540) ---
+
+
+def _write_clip(path, seconds=1.2):
+    sr = 16000
+    t = np.arange(int(seconds * sr)) / sr
+    path.parent.mkdir(parents=True, exist_ok=True)
+    write_wav(path, (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32), sr)
+
+
+def test_media_path_escape_blocks(tmp_path):
+    _make_corpus(tmp_path)
+    settings = _settings(tmp_path)
+    outside = tmp_path / "elsewhere" / "clip.wav"
+    _write_clip(outside)
+    records = [
+        tr.FileRecord(path=str(outside), corpus="ravdess", label="happy", speaker="01")
+    ]
+    findings, passed = tr._media_integrity_findings(records, settings)
+    assert passed == []
+    assert [f.reason for f in findings] == ["media_path_escape"]
+    assert findings[0].severity is tr.FindingSeverity.BLOCKING
+
+
+def test_media_path_alias_blocks_symlinked_duplicate(tmp_path):
+    ds = _make_corpus(tmp_path)
+    settings = _settings(tmp_path)
+    original = next(iter(sorted((ds / "Actor_01").glob("*.wav"))))
+    alias = ds / "Actor_01" / "alias-of-first.wav"
+    try:
+        alias.symlink_to(original)
+    except OSError:
+        pytest.skip("platform without symlink support")
+    records = [
+        tr.FileRecord(path=str(original), corpus="ravdess", label="happy", speaker="01"),
+        tr.FileRecord(path=str(alias), corpus="ravdess", label="happy", speaker="01"),
+    ]
+    findings, passed = tr._media_integrity_findings(records, settings)
+    assert [f.reason for f in findings] == ["media_path_alias"]
+    assert len(passed) == 1  # first claimant survives
+
+
+def test_allowed_roots_union_registry_and_folder(tmp_path):
+    _make_corpus(tmp_path)
+    settings = _settings(tmp_path)
+    from ser_tpu._internal.data import registry
+
+    other_root = tmp_path / "registered"
+    other_root.mkdir()
+    registry.register_dataset(
+        registry.DatasetRegistryRecord(
+            dataset_id="ravdess",
+            dataset_root=str(other_root),
+            manifest_path=str(other_root / "manifest.jsonl"),
+            utterance_count=6,
+            prepared_at_unix=registry.now_unix(),
+        ),
+        settings=settings,
+    )
+    roots = tr._allowed_media_roots(settings)
+    assert settings.dataset.folder.expanduser() in roots
+    assert other_root.expanduser() in roots
+
+
+def test_readiness_run_blocks_on_alias(tmp_path):
+    ds = _make_corpus(tmp_path)
+    original = next(iter(sorted((ds / "Actor_01").glob("*.wav"))))
+    alias = ds / "Actor_02" / "03-01-03-01-01-01-02.wav"
+    alias.unlink()
+    try:
+        alias.symlink_to(original)
+    except OSError:
+        pytest.skip("platform without symlink support")
+    report = tr.run_training_readiness(settings=_settings(tmp_path), profile="fast")
+    assert report.blocking
+    assert any(f.reason == "media_path_alias" for f in report.findings)
