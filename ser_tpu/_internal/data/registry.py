@@ -197,7 +197,46 @@ def audit_registry_health(
                     message=f"Manifest unreadable: {err}",
                 )
             )
+            continue
+        issues.extend(_lfs_pointer_issues(record, utterances))
     return tuple(issues)
+
+
+#: How many media files per dataset the health audit sniffs for Git-LFS
+#: pointers. Pointers are an all-or-nothing checkout property, so a small
+#: prefix sample catches them without decoding the corpus.
+_LFS_SNIFF_LIMIT = 16
+
+
+def _lfs_pointer_issues(
+    record: DatasetRegistryRecord, utterances
+) -> list[DatasetRegistryHealthIssueRecord]:
+    """Flags datasets whose media are unmaterialized Git-LFS pointers.
+
+    The reference surfaces this in the CREMA-D adapter and repairs it with
+    ``git lfs checkout``/``pull`` (``training_readiness.py:2004-2033``); the
+    audit owns detection so both doctor and ``--repair`` see the same issue.
+    """
+    from ser_tpu._internal.utils.audio_io import is_git_lfs_pointer
+
+    for utterance in utterances[:_LFS_SNIFF_LIMIT]:
+        path = Path(utterance.audio_path)
+        try:
+            if path.is_file() and is_git_lfs_pointer(path):
+                return [
+                    DatasetRegistryHealthIssueRecord(
+                        dataset_id=record.dataset_id,
+                        issue_kind="lfs_pointer",
+                        message=(
+                            f"Media are unmaterialized Git LFS pointers under "
+                            f"{record.dataset_root} (e.g. {path.name}); run "
+                            "`git lfs pull` or `ser --repair`."
+                        ),
+                    )
+                ]
+        except OSError:
+            continue
+    return []
 
 
 def now_unix() -> float:

@@ -92,6 +92,7 @@ def ensure_entrypoint_readiness(
             settings=settings,
             profile=profile,
             usable_files=report.usable_files,
+            usable_records=report.usable_records,
             backend=backend,
         )
         if smoke_findings:

@@ -24,6 +24,7 @@ import json
 import os
 import time
 from collections import Counter
+from collections.abc import Sequence
 from contextlib import contextmanager
 from dataclasses import dataclass
 from enum import Enum
@@ -888,27 +889,90 @@ def _smoke_timeout_seconds() -> float:
     return seconds
 
 
+#: Upper bound on smoke probes per run (reference ``training_readiness.py:52``).
+DEFAULT_SMOKE_SAMPLE_CAP = 16
+
+
+def select_smoke_samples(
+    records: Sequence[FileRecord], *, cap: int = DEFAULT_SMOKE_SAMPLE_CAP
+) -> tuple[FileRecord, ...]:
+    """Deterministic bounded selection covering corpus/format/language strata.
+
+    Reference semantics (``training_readiness.py:637-703``): one lexicographic
+    representative per (corpus, suffix, language) stratum — every corpus and
+    container format must decode through the REAL backend before training —
+    then remaining capacity fills with the lowest (label, language, corpus,
+    path) coverage keys. More strata than ``cap`` is an error: a smoke that
+    cannot cover its inputs proves nothing.
+    """
+    if cap <= 0:
+        raise ValueError("Smoke sample cap must be positive.")
+    strata: dict[tuple[str, str, str], FileRecord] = {}
+    for record in records:
+        suffix = Path(record.path).suffix.lower() or "<none>"
+        stratum = (record.corpus, suffix, record.language or "<none>")
+        representative = strata.get(stratum)
+        if representative is None:
+            if len(strata) == cap:
+                raise ValueError(
+                    "Smoke sample cap cannot cover every required "
+                    f"corpus/format/language stratum: required>{cap} cap={cap}."
+                )
+            strata[stratum] = record
+        elif record.path < representative.path:
+            strata[stratum] = record
+
+    selected = [strata[key] for key in sorted(strata)]
+    seen = {record.path for record in selected}
+    coverage = sorted(
+        (r for r in records if r.path not in seen),
+        key=lambda r: (r.label or "", r.language or "", r.corpus, r.path),
+    )
+    for record in coverage:
+        if len(selected) == cap:
+            break
+        if record.path in seen:
+            continue
+        selected.append(record)
+        seen.add(record.path)
+    return tuple(selected[:cap])
+
+
 def run_backend_smoke(
     *,
     settings: AppConfig,
     profile: ProfileName,
     usable_files: tuple[str, ...],
+    usable_records: tuple[FileRecord, ...] = (),
     backend=None,
 ) -> list[ReadinessFinding]:
-    """Encodes one real clip through the selected backend before training.
+    """Encodes real clips through the selected backend before training.
 
     Proves the full feature path (decode → encode → finite features of the
     expected dimension) under a hard deadline; any defect becomes a BLOCKING
     resource finding rather than a mid-training crash. ``backend`` carries an
     injected double through (the designed test seam) — the smoke must probe
-    what training will actually use.
+    what training will actually use. With corpus attribution available
+    (``usable_records``), a stratified sample matrix covers every
+    corpus/format/language stratum; the bare-files path keeps the historical
+    smallest-file single probe.
     """
     if not usable_files:
         return []
-    try:
-        probe = min(usable_files, key=lambda f: Path(f).stat().st_size)
-    except OSError:
-        probe = usable_files[0]  # a vanished file still fails inside the smoke
+    if usable_records:
+        try:
+            probes = [r.path for r in select_smoke_samples(usable_records)]
+        except ValueError as err:
+            return [
+                ReadinessFinding(
+                    FindingScope.CONFIG, FindingSeverity.BLOCKING, "smoke_cap_exceeded", str(err)
+                )
+            ]
+    else:
+        try:
+            probes = [min(usable_files, key=lambda f: Path(f).stat().st_size)]
+        except OSError:
+            probes = [usable_files[0]]  # a vanished file still fails inside the smoke
     try:
         timeout = _smoke_timeout_seconds()
     except ValueError as err:
@@ -917,33 +981,37 @@ def run_backend_smoke(
                 FindingScope.CONFIG, FindingSeverity.BLOCKING, "smoke_timeout_invalid", str(err)
             )
         ]
+    probe = probes[0]
     try:
+        # One deadline covers the whole matrix — the budget guards the RUN
+        # (reference semantics), and later probes reuse the first compile.
         with _smoke_deadline(timeout):
-            audio, sr = read_audio_file(probe, audio_read_config=settings.audio_read)
-            if profile == "fast":
-                from ser_tpu.ops.features import extract_frame_features, feature_dim
+            for probe in probes:
+                audio, sr = read_audio_file(probe, audio_read_config=settings.audio_read)
+                if profile == "fast":
+                    from ser_tpu.ops.features import extract_frame_features, feature_dim
 
-                features, _, _ = extract_frame_features(
-                    audio, sr, feature_flags=settings.feature_flags
-                )
-                expected = feature_dim(settings.feature_flags)
-                actual = int(features.shape[1])
-            else:
-                if backend is None:
-                    from ser_tpu._internal.repr.encoders import build_encoder_backend
+                    features, _, _ = extract_frame_features(
+                        audio, sr, feature_flags=settings.feature_flags
+                    )
+                    expected = feature_dim(settings.feature_flags)
+                    actual = int(features.shape[1])
+                else:
+                    if backend is None:
+                        from ser_tpu._internal.repr.encoders import build_encoder_backend
 
-                    backend = build_encoder_backend(profile, settings=settings)
-                encoded = backend.encode_sequence(audio, sr)
-                expected = backend.feature_dim
-                actual = int(encoded.embeddings.shape[1])
-                features = encoded.embeddings
-            if actual != expected:
-                raise ValueError(
-                    f"smoke feature dimension violates the classifier contract: "
-                    f"expected={expected} actual={actual}"
-                )
-            if not np.isfinite(np.asarray(features)).all():
-                raise ValueError("smoke features contain non-finite values")
+                        backend = build_encoder_backend(profile, settings=settings)
+                    encoded = backend.encode_sequence(audio, sr)
+                    expected = backend.feature_dim
+                    actual = int(encoded.embeddings.shape[1])
+                    features = encoded.embeddings
+                if actual != expected:
+                    raise ValueError(
+                        f"smoke feature dimension violates the classifier contract: "
+                        f"expected={expected} actual={actual}"
+                    )
+                if not np.isfinite(np.asarray(features)).all():
+                    raise ValueError("smoke features contain non-finite values")
     except TimeoutError as err:
         return [
             ReadinessFinding(
@@ -969,7 +1037,8 @@ def run_backend_smoke(
             FindingScope.RESOURCE,
             FindingSeverity.INFO,
             "backend_smoke_ok",
-            f"{profile} backend smoke passed on {probe} (dim={actual}).",
+            f"{profile} backend smoke passed on {len(probes)} stratified "
+            f"sample(s) (dim={actual}).",
         )
     ]
 
@@ -1493,6 +1562,8 @@ __all__ = [
     "default_readiness_report_path",
     "load_prepared_plan",
     "run_backend_smoke",
+    "select_smoke_samples",
+    "DEFAULT_SMOKE_SAMPLE_CAP",
     "run_training_readiness",
     "run_training_readiness_cli",
     "write_prepared_plan",

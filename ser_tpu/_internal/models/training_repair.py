@@ -151,6 +151,73 @@ def _repair_manifests(settings: AppConfig) -> list[RepairRecord]:
     return records
 
 
+def _git_root(path: Path) -> Path | None:
+    """Nearest ancestor (including ``path``) that is a git checkout root."""
+    candidate = Path(path).expanduser().resolve()
+    for ancestor in (candidate, *candidate.parents):
+        if (ancestor / ".git").exists():
+            return ancestor
+    return None
+
+
+def _run_repair_command(command: tuple[str, ...], *, timeout: float = 300.0) -> tuple[bool, str]:
+    """Runs one repair subprocess; never raises — failures become records."""
+    import subprocess
+
+    try:
+        completed = subprocess.run(
+            command, capture_output=True, text=True, timeout=timeout, check=False
+        )
+    except FileNotFoundError:
+        return False, f"{command[0]} is not installed"
+    except subprocess.TimeoutExpired:
+        return False, f"timed out after {timeout:.0f}s"
+    if completed.returncode == 0:
+        return True, "ok"
+    detail = (completed.stderr or completed.stdout or "").strip()
+    return False, f"exit {completed.returncode}: {detail[:200]}"
+
+
+def _repair_git_lfs(settings: AppConfig) -> list[RepairRecord]:
+    """Hydrates Git-LFS pointer corpora (reference ``:2004-2033``).
+
+    ``git lfs checkout`` is a local object-store materialization and always
+    allowed; ``git lfs pull`` touches the network and only runs behind the
+    explicit opt-in. Datasets are selected via the registry health audit's
+    ``lfs_pointer`` issue so doctor and repair agree on detection.
+    """
+    from ser_tpu._internal.data.registry import audit_registry_health, list_registered_datasets
+
+    try:
+        issues = audit_registry_health(settings=settings)
+        entries = list_registered_datasets(settings=settings)
+    except Exception as err:  # noqa: BLE001 - registry defects have their own repair
+        return [RepairRecord("hydrate_git_lfs", "registry", False, str(err))]
+    lfs_ids = {issue.dataset_id for issue in issues if issue.issue_kind == "lfs_pointer"}
+    git_roots = sorted(
+        {
+            root
+            for entry in entries
+            if entry.dataset_id in lfs_ids
+            and (root := _git_root(Path(entry.dataset_root))) is not None
+        },
+        key=str,
+    )
+    records = []
+    for root in git_roots:
+        succeeded, detail = _run_repair_command(("git", "-C", str(root), "lfs", "checkout"))
+        if not succeeded and network_repairs_allowed():
+            pulled, pull_detail = _run_repair_command(("git", "-C", str(root), "lfs", "pull"))
+            if pulled:
+                succeeded, detail = _run_repair_command(
+                    ("git", "-C", str(root), "lfs", "checkout")
+                )
+            else:
+                detail = pull_detail
+        records.append(RepairRecord("hydrate_git_lfs", str(root), succeeded, detail))
+    return records
+
+
 def _repair_pinned_model(settings: AppConfig, profile: ProfileName) -> RepairRecord:
     """Redownloads ONLY an explicitly revision-pinned model, behind the gate.
 
@@ -202,6 +269,7 @@ def apply_training_repairs(
     records.append(_repair_staging(settings))
     records.extend(_repair_caches(settings))
     records.extend(_repair_manifests(settings))
+    records.extend(_repair_git_lfs(settings))
     records.append(_repair_pinned_model(settings, profile))
     return records
 
@@ -225,7 +293,10 @@ def run_training_repair(*, settings: AppConfig, profile: ProfileName) -> int:
     blocking = report.blocking
     if not blocking and report.usable_files:
         smoke = run_backend_smoke(
-            settings=settings, profile=profile, usable_files=report.usable_files
+            settings=settings,
+            profile=profile,
+            usable_files=report.usable_files,
+            usable_records=report.usable_records,
         )
         for finding in smoke:
             print(f"repair: smoke {finding.reason}: {finding.message}")

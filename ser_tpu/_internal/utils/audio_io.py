@@ -29,6 +29,12 @@ _WAVE_FORMAT_IEEE_FLOAT = 0x0003
 _WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 
 
+def is_git_lfs_pointer(path: Path) -> bool:
+    """True when the file holds a Git-LFS pointer instead of audio bytes."""
+    with Path(path).open("rb") as handle:
+        return handle.read(len(_GIT_LFS_POINTER_PREFIX)) == _GIT_LFS_POINTER_PREFIX
+
+
 class AudioIntegrityError(OSError):
     """Raised when a path contains metadata in place of audio bytes."""
 
@@ -159,13 +165,12 @@ def read_audio_file(
         raise FileNotFoundError(f"Audio file not found: {file_path}")
     if not path.is_file():
         raise OSError(f"Path is not a regular file: {file_path}")
-    with path.open("rb") as handle:
-        if handle.read(len(_GIT_LFS_POINTER_PREFIX)) == _GIT_LFS_POINTER_PREFIX:
-            raise AudioIntegrityError(
-                f"Audio file is an unmaterialized Git LFS pointer: {file_path}. "
-                "Install Git LFS, then run `git lfs pull` and `git lfs checkout` "
-                "in the dataset checkout."
-            )
+    if is_git_lfs_pointer(path):
+        raise AudioIntegrityError(
+            f"Audio file is an unmaterialized Git LFS pointer: {file_path}. "
+            "Install Git LFS, then run `git lfs pull` and `git lfs checkout` "
+            "in the dataset checkout."
+        )
 
     last_error: Exception | None = None
     for attempt in range(config.max_retries):

@@ -586,3 +586,60 @@ def test_readiness_run_blocks_on_alias(tmp_path):
     report = tr.run_training_readiness(settings=_settings(tmp_path), profile="fast")
     assert report.blocking
     assert any(f.reason == "media_path_alias" for f in report.findings)
+
+
+# --- Stratified smoke selection (reference training_readiness.py:637-703) ---
+
+
+def _rec(path, corpus="ravdess", label="happy", language="en"):
+    return tr.FileRecord(path=path, corpus=corpus, label=label, language=language)
+
+
+def test_select_smoke_samples_covers_every_stratum():
+    records = [
+        _rec("/d/a1.wav"),
+        _rec("/d/a2.wav"),
+        _rec("/d/b1.flac", corpus="crema_d", label="angry"),
+        _rec("/d/c1.wav", corpus="emodb", language="de"),
+    ]
+    selected = tr.select_smoke_samples(records, cap=8)
+    strata = {(r.corpus, r.path.rsplit(".", 1)[-1], r.language) for r in selected}
+    assert {("ravdess", "wav", "en"), ("crema_d", "flac", "en"), ("emodb", "wav", "de")} <= strata
+    # Lexicographic representative per stratum, deterministic output.
+    assert selected == tr.select_smoke_samples(records, cap=8)
+    assert "/d/a1.wav" in {r.path for r in selected}
+
+
+def test_select_smoke_samples_fills_capacity_with_coverage_keys():
+    records = [_rec(f"/d/a{i}.wav", label=lab) for i, lab in enumerate(["happy", "angry", "sad"])]
+    selected = tr.select_smoke_samples(records, cap=3)
+    assert len(selected) == 3  # 1 stratum + 2 coverage fills
+
+
+def test_select_smoke_samples_errors_when_strata_exceed_cap():
+    records = [_rec(f"/d/x{i}.wav", corpus=f"c{i}") for i in range(4)]
+    with pytest.raises(ValueError, match="cap"):
+        tr.select_smoke_samples(records, cap=2)
+
+
+def test_backend_smoke_probes_stratified_matrix(tmp_path, monkeypatch):
+    _make_corpus(tmp_path)
+    settings = _settings(tmp_path)
+    report = tr.run_training_readiness(settings=settings, profile="fast")
+    seen = []
+    real_read = tr.read_audio_file
+
+    def spy_read(path, **kwargs):
+        seen.append(path)
+        return real_read(path, **kwargs)
+
+    monkeypatch.setattr(tr, "read_audio_file", spy_read)
+    findings = tr.run_backend_smoke(
+        settings=settings,
+        profile="fast",
+        usable_files=report.usable_files,
+        usable_records=report.usable_records,
+    )
+    assert [f.reason for f in findings] == ["backend_smoke_ok"]
+    # One ravdess/wav/en stratum, capacity fills with coverage keys up to cap.
+    assert len(seen) == min(len(report.usable_files), tr.DEFAULT_SMOKE_SAMPLE_CAP)

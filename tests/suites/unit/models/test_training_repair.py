@@ -88,3 +88,109 @@ def test_run_training_repair_exit_code(tmp_path, capsys):
     assert code == 2
     out = capsys.readouterr().out
     assert "repair[" in out and "post-repair readiness" in out
+
+
+def _register_lfs_corpus(tmp_path, settings):
+    """One registered dataset whose media are Git-LFS pointers in a git root."""
+    from ser_tpu._internal.data import registry
+    from ser_tpu._internal.data.manifest import Utterance, write_manifest_jsonl
+
+    root = tmp_path / "crema_checkout"
+    (root / ".git").mkdir(parents=True)
+    clip = root / "AudioWAV" / "1001_DFA_ANG_XX.wav"
+    clip.parent.mkdir(parents=True)
+    clip.write_bytes(
+        b"version https://git-lfs.github.com/spec/v1\n"
+        b"oid sha256:deadbeef\nsize 123456\n"
+    )
+    manifest = root / "manifest.jsonl"
+    write_manifest_jsonl(
+        [
+            Utterance(
+                sample_id="crema/1001_DFA_ANG_XX",
+                corpus="crema_d",
+                audio_path=str(clip),
+                label="angry",
+            )
+        ],
+        manifest,
+    )
+    registry.register_dataset(
+        registry.DatasetRegistryRecord(
+            dataset_id="crema_d",
+            dataset_root=str(root),
+            manifest_path=str(manifest),
+            utterance_count=1,
+        ),
+        settings=settings,
+    )
+    return root
+
+
+def test_registry_audit_flags_lfs_pointers(tmp_path):
+    from ser_tpu._internal.data.registry import audit_registry_health
+
+    settings = _settings(tmp_path)
+    _register_lfs_corpus(tmp_path, settings)
+    issues = audit_registry_health(settings=settings)
+    assert any(issue.issue_kind == "lfs_pointer" for issue in issues)
+
+
+def test_git_lfs_repair_targets_git_root_and_records_outcome(tmp_path, monkeypatch):
+    settings = _settings(tmp_path)
+    root = _register_lfs_corpus(tmp_path, settings)
+    commands = []
+
+    def fake_run(command, *, timeout=300.0):
+        commands.append(command)
+        return False, "git-lfs not installed"
+
+    monkeypatch.setattr(repair, "_run_repair_command", fake_run)
+    records = repair._repair_git_lfs(settings)
+    assert [r.action for r in records] == ["hydrate_git_lfs"]
+    assert records[0].target == str(root.resolve())
+    assert not records[0].succeeded
+    # Local checkout only — the network pull never runs without the opt-in.
+    assert commands == [("git", "-C", str(root.resolve()), "lfs", "checkout")]
+
+
+def test_git_lfs_repair_escalates_to_pull_with_optin(tmp_path, monkeypatch):
+    settings = _settings(tmp_path)
+    root = _register_lfs_corpus(tmp_path, settings)
+    monkeypatch.setenv("SER_TRAINING_REPAIR_ALLOW_NETWORK", "1")
+    commands = []
+
+    def fake_run(command, *, timeout=300.0):
+        commands.append(command)
+        return (command[-1] != "checkout" or len(commands) == 3), "ok"
+
+    monkeypatch.setattr(repair, "_run_repair_command", fake_run)
+    records = repair._repair_git_lfs(settings)
+    assert records[0].succeeded
+    assert [c[-1] for c in commands] == ["checkout", "pull", "checkout"]
+
+
+def test_git_lfs_repair_skips_non_git_datasets(tmp_path):
+    from ser_tpu._internal.data import registry
+    from ser_tpu._internal.data.manifest import Utterance, write_manifest_jsonl
+
+    settings = _settings(tmp_path)
+    root = tmp_path / "plain_folder"
+    clip = root / "a.wav"
+    clip.parent.mkdir(parents=True)
+    clip.write_bytes(b"version https://git-lfs.github.com/spec/v1\noid sha256:00\nsize 1\n")
+    manifest = root / "manifest.jsonl"
+    write_manifest_jsonl(
+        [Utterance(sample_id="x/a", corpus="ravdess", audio_path=str(clip), label="angry")],
+        manifest,
+    )
+    registry.register_dataset(
+        registry.DatasetRegistryRecord(
+            dataset_id="ravdess",
+            dataset_root=str(root),
+            manifest_path=str(manifest),
+            utterance_count=1,
+        ),
+        settings=settings,
+    )
+    assert repair._repair_git_lfs(settings) == []
