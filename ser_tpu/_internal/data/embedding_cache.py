@@ -66,8 +66,24 @@ class EmbeddingCache:
                 )
         except Exception as err:  # noqa: BLE001 - ANY corruption (BadZipFile,
             # zlib.error, EOFError...) reads as a miss; crashing training on a
-            # truncated cache entry defeats the cache's purpose.
-            logger.warning("Dropping corrupt embedding-cache entry %s: %s", path, err)
+            # truncated cache entry defeats the cache's purpose. Disposition
+            # RECOMPUTE per the failure taxonomy (training_readiness.classify_failure).
+            from ser_tpu._internal.models.training_readiness import (
+                CacheEntryCorruptError,
+                FailureScope,
+                classify_failure,
+            )
+
+            classification = classify_failure(
+                CacheEntryCorruptError(str(err)), scope=FailureScope.CACHE
+            )
+            logger.warning(
+                "Dropping corrupt embedding-cache entry %s (%s -> %s): %s",
+                path,
+                classification.reason_code.value,
+                classification.disposition.value,
+                err,
+            )
             try:
                 path.unlink()
             except OSError:

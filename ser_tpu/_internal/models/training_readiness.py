@@ -58,6 +58,197 @@ class FindingSeverity(str, Enum):
     BLOCKING = "blocking"
 
 
+class FailureScope(str, Enum):
+    """Scope at which a training failure is known to apply (reference ``:107-116``)."""
+
+    RUN = "run"
+    CORPUS = "corpus"
+    SAMPLE = "sample"
+    WINDOW = "window"
+    CACHE = "cache"
+    OPTIONAL_ARTIFACT = "optional_artifact"
+
+
+class FailureDisposition(str, Enum):
+    """Permitted action after one classified failure (reference ``:118-127``)."""
+
+    ABORT = "abort"
+    REPAIR_THEN_RETRY = "repair_then_retry"
+    BOUNDED_RETRY = "bounded_retry"
+    RECOMPUTE = "recompute"
+    QUARANTINE = "quarantine"
+    CONTINUE = "continue"
+
+
+class FailureReasonCode(str, Enum):
+    """Stable reason codes emitted by readiness and containment (reference ``:138-170``).
+
+    These strings are a persistence contract — quarantine ledgers, readiness
+    reports, and prepared-plan rejections carry them verbatim.
+    """
+
+    INVALID_CONFIGURATION = "invalid_configuration"
+    DATASET_NOT_FOUND = "dataset_not_found"
+    REGISTRY_UNHEALTHY = "registry_unhealthy"
+    MANIFEST_INVALID = "manifest_invalid"
+    MEDIA_MISSING = "media_missing"
+    MEDIA_NOT_REGULAR = "media_not_regular"
+    MEDIA_EMPTY = "media_empty"
+    MEDIA_DECODE_FAILED = "media_decode_failed"
+    GIT_LFS_POINTER = "git_lfs_pointer"
+    DUPLICATE_SAMPLE_ID = "duplicate_sample_id"
+    DUPLICATE_CONTENT = "duplicate_content"
+    PATH_ALIAS = "path_alias"
+    INSUFFICIENT_CLASS_SUPPORT = "insufficient_class_support"
+    SPLIT_LEAKAGE = "split_leakage"
+    OUTPUT_UNWRITABLE = "output_unwritable"
+    DISK_SPACE_LOW = "disk_space_low"
+    RESOURCE_LIMIT = "resource_limit"
+    BACKEND_UNAVAILABLE = "backend_unavailable"
+    BACKEND_SMOKE_TIMEOUT = "backend_smoke_timeout"
+    BACKEND_OUTPUT_INVALID = "backend_output_invalid"
+    SAMPLE_AUDIO_CORRUPT = "sample_audio_corrupt"
+    SAMPLE_AUDIO_MISSING = "sample_audio_missing"
+    WINDOW_LOW_VARIANCE = "window_low_variance"
+    CACHE_CORRUPT = "cache_corrupt"
+    OPTIONAL_ARTIFACT_FAILED = "optional_artifact_failed"
+    QUARANTINE_BUDGET_EXCEEDED = "quarantine_budget_exceeded"
+    PREPARED_PLAN_INVALID = "prepared_plan_invalid"
+    REPAIR_FAILED = "repair_failed"
+
+
+class WindowContainmentError(ValueError):
+    """A pooling window failed its variance/containment contract."""
+
+
+class CacheEntryCorruptError(ValueError):
+    """A persisted embedding-cache entry failed to load."""
+
+
+class OptionalArtifactError(OSError):
+    """A best-effort artifact (report, trace) could not be written."""
+
+
+@dataclass(frozen=True)
+class FailureClassification:
+    """One classified failure: where it applies and what may happen next."""
+
+    scope: FailureScope
+    reason_code: FailureReasonCode
+    disposition: FailureDisposition
+    severity: FindingSeverity
+    diagnostic: str
+
+
+#: Errno values that signal transient local IO pressure worth one bounded
+#: retry before quarantining the sample (reference ``:54``).
+_TRANSIENT_LOCAL_IO_ERRNOS = frozenset({11, 16, 4, 110})  # EAGAIN EBUSY EINTR ETIMEDOUT
+
+
+def classify_failure(
+    error: Exception,
+    *,
+    scope: FailureScope,
+    sample_path: str | Path | None = None,
+    allowed_roots: Sequence[Path] = (),
+) -> FailureClassification:
+    """Classifies only known exception types; unknown failures remain aborting.
+
+    Reference decision ladder (``training_readiness.py:704-791``): the default
+    is ABORT — containment (quarantine / retry / recompute / continue) is a
+    privilege PROVEN by the exception type and scope, never assumed, so a
+    novel defect stops training instead of silently shrinking the dataset.
+    """
+    from ser_tpu._internal.utils.audio_io import AudioDecodeError, AudioIntegrityError
+
+    diagnostic = (str(error).strip() or type(error).__name__)[:500]
+    if isinstance(error, AudioIntegrityError) and "Git LFS" in diagnostic:
+        return FailureClassification(
+            FailureScope.CORPUS,
+            FailureReasonCode.GIT_LFS_POINTER,
+            FailureDisposition.ABORT,
+            FindingSeverity.BLOCKING,
+            diagnostic,
+        )
+    if scope is FailureScope.WINDOW and isinstance(error, WindowContainmentError):
+        return FailureClassification(
+            scope,
+            FailureReasonCode.WINDOW_LOW_VARIANCE,
+            FailureDisposition.CONTINUE,
+            FindingSeverity.WARNING,
+            diagnostic,
+        )
+    if scope is FailureScope.CACHE and isinstance(error, CacheEntryCorruptError):
+        return FailureClassification(
+            scope,
+            FailureReasonCode.CACHE_CORRUPT,
+            FailureDisposition.RECOMPUTE,
+            FindingSeverity.WARNING,
+            diagnostic,
+        )
+    if scope is FailureScope.OPTIONAL_ARTIFACT and isinstance(error, OptionalArtifactError):
+        return FailureClassification(
+            scope,
+            FailureReasonCode.OPTIONAL_ARTIFACT_FAILED,
+            FailureDisposition.CONTINUE,
+            FindingSeverity.WARNING,
+            diagnostic,
+        )
+    if scope is FailureScope.SAMPLE and (
+        isinstance(error, (TimeoutError, InterruptedError))
+        or (
+            isinstance(error, OSError)
+            and not isinstance(error, (AudioDecodeError, AudioIntegrityError))
+            and error.errno in _TRANSIENT_LOCAL_IO_ERRNOS
+        )
+    ):
+        return FailureClassification(
+            scope,
+            FailureReasonCode.MEDIA_DECODE_FAILED,
+            FailureDisposition.BOUNDED_RETRY,
+            FindingSeverity.WARNING,
+            diagnostic,
+        )
+    if (
+        scope is FailureScope.SAMPLE
+        and isinstance(error, FileNotFoundError)
+        and sample_path is not None
+    ):
+        # A vanished sample only quarantines when the missing path is PROVEN
+        # to be this sample inside an allowed root — any other missing file
+        # (a model asset, a config) is a run defect, not a sample defect.
+        failed = error.filename
+        if isinstance(failed, str):
+            failed_path = Path(failed).expanduser().resolve(strict=False)
+            resolved_sample = Path(sample_path).expanduser().resolve(strict=False)
+            if failed_path == resolved_sample and any(
+                resolved_sample.is_relative_to(root.expanduser().resolve(strict=False))
+                for root in allowed_roots
+            ):
+                return FailureClassification(
+                    scope,
+                    FailureReasonCode.SAMPLE_AUDIO_MISSING,
+                    FailureDisposition.QUARANTINE,
+                    FindingSeverity.WARNING,
+                    diagnostic,
+                )
+    if scope is FailureScope.SAMPLE and isinstance(error, AudioDecodeError):
+        return FailureClassification(
+            scope,
+            FailureReasonCode.SAMPLE_AUDIO_CORRUPT,
+            FailureDisposition.QUARANTINE,
+            FindingSeverity.WARNING,
+            diagnostic,
+        )
+    return FailureClassification(
+        scope,
+        FailureReasonCode.BACKEND_OUTPUT_INVALID,
+        FailureDisposition.ABORT,
+        FindingSeverity.BLOCKING,
+        diagnostic,
+    )
+
+
 @dataclass(frozen=True)
 class ReadinessFinding:
     """One readiness check outcome."""
@@ -454,33 +645,71 @@ def _media_findings(
         settings.audio_read, max_retries=1, retry_delay_seconds=0.0
     )
 
+    allowed_roots = _allowed_media_roots(settings)
+
+    def attempt(record: FileRecord):
+        from ser_tpu._internal.utils.audio_io import AudioDecodeError
+
+        audio, sr = read_audio_file(record.path, audio_read_config=probe_config)
+        if audio.size < int(0.1 * sr):
+            raise AudioDecodeError(f"clip shorter than 100 ms: {record.path}")
+        return normalized_pcm_sha256(audio)
+
     def probe(record: FileRecord):
         try:
-            audio, sr = read_audio_file(record.path, audio_read_config=probe_config)
-            if audio.size < int(0.1 * sr):
-                raise ValueError("clip shorter than 100 ms")
-            return record, normalized_pcm_sha256(audio), None
-        except Exception as err:  # noqa: BLE001 - every defect becomes a finding
-            return record, None, err
+            return record, attempt(record), None
+        except Exception as err:  # noqa: BLE001 - every defect gets classified
+            classification = classify_failure(
+                err,
+                scope=FailureScope.SAMPLE,
+                sample_path=record.path,
+                allowed_roots=allowed_roots,
+            )
+            if classification.disposition is FailureDisposition.BOUNDED_RETRY:
+                try:
+                    return record, attempt(record), None
+                except Exception as retry_err:  # noqa: BLE001 - budget exhausted
+                    classification = dataclasses.replace(
+                        classify_failure(
+                            retry_err,
+                            scope=FailureScope.SAMPLE,
+                            sample_path=record.path,
+                            allowed_roots=allowed_roots,
+                        ),
+                        # The bounded retry is spent: a still-transient error
+                        # quarantines rather than retrying forever.
+                        disposition=FailureDisposition.QUARANTINE,
+                    )
+            return record, None, classification
 
     max_workers = max(1, int(getattr(settings.data_loader, "max_workers", 1) or 1))
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         results = list(pool.map(probe, records))  # preserves input order
 
-    for record, digest, err in results:
-        if err is None:
+    for record, digest, classification in results:
+        if classification is None:
             usable.append(record)
             usable_digests.append(digest)
             continue
-        reason = type(err).__name__
-        per_reason[reason] += 1
+        if classification.disposition is FailureDisposition.ABORT:
+            findings.append(
+                ReadinessFinding(
+                    FindingScope.MEDIA,
+                    FindingSeverity.BLOCKING,
+                    classification.reason_code.value,
+                    f"{record.path}: {classification.diagnostic}",
+                    sample_id=record.path,
+                )
+            )
+            continue
+        per_reason[classification.reason_code.value] += 1
         quarantined.append(record)
         findings.append(
             ReadinessFinding(
                 FindingScope.MEDIA,
                 FindingSeverity.WARNING,
-                f"undecodable:{reason}",
-                f"{record.path}: {err}",
+                classification.reason_code.value,
+                f"{record.path}: {classification.diagnostic}",
                 sample_id=record.path,
             )
         )
@@ -1564,6 +1793,14 @@ __all__ = [
     "run_backend_smoke",
     "select_smoke_samples",
     "DEFAULT_SMOKE_SAMPLE_CAP",
+    "FailureScope",
+    "FailureDisposition",
+    "FailureReasonCode",
+    "FailureClassification",
+    "classify_failure",
+    "WindowContainmentError",
+    "CacheEntryCorruptError",
+    "OptionalArtifactError",
     "run_training_readiness",
     "run_training_readiness_cli",
     "write_prepared_plan",

@@ -643,3 +643,102 @@ def test_backend_smoke_probes_stratified_matrix(tmp_path, monkeypatch):
     assert [f.reason for f in findings] == ["backend_smoke_ok"]
     # One ravdess/wav/en stratum, capacity fills with coverage keys up to cap.
     assert len(seen) == min(len(report.usable_files), tr.DEFAULT_SMOKE_SAMPLE_CAP)
+
+
+# --- Typed failure taxonomy (reference training_readiness.py:107-170,704-791) ---
+
+
+def test_classify_lfs_pointer_aborts_at_corpus_scope():
+    from ser_tpu._internal.utils.audio_io import AudioIntegrityError
+
+    c = tr.classify_failure(
+        AudioIntegrityError("Audio file is an unmaterialized Git LFS pointer: x.wav"),
+        scope=tr.FailureScope.SAMPLE,
+    )
+    assert c.scope is tr.FailureScope.CORPUS
+    assert c.reason_code is tr.FailureReasonCode.GIT_LFS_POINTER
+    assert c.disposition is tr.FailureDisposition.ABORT
+
+
+def test_classify_decode_failure_quarantines():
+    from ser_tpu._internal.utils.audio_io import AudioDecodeError
+
+    c = tr.classify_failure(AudioDecodeError("bad RIFF"), scope=tr.FailureScope.SAMPLE)
+    assert c.reason_code is tr.FailureReasonCode.SAMPLE_AUDIO_CORRUPT
+    assert c.disposition is tr.FailureDisposition.QUARANTINE
+
+
+def test_classify_transient_io_gets_bounded_retry():
+    err = OSError(11, "Resource temporarily unavailable")
+    c = tr.classify_failure(err, scope=tr.FailureScope.SAMPLE)
+    assert c.reason_code is tr.FailureReasonCode.MEDIA_DECODE_FAILED
+    assert c.disposition is tr.FailureDisposition.BOUNDED_RETRY
+
+
+def test_classify_proven_missing_sample_quarantines(tmp_path):
+    clip = tmp_path / "ds" / "a.wav"
+    err = FileNotFoundError(2, "No such file", str(clip))
+    c = tr.classify_failure(
+        err,
+        scope=tr.FailureScope.SAMPLE,
+        sample_path=str(clip),
+        allowed_roots=(tmp_path / "ds",),
+    )
+    assert c.reason_code is tr.FailureReasonCode.SAMPLE_AUDIO_MISSING
+    assert c.disposition is tr.FailureDisposition.QUARANTINE
+    # A missing file that is NOT the sample (e.g. a model asset) aborts.
+    other = tr.classify_failure(
+        FileNotFoundError(2, "No such file", "/models/enc.bin"),
+        scope=tr.FailureScope.SAMPLE,
+        sample_path=str(clip),
+        allowed_roots=(tmp_path / "ds",),
+    )
+    assert other.disposition is tr.FailureDisposition.ABORT
+
+
+def test_classify_cache_and_window_and_artifact_dispositions():
+    assert (
+        tr.classify_failure(
+            tr.CacheEntryCorruptError("zlib"), scope=tr.FailureScope.CACHE
+        ).disposition
+        is tr.FailureDisposition.RECOMPUTE
+    )
+    assert (
+        tr.classify_failure(
+            tr.WindowContainmentError("low variance"), scope=tr.FailureScope.WINDOW
+        ).disposition
+        is tr.FailureDisposition.CONTINUE
+    )
+    assert (
+        tr.classify_failure(
+            tr.OptionalArtifactError("report"), scope=tr.FailureScope.OPTIONAL_ARTIFACT
+        ).disposition
+        is tr.FailureDisposition.CONTINUE
+    )
+
+
+def test_unknown_failure_aborts_by_default():
+    c = tr.classify_failure(RuntimeError("novel defect"), scope=tr.FailureScope.SAMPLE)
+    assert c.disposition is tr.FailureDisposition.ABORT
+    assert c.severity is tr.FindingSeverity.BLOCKING
+
+
+def test_lfs_pointer_in_corpus_blocks_readiness(tmp_path):
+    ds = _make_corpus(tmp_path)
+    (ds / "Actor_01" / "03-01-06-01-01-01-01.wav").write_bytes(
+        b"version https://git-lfs.github.com/spec/v1\noid sha256:ab\nsize 9\n"
+    )
+    report = tr.run_training_readiness(settings=_settings(tmp_path), profile="fast")
+    assert report.blocking
+    assert any(f.reason == "git_lfs_pointer" for f in report.findings)
+
+
+def test_quarantine_findings_carry_stable_reason_codes(tmp_path):
+    _make_corpus(tmp_path, corrupt=1)
+    report = tr.run_training_readiness(settings=_settings(tmp_path), profile="fast")
+    probe_findings = [
+        f
+        for f in report.findings
+        if f.scope is tr.FindingScope.MEDIA and f.severity is tr.FindingSeverity.WARNING
+    ]
+    assert [f.reason for f in probe_findings] == ["sample_audio_corrupt"]

@@ -135,6 +135,55 @@ def op_build_timeline(payload: dict) -> list[tuple[float, str, str]]:
     return [(entry.timestamp_seconds, entry.emotion, entry.speech) for entry in timeline]
 
 
+def op_classify_failure(payload: dict) -> dict:
+    """Runs the reference failure-classification ladder on a rebuilt exception."""
+    from ser._internal.data.manifest import Utterance as RefUtterance
+    from ser._internal.models import training_readiness as ref_tr
+    from ser._internal.utils.audio_utils import AudioDecodeError, AudioIntegrityError
+
+    kind = payload["error"]
+    message = payload.get("message", "boom")
+    if kind == "audio_integrity":
+        error = AudioIntegrityError(message)
+    elif kind == "audio_decode":
+        error = AudioDecodeError(message)
+    elif kind == "file_not_found":
+        error = FileNotFoundError(2, message, payload.get("filename"))
+    elif kind == "os_errno":
+        error = OSError(payload["errno"], message)
+    elif kind == "timeout":
+        error = TimeoutError(message)
+    elif kind == "window":
+        error = ref_tr.WindowContainmentError(message)
+    elif kind == "cache":
+        error = ref_tr.CacheEntryCorruptError(message)
+    elif kind == "optional_artifact":
+        error = ref_tr.OptionalArtifactError(message)
+    else:
+        error = RuntimeError(message)
+    sample = None
+    if payload.get("sample_path"):
+        sample = RefUtterance(
+            schema_version=2,
+            sample_id="parity/sample",
+            corpus="ravdess",
+            audio_path=Path(payload["sample_path"]),
+            label="happy",
+        )
+    classification = ref_tr.classify_failure(
+        error,
+        scope=ref_tr.FailureScope(payload["scope"]),
+        sample=sample,
+        allowed_roots=tuple(Path(r) for r in payload.get("allowed_roots", ())),
+    )
+    return {
+        "scope": str(classification.scope),
+        "reason_code": str(classification.reason_code),
+        "disposition": str(classification.disposition),
+        "severity": str(classification.severity),
+    }
+
+
 def op_timeline_csv(payload: dict) -> bytes:
     timeline = [TimelineEntry(*item) for item in payload["timeline"]]
     with tempfile.TemporaryDirectory() as tmp:
@@ -764,6 +813,7 @@ _OPS = {
     "canonicalize": op_canonicalize,
     "build_timeline": op_build_timeline,
     "timeline_csv": op_timeline_csv,
+    "classify_failure": op_classify_failure,
     "subtitles_render": op_subtitles_render,
     "subtitle_request": op_subtitle_request,
     "subtitle_cues": op_subtitle_cues,
