@@ -94,10 +94,41 @@ def _windowed_dataset(
         pending.clear()
         pending_audio.clear()
 
-    for path, _label, _speaker in files:
-        audio, sr = read_audio_file(path, audio_read_config=settings.audio_read)
+    from ser_tpu._internal.models.training_orchestration import (
+        bounded_retry_local_io,
+        handle_sample_encoding_failure,
+        record_cache_probe,
+    )
+
+    all_labels: list[str | None] = [label for _path, label, _speaker in files]
+    quarantined_labels: list[str | None] = []
+    quarantined_paths: set[str] = set()
+    for path, label, _speaker in files:
+        try:
+            audio, sr = bounded_retry_local_io(
+                lambda path=path: read_audio_file(
+                    path, audio_read_config=settings.audio_read
+                ),
+                identity=path,
+            )
+        except Exception as err:  # noqa: BLE001 - containment is classified
+            # A sample that vanished or went corrupt AFTER readiness may be
+            # dropped only while every quarantine budget still holds.
+            if handle_sample_encoding_failure(
+                settings=settings,
+                sample_path=path,
+                label=label,
+                error=err,
+                all_labels=all_labels,
+                quarantined_labels=quarantined_labels,
+            ):
+                quarantined_labels.append(label)
+                quarantined_paths.add(path)
+                continue
+            raise
         if cache is not None:
             hit = cache.load(path, audio=audio)
+            record_cache_probe(hit=hit is not None)
             if hit is not None:
                 encoded_by_path[path] = hit
                 continue
@@ -110,6 +141,8 @@ def _windowed_dataset(
     rows, labels, sample_ids = [], [], []
     noise_stats = NoiseControlStats()
     for path, label, _speaker in files:
+        if path in quarantined_paths:
+            continue
         encoded = encoded_by_path[path]
         windows = temporal_pooling_windows(
             encoded, window_size_seconds=window_size, window_stride_seconds=window_stride
@@ -368,6 +401,21 @@ def _train_encoder_profile_model_ready(
         "feature_vector_size": int(x_train.shape[1]),
         "elapsed_seconds": time.time() - started,
     }
+    from ser_tpu._internal.models.training_orchestration import current_training_run
+
+    run_state = current_training_run()
+    if run_state is not None:
+        # Reference report payload carries the containment audit trail
+        # (training_orchestration.py:700-712).
+        report["containment"] = dict(sorted(run_state.containment_counts.items()))
+        report["cache_probes"] = {
+            "hits": run_state.cache_hits,
+            "misses": run_state.cache_misses,
+        }
+        if run_state.quarantined_sample_paths:
+            report["quarantined_mid_training"] = sorted(
+                run_state.quarantined_sample_paths
+            )
 
     metadata = artifacts.build_artifact_metadata(
         feature_vector_size=int(x_train.shape[1]),

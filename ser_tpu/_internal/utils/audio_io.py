@@ -162,7 +162,13 @@ def read_audio_file(
     config = audio_read_config if audio_read_config is not None else AudioReadConfig()
     path = Path(file_path)
     if not path.exists():
-        raise FileNotFoundError(f"Audio file not found: {file_path}")
+        # The three-arg form populates ``.filename`` — the failure taxonomy's
+        # proven-missing-sample check keys on it (training_readiness.
+        # classify_failure), so the message-only form would misclassify a
+        # vanished sample as an aborting defect.
+        import errno as _errno
+
+        raise FileNotFoundError(_errno.ENOENT, "Audio file not found", str(file_path))
     if not path.is_file():
         raise OSError(f"Path is not a regular file: {file_path}")
     if is_git_lfs_pointer(path):

@@ -143,3 +143,53 @@ def test_training_stamps_the_resolved_model_override(corpus):
         expected_model_id="my-org/custom-xlsr",
     )
     assert loaded.artifact_metadata["backend_model_id"] == "my-org/custom-xlsr"
+
+
+def test_vanished_file_is_contained_mid_training(tmp_path):
+    """A sample deleted between readiness and encode quarantines, not crashes.
+
+    Reference semantics: training-time containment via classify_failure +
+    budget-enforced quarantine (training_orchestration.py:715-790); the
+    training report records the containment audit trail.
+    """
+    import dataclasses
+
+    from ser_tpu._internal.models.encoder_training import train_encoder_profile_model
+
+    build_dataset(tmp_path / "ds", actors=2, repetitions=2, seconds=2.2)
+    settings = build_settings_from_inputs(
+        capture_settings_inputs(
+            env={
+                "SER_DATASET_FOLDER": str(tmp_path / "ds"),
+                "SER_MODELS_FOLDER": str(tmp_path / "models"),
+                "SER_TMP_FOLDER": str(tmp_path / "tmp"),
+                "SER_DATA_LOADER_MAX_FAILED_FILE_RATIO": "0.5",
+            }
+        )
+    )
+    settings = dataclasses.replace(
+        settings, nn=dataclasses.replace(settings.nn, hidden_layer_sizes=(16,), max_iter=60)
+    )
+
+    # Delete one clip at the narrowest possible window: after discovery and
+    # split, right before its own decode inside the windowed-dataset loop.
+    victim: list[str] = []
+    from ser_tpu._internal.models import encoder_training as et
+
+    real_read = et.read_audio_file
+
+    def vanish_then_read(path, **kwargs):
+        if not victim:
+            Path(path).unlink()
+            victim.append(str(path))
+        return real_read(path, **kwargs)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(et, "read_audio_file", side_effect=vanish_then_read):
+        report = train_encoder_profile_model(
+            profile="medium", settings=settings, backend=TinyDspBackend()
+        )
+    assert victim
+    assert report["containment"].get("sample:sample_audio_missing:quarantine") == 1
+    assert report["quarantined_mid_training"] == victim

@@ -166,3 +166,157 @@ def test_readiness_report_persisted_at_default_path(monkeypatch, tmp_path):
     assert payload["blocking"] is False
     assert payload["usable_files"] == ["/tmp/a.wav"]
     assert not list(tmp_path.glob(".training-readiness-*"))  # staging temp cleaned
+
+
+# --------------------------------------------------------------------------- #
+# Training-time containment (reference training_orchestration.py:577-790)
+# --------------------------------------------------------------------------- #
+
+from ser_tpu._internal.config.settings_builder import build_settings_from_inputs
+from ser_tpu._internal.config.settings_inputs import capture_settings_inputs
+from ser_tpu._internal.models.training_orchestration import (
+    QuarantineBudgetExceeded,
+    bounded_retry_local_io,
+    handle_sample_encoding_failure,
+    record_cache_probe,
+)
+from ser_tpu._internal.utils.audio_io import AudioDecodeError
+
+
+def _settings(tmp_path, **extra):
+    env = {
+        "SER_DATASET_FOLDER": str(tmp_path / "ds"),
+        "SER_TMP_FOLDER": str(tmp_path / "tmp"),
+        "SER_MODELS_FOLDER": str(tmp_path / "models"),
+    }
+    env.update(extra)
+    return build_settings_from_inputs(capture_settings_inputs(env=env))
+
+
+class TestBoundedRetryLocalIO:
+    def test_transient_errno_retries_then_succeeds(self, monkeypatch):
+        monkeypatch.setattr(orchestration.time, "sleep", lambda _s: None)
+        attempts = {"n": 0}
+
+        def flaky():
+            attempts["n"] += 1
+            if attempts["n"] < 3:
+                raise OSError(11, "Resource temporarily unavailable")
+            return "payload"
+
+        with training_operation_scope("medium") as state:
+            assert bounded_retry_local_io(flaky, identity="x.wav") == "payload"
+            assert state.bounded_retries == 2
+            assert state.containment_counts["sample:media_decode_failed:bounded_retry"] == 2
+        assert attempts["n"] == 3
+
+    def test_non_transient_error_raises_immediately(self):
+        attempts = {"n": 0}
+
+        def corrupt():
+            attempts["n"] += 1
+            raise AudioDecodeError("bad RIFF")
+
+        with pytest.raises(AudioDecodeError):
+            bounded_retry_local_io(corrupt, identity="x.wav")
+        assert attempts["n"] == 1
+
+    def test_budget_exhaustion_reraises(self, monkeypatch):
+        monkeypatch.setattr(orchestration.time, "sleep", lambda _s: None)
+
+        def always_busy():
+            raise OSError(16, "Device busy")
+
+        with pytest.raises(OSError):
+            bounded_retry_local_io(always_busy, identity="x.wav", max_retries=1)
+
+    def test_jitter_is_deterministic_per_identity(self, monkeypatch):
+        delays: list[float] = []
+        monkeypatch.setattr(orchestration.time, "sleep", delays.append)
+        for _ in range(2):
+            attempts = {"n": 0}
+
+            def flaky():
+                attempts["n"] += 1
+                if attempts["n"] == 1:
+                    raise OSError(4, "Interrupted")
+                return 1
+
+            bounded_retry_local_io(flaky, identity="stable.wav")
+        assert delays[0] == delays[1]
+
+
+class TestHandleSampleEncodingFailure:
+    def _vanished(self, tmp_path):
+        clip = tmp_path / "ds" / "a.wav"
+        return FileNotFoundError(2, "No such file", str(clip)), str(clip)
+
+    def test_proven_missing_sample_quarantines_within_budget(self, tmp_path):
+        (tmp_path / "ds").mkdir(parents=True)
+        settings = _settings(tmp_path, SER_DATA_LOADER_MAX_FAILED_FILE_RATIO="0.5")
+        err, clip = self._vanished(tmp_path)
+        with training_operation_scope("medium") as state:
+            assert handle_sample_encoding_failure(
+                settings=settings,
+                sample_path=clip,
+                label="happy",
+                error=err,
+                all_labels=["happy"] * 4 + ["sad"] * 4,
+                quarantined_labels=[],
+            )
+            assert state.quarantined_sample_paths == [clip]
+            assert state.containment_counts["sample:sample_audio_missing:quarantine"] == 1
+
+    def test_non_quarantine_failure_returns_false(self, tmp_path):
+        (tmp_path / "ds").mkdir(parents=True)
+        settings = _settings(tmp_path)
+        assert not handle_sample_encoding_failure(
+            settings=settings,
+            sample_path=str(tmp_path / "ds" / "a.wav"),
+            label="happy",
+            error=RuntimeError("novel"),
+            all_labels=["happy"],
+            quarantined_labels=[],
+        )
+
+    def test_budget_violation_aborts(self, tmp_path):
+        (tmp_path / "ds").mkdir(parents=True)
+        settings = _settings(tmp_path, SER_DATA_LOADER_MAX_FAILED_FILES="0")
+        err, clip = self._vanished(tmp_path)
+        with pytest.raises(QuarantineBudgetExceeded, match="absolute"):
+            handle_sample_encoding_failure(
+                settings=settings,
+                sample_path=clip,
+                label="happy",
+                error=err,
+                all_labels=["happy"] * 8,
+                quarantined_labels=[],
+            )
+
+    def test_class_floor_violation_aborts(self, tmp_path):
+        (tmp_path / "ds").mkdir(parents=True)
+        settings = _settings(
+            tmp_path,
+            SER_DATA_LOADER_MAX_FAILED_FILE_RATIO="1.0",
+            SER_DATA_LOADER_MAX_FAILED_FILE_RATIO_PER_CLASS="1.0",
+            SER_DATA_LOADER_MIN_REMAINING_PER_CLASS_SPLIT="2",
+        )
+        err, clip = self._vanished(tmp_path)
+        with pytest.raises(QuarantineBudgetExceeded, match="floor"):
+            handle_sample_encoding_failure(
+                settings=settings,
+                sample_path=clip,
+                label="happy",
+                error=err,
+                all_labels=["happy", "happy", "sad", "sad", "sad"],
+                quarantined_labels=["happy"],
+            )
+
+
+def test_record_cache_probe_counts_in_scope():
+    with training_operation_scope("medium") as state:
+        record_cache_probe(hit=True)
+        record_cache_probe(hit=False)
+        record_cache_probe(hit=False)
+        assert (state.cache_hits, state.cache_misses) == (1, 2)
+    record_cache_probe(hit=True)  # outside any scope: a no-op
