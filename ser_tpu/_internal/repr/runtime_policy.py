@@ -26,7 +26,11 @@ _SUPPORTED_DTYPES: dict[str, tuple[str, ...]] = {
 }
 _DEFAULT_AUTO_DTYPE: dict[str, str] = {
     "handcrafted": "float32",
-    "jax_xlsr": "float32",
+    # bf16 on the MXU like the other encoder lanes: XLS-R embeddings at bf16
+    # are cosine >= 0.99997 to f32 (LN/softmax stay f32 inside the model);
+    # the reference likewise passes reduced precision through on accelerators
+    # (repr/runtime_policy.py:84-107 — its f32 clamp is an MPS-only guard).
+    "jax_xlsr": "bfloat16",
     "jax_whisper_encoder": "bfloat16",
     "emotion2vec": "bfloat16",
 }

@@ -81,3 +81,15 @@ def test_unknown_backend_gets_permissive_dtype_set():
     )
     assert resolved.dtype == "bfloat16"
     assert resolved.backend_id == "mystery"
+
+
+def test_xlsr_auto_dtype_is_bf16_class():
+    """Medium lane rides the MXU bf16 path by default (whisper-lane parity);
+    on this CPU-forced host the bf16 auto-default visibly downgrades to f32,
+    proving the request was bf16-class."""
+    resolved = resolve_feature_runtime("jax_xlsr")
+    assert resolved.device_kind == "cpu"
+    assert resolved.dtype == "float32"  # bf16 request clamped by CPU
+    from ser_tpu._internal.repr.runtime_policy import _DEFAULT_AUTO_DTYPE
+
+    assert _DEFAULT_AUTO_DTYPE["jax_xlsr"] == "bfloat16"
