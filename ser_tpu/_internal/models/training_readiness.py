@@ -597,7 +597,7 @@ def _media_integrity_findings(
                 ReadinessFinding(
                     FindingScope.MEDIA,
                     FindingSeverity.BLOCKING,
-                    "media_path_escape",
+                    FailureReasonCode.MANIFEST_INVALID.value,
                     f"Media path escapes every allowed dataset root: {record.path}",
                     sample_id=record.path,
                 )
@@ -609,7 +609,7 @@ def _media_integrity_findings(
                 ReadinessFinding(
                     FindingScope.MEDIA,
                     FindingSeverity.BLOCKING,
-                    "media_path_alias",
+                    FailureReasonCode.PATH_ALIAS.value,
                     (
                         f"Records {seen_paths[key]!r} and {record.path!r} resolve "
                         "to the same media file."

@@ -530,7 +530,7 @@ def test_media_path_escape_blocks(tmp_path):
     ]
     findings, passed = tr._media_integrity_findings(records, settings)
     assert passed == []
-    assert [f.reason for f in findings] == ["media_path_escape"]
+    assert [f.reason for f in findings] == ["manifest_invalid"]
     assert findings[0].severity is tr.FindingSeverity.BLOCKING
 
 
@@ -548,7 +548,7 @@ def test_media_path_alias_blocks_symlinked_duplicate(tmp_path):
         tr.FileRecord(path=str(alias), corpus="ravdess", label="happy", speaker="01"),
     ]
     findings, passed = tr._media_integrity_findings(records, settings)
-    assert [f.reason for f in findings] == ["media_path_alias"]
+    assert [f.reason for f in findings] == ["path_alias"]
     assert len(passed) == 1  # first claimant survives
 
 
@@ -585,7 +585,7 @@ def test_readiness_run_blocks_on_alias(tmp_path):
         pytest.skip("platform without symlink support")
     report = tr.run_training_readiness(settings=_settings(tmp_path), profile="fast")
     assert report.blocking
-    assert any(f.reason == "media_path_alias" for f in report.findings)
+    assert any(f.reason == "path_alias" for f in report.findings)
 
 
 # --- Stratified smoke selection (reference training_readiness.py:637-703) ---
