@@ -276,13 +276,23 @@ def _bench_infer() -> tuple[float, str, dict]:
 
 
 def _bench_infer_accurate() -> tuple[float, str, dict]:
-    """Accurate-profile end-to-end ``api.infer()`` p50 on a 60 s clip.
+    return _bench_infer_encoder("accurate")
 
-    The full user path: Whisper-encoder encode → windows → mean+std pool →
-    head predict → postprocess → timeline, under the real runtime discipline
+
+def _bench_infer_medium() -> tuple[float, str, dict]:
+    return _bench_infer_encoder("medium")
+
+
+def _bench_infer_encoder(profile: str) -> tuple[float, str, dict]:
+    """Encoder-profile end-to-end ``api.infer()`` p50 on a 60 s clip.
+
+    The full user path: encoder encode → windows → mean+std pool → head
+    predict → postprocess → timeline, under the real runtime discipline
     (boundary, retry budgets, phase timings). Weights are deterministic random
     at PRODUCTION dims on TPU (SER_RANDOM_INIT_SIZE=full) — latency is
-    weight-agnostic; the staged head is fitted to the pooled dim.
+    weight-agnostic; the staged head is fitted to the pooled dim. The
+    accurate-research (emotion2vec) lane shares the medium lane's wav2vec2
+    compute core at identical dims, so the medium number stands for both.
     """
     import contextlib
     import io
@@ -305,7 +315,7 @@ def _bench_infer_accurate() -> tuple[float, str, dict]:
 
     seconds = float(os.environ.get("SER_BENCH_SECONDS", "60"))
     repeats = int(os.environ.get("SER_BENCH_REPEATS", "5"))
-    tmp = Path(tempfile.mkdtemp(prefix="ser_bench_acc_"))
+    tmp = Path(tempfile.mkdtemp(prefix=f"ser_bench_{profile}_"))
     rng = np.random.default_rng(0)
     sr = 16000
     audio = (0.2 * rng.standard_normal(int(seconds * sr))).astype(np.float32)
@@ -316,14 +326,14 @@ def _bench_infer_accurate() -> tuple[float, str, dict]:
         capture_settings_inputs(
             env={
                 "SER_MODELS_FOLDER": str(tmp / "models"),
-                "SER_ENABLE_ACCURATE_PROFILE": "1",
-                # Compile-inclusive first attempt can exceed the 120 s budget
+                f"SER_ENABLE_{profile.upper()}_PROFILE": "1",
+                # Compile-inclusive first attempt can exceed the timeout budget
                 # over the remote-compile tunnel; the warm run is what's timed.
-                "SER_ACCURATE_TIMEOUT_SECONDS": "0",
+                f"SER_{profile.upper()}_TIMEOUT_SECONDS": "0",
             }
         )
     )
-    backend = build_encoder_backend("accurate", settings=settings)
+    backend = build_encoder_backend(profile, settings=settings)
     pooled_dim = 2 * backend.feature_dim  # mean_std pooling
     labels = ["neutral", "calm", "happy", "sad", "angry", "fearful", "disgust", "surprised"]
     x = rng.standard_normal((64, pooled_dim)).astype(np.float32)
@@ -338,10 +348,10 @@ def _bench_infer_accurate() -> tuple[float, str, dict]:
         training_samples=len(y),
         labels=sorted(set(y)),
         backend_id=backend.backend_id,
-        profile="accurate",
+        profile=profile,
         feature_dim=backend.feature_dim,
         pooling_strategy="mean_std",
-        backend_model_id=resolved_model_id("accurate", settings),
+        backend_model_id=resolved_model_id(profile, settings),
         device="tpu" if on_tpu else "cpu",
         dtype="bfloat16" if on_tpu else "float32",
         seed=0,
@@ -350,7 +360,7 @@ def _bench_infer_accurate() -> tuple[float, str, dict]:
     from ser_tpu._internal.config.artifact_naming import profile_artifact_file_names
 
     names = profile_artifact_file_names(
-        profile="accurate",
+        profile=profile,
         medium_model_id=settings.models.medium_model_id,
         accurate_model_id=settings.models.accurate_model_id,
         accurate_research_model_id=settings.models.accurate_research_model_id,
@@ -364,7 +374,7 @@ def _bench_infer_accurate() -> tuple[float, str, dict]:
         with contextlib.redirect_stdout(io.StringIO()):
             start = time.perf_counter()
             execution = api.infer(
-                str(clip), profile="accurate", include_transcript=False, settings=settings
+                str(clip), profile=profile, include_transcript=False, settings=settings
             )
             elapsed = time.perf_counter() - start
         assert execution.emotions
@@ -374,12 +384,12 @@ def _bench_infer_accurate() -> tuple[float, str, dict]:
     latencies = [run_once() for _ in range(repeats)]
     p50 = float(np.percentile(latencies, 50))
     extras = {
-        "infer_accurate_p50_latency_s": round(p50, 4),
-        "infer_accurate_p95_latency_s": round(float(np.percentile(latencies, 95)), 4),
-        "infer_accurate_audio_s_per_s": round(seconds / p50, 2),
-        "infer_accurate_dims": "production" if on_tpu else "tiny",
+        f"infer_{profile}_p50_latency_s": round(p50, 4),
+        f"infer_{profile}_p95_latency_s": round(float(np.percentile(latencies, 95)), 4),
+        f"infer_{profile}_audio_s_per_s": round(seconds / p50, 2),
+        f"infer_{profile}_dims": "production" if on_tpu else "tiny",
     }
-    return seconds / p50, "infer_accurate_audio_seconds_per_second", extras
+    return seconds / p50, f"infer_{profile}_audio_seconds_per_second", extras
 
 
 def _bench_transcript() -> tuple[float, str, dict]:
@@ -512,6 +522,8 @@ def main() -> int:
             return _bench_infer()
         if profile == "infer-accurate":
             return _bench_infer_accurate()
+        if profile == "infer-medium":
+            return _bench_infer_medium()
         if profile == "transcript":
             return _bench_transcript()
         if profile == "accurate":
@@ -546,6 +558,7 @@ def main() -> int:
         lanes = (
             ("infer_fast", lambda: _bench_infer()[2]),
             ("infer_accurate", lambda: _bench_infer_accurate()[2]),
+            ("infer_medium", lambda: _bench_infer_medium()[2]),
             ("medium_encode", _medium_extra),
             ("fast_dsp", _fast_extra),
             ("transcript", lambda: _bench_transcript()[2]),
