@@ -123,9 +123,11 @@ def _bench_medium() -> tuple[float, str]:
     encoder = Wav2Vec2Encoder(config, compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32)
     params = init_wav2vec2_params(config, seed=0)
 
-    chunk_seconds = 30.0
+    chunk_seconds = 30.0 if on_tpu else 2.0  # tiny config: waveform-rate stride
     chunk_samples = int(chunk_seconds * 16000)
     seconds = float(os.environ.get("SER_BENCH_SECONDS", "240"))
+    if not on_tpu:
+        seconds = min(seconds, 8.0)
     n_chunks = max(1, int(round(seconds / chunk_seconds)))
     repeats = int(os.environ.get("SER_BENCH_REPEATS", "3"))
 
@@ -314,6 +316,10 @@ def _bench_infer_encoder(profile: str) -> tuple[float, str, dict]:
     os.environ["SER_RANDOM_INIT_SIZE"] = "full" if on_tpu else "tiny"
 
     seconds = float(os.environ.get("SER_BENCH_SECONDS", "60"))
+    if not on_tpu:
+        # Tiny fallback configs keep waveform-rate strides; quadratic
+        # attention over a 60 s clip would stall the CPU-fallback bench.
+        seconds = min(seconds, 4.0)
     repeats = int(os.environ.get("SER_BENCH_REPEATS", "5"))
     tmp = Path(tempfile.mkdtemp(prefix=f"ser_bench_{profile}_"))
     rng = np.random.default_rng(0)
