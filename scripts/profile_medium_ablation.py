@@ -79,6 +79,17 @@ def main() -> None:
         "frontend only (0L)",
         wave,
     )
+    # A/B: the patch-matmul frontend lowering (same params, MXU matmuls).
+    full_mm = bench_config(
+        dataclasses.replace(full_config, frontend_impl="matmul"),
+        "full 24L matmul-frontend",
+        wave,
+    )
+    frontend_mm = bench_config(
+        dataclasses.replace(full_config, num_hidden_layers=0, frontend_impl="matmul"),
+        "frontend only matmul (0L)",
+        wave,
+    )
     transformer = full - frontend
     frames = (CHUNK - full_config.frame_receptive_samples) // (
         full_config.frame_stride_samples
@@ -94,7 +105,9 @@ def main() -> None:
     )
     result = {
         "full_ms": full * 1e3,
+        "full_matmul_frontend_ms": full_mm * 1e3,
         "frontend_ms": frontend * 1e3,
+        "frontend_matmul_ms": frontend_mm * 1e3,
         "transformer_ms": transformer * 1e3,
         "frontend_share": frontend / full,
         "transformer_tf_per_s": flops / transformer / 1e12,

@@ -49,6 +49,12 @@ class Wav2Vec2Config:
     # never applied.
     feature_norm_before_projection: bool = True
     encoder_norm: bool = True
+    # Conv-frontend lowering: "conv" keeps XLA's convolution op; "matmul"
+    # rewrites each strided conv as a strided-slice patch gather + ONE dense
+    # matmul (contraction k*C_in = 1536 for the k=3 stack) so the frontend
+    # rides the MXU instead of the convolution unit. Same param tree and
+    # reduction set — checkpoints and numerics are interchangeable.
+    frontend_impl: str = "conv"  # "conv" | "matmul"
 
     @property
     def frame_stride_samples(self) -> int:
@@ -80,6 +86,45 @@ class Wav2Vec2Config:
         )
 
 
+class _PatchMatmulConv(nn.Module):
+    """VALID strided 1-D conv evaluated as patch-gather + one matmul.
+
+    Parameter tree (``kernel`` of shape (k, C_in, C_out), optional ``bias``)
+    matches ``nn.Conv`` exactly, so the two lowerings share checkpoints. The
+    reduction set also matches (one dot over the k*C_in axis), so outputs are
+    bit-comparable up to dot-order rounding.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    use_bias: bool
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k, s = self.kernel_size, self.stride
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, c_in, self.features),
+        )
+        t_out = (x.shape[1] - k) // s + 1
+        # Tap-major patch layout matches kernel.reshape(k * c_in, features).
+        taps = [x[:, j : j + s * t_out : s, :] for j in range(k)]
+        patches = jnp.concatenate(taps, axis=-1)
+        dtype = self.dtype or x.dtype
+        y = jnp.dot(
+            patches.astype(dtype),
+            kernel.reshape(k * c_in, self.features).astype(dtype),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(dtype)
+        return y
+
+
 class ConvFeatureEncoder(nn.Module):
     """Strided 1-D conv stack mapping raw waveform to latent frames."""
 
@@ -93,14 +138,23 @@ class ConvFeatureEncoder(nn.Module):
         for i, (dim, kernel, stride) in enumerate(
             zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)
         ):
-            x = nn.Conv(
-                features=dim,
-                kernel_size=(kernel,),
-                strides=(stride,),
-                use_bias=cfg.feat_extract_norm == "layer",
-                padding="VALID",
-                name=f"conv_{i}",
-            )(x)
+            if cfg.frontend_impl == "matmul":
+                x = _PatchMatmulConv(
+                    features=dim,
+                    kernel_size=kernel,
+                    stride=stride,
+                    use_bias=cfg.feat_extract_norm == "layer",
+                    name=f"conv_{i}",
+                )(x)
+            else:
+                x = nn.Conv(
+                    features=dim,
+                    kernel_size=(kernel,),
+                    strides=(stride,),
+                    use_bias=cfg.feat_extract_norm == "layer",
+                    padding="VALID",
+                    name=f"conv_{i}",
+                )(x)
             if cfg.feat_extract_norm == "layer":
                 x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name=f"conv_ln_{i}")(x)
             elif i == 0:

@@ -124,3 +124,31 @@ def test_emotion2vec_backend_identity():
     audio = np.random.default_rng(3).standard_normal(16000).astype(np.float32)
     encoded = backend.encode_sequence(audio, 16000)
     assert encoded.backend_id == "emotion2vec"
+
+
+def test_matmul_frontend_matches_conv_frontend():
+    """frontend_impl="matmul" (patch-gather + one MXU matmul) is numerically
+    interchangeable with the nn.Conv lowering on the SAME param tree —
+    checkpoints swap between the two without conversion."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from ser_tpu.models import wav2vec2
+
+    cfg = wav2vec2.Wav2Vec2Config.tiny()
+    cfg_mm = dataclasses.replace(cfg, frontend_impl="matmul")
+    wave = jax.random.normal(jax.random.PRNGKey(1), (2, 12000), dtype=jnp.float32) * 0.1
+    enc = wav2vec2.Wav2Vec2Encoder(cfg, compute_dtype=jnp.float32)
+    enc_mm = wav2vec2.Wav2Vec2Encoder(cfg_mm, compute_dtype=jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), wave)
+    out = np.asarray(enc.apply(params, wave))
+    out_mm = np.asarray(enc_mm.apply(params, wave))
+    assert out.shape == out_mm.shape
+    np.testing.assert_allclose(out, out_mm, atol=2e-5, rtol=1e-5)
+    # Init paths are identical too (same names, shapes, initializer fns).
+    params_mm = enc_mm.init(jax.random.PRNGKey(0), wave)
+    flat = jax.tree_util.tree_leaves(params)
+    flat_mm = jax.tree_util.tree_leaves(params_mm)
+    assert all(np.allclose(a, b) for a, b in zip(flat, flat_mm))
