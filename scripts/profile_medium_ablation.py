@@ -90,6 +90,16 @@ def main() -> None:
         "frontend only matmul (0L)",
         wave,
     )
+    # Subdivide the frontend: a 4-tap positional conv approximates "no pos
+    # conv" (same layer count/normalizations), isolating the conv stack from
+    # the 128-wide 16-group positional conv.
+    frontend_no_pos = bench_config(
+        dataclasses.replace(
+            full_config, num_hidden_layers=0, num_conv_pos_embeddings=4
+        ),
+        "frontend only, pos-k4 (0L)",
+        wave,
+    )
     transformer = full - frontend
     frames = (CHUNK - full_config.frame_receptive_samples) // (
         full_config.frame_stride_samples
@@ -108,6 +118,8 @@ def main() -> None:
         "full_matmul_frontend_ms": full_mm * 1e3,
         "frontend_ms": frontend * 1e3,
         "frontend_matmul_ms": frontend_mm * 1e3,
+        "frontend_no_pos_ms": frontend_no_pos * 1e3,
+        "pos_conv_ms_estimate": (frontend - frontend_no_pos) * 1e3,
         "transformer_ms": transformer * 1e3,
         "frontend_share": frontend / full,
         "transformer_tf_per_s": flops / transformer / 1e12,
