@@ -33,9 +33,15 @@ def build_runtime_environment_plan(settings: AppConfig) -> RuntimeEnvironmentPla
     explicit cache paths as the primary mechanism; the env plan is
     belt-and-suspenders for transitive library lookups.
     """
+    hub_cache = settings.models.huggingface_cache_root / "hub"
     return RuntimeEnvironmentPlan(
         set_vars={
             "HF_HOME": str(settings.models.huggingface_cache_root),
+            # Both hub-cache spellings, as the reference sets them
+            # (environment_plan.py:92-97) — transitive libraries disagree on
+            # which one they honor.
+            "HF_HUB_CACHE": str(hub_cache),
+            "HUGGINGFACE_HUB_CACHE": str(hub_cache),
             "HF_HUB_OFFLINE": "1",  # this runtime never downloads at inference time
         }
     )
