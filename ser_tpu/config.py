@@ -11,7 +11,7 @@ from ser_tpu._internal.config.schema import (
     AppConfig, ArtifactProfileName, AudioReadConfig, DataLoaderConfig, DatasetConfig,
     FastRuntimeConfig, FeatureFlags, FeatureRuntimeBackendOverride, FeatureRuntimePolicyConfig,
     MediumRuntimeConfig, MediumTrainingConfig, MeshConfig, ModelsConfig, NeuralNetConfig,
-    ProfileRuntimeConfig, QualityGateConfig, RuntimeFlags, SchemaConfig, TimelineConfig,
+    OntologyConfig, ProfileRuntimeConfig, QualityGateConfig, RuntimeFlags, SchemaConfig, TimelineConfig,
     TorchRuntimeConfig, TrainingConfig, TranscriptionConfig, WhisperModelConfig,
     default_profile_model_id, profile_artifact_file_names,
 )
@@ -21,7 +21,7 @@ __all__ = [
     "AppConfig", "ArtifactProfileName", "AudioReadConfig", "DataLoaderConfig",
     "DatasetConfig", "FastRuntimeConfig", "FeatureFlags", "FeatureRuntimeBackendOverride",
     "FeatureRuntimePolicyConfig", "MediumRuntimeConfig", "MediumTrainingConfig", "MeshConfig",
-    "ModelsConfig", "NeuralNetConfig", "ProfileRuntimeConfig", "QualityGateConfig",
+    "ModelsConfig", "NeuralNetConfig", "OntologyConfig", "ProfileRuntimeConfig", "QualityGateConfig",
     "RuntimeFlags", "SchemaConfig", "TimelineConfig", "TorchRuntimeConfig",
     "TrainingConfig", "TranscriptionConfig", "WhisperModelConfig", "build_settings",
     "default_profile_model_id", "get_settings", "profile_artifact_file_names", "reload_settings",

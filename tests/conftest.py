@@ -23,6 +23,11 @@ import tempfile as _tempfile
 os.environ.setdefault(
     "SER_DATASET_REGISTRY_ROOT", _tempfile.mkdtemp(prefix="ser-test-registry-")
 )
+
+# Isolate every cache-derived path (model cache, whisper download root,
+# huggingface/orbax roots): tests that build settings without re-homing the
+# cache root must never touch the developer's real ~/.cache/ser tree.
+os.environ.setdefault("SER_CACHE_DIR", _tempfile.mkdtemp(prefix="ser-test-cache-"))
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

@@ -20,8 +20,10 @@ def _load(name: str) -> dict:
 def test_ci_workflow_job_graph():
     ci = _load("ci.yml")
     jobs = ci["jobs"]
-    assert set(jobs) == {"code-quality", "tests", "contract-gates", "build"}
-    assert jobs["tests"]["needs"] == "code-quality"
+    assert set(jobs) == {"classify", "code-quality", "tests", "contract-gates", "build"}
+    assert jobs["tests"]["needs"] == ["classify", "code-quality"]
+    # Heavy tiers are gated on the change classifier (docs-only PRs skip).
+    assert jobs["tests"]["if"] == "needs.classify.outputs.run_full == 'true'"
     assert set(jobs["build"]["needs"]) == {"tests", "contract-gates"}
     # The test lane must force the CPU backend with the virtual mesh.
     assert ci["env"]["JAX_PLATFORMS"] == "cpu"

@@ -31,6 +31,9 @@ def _settings(tmp_path, **env):
     base = {
         "SER_MODELS_FOLDER": str(tmp_path / "models"),
         "SER_TRANSCRIPTS_FOLDER": str(tmp_path / "transcripts"),
+        # Re-home cache-derived paths (whisper_download_root writes below):
+        # without this the root-as-file test would pollute the real user cache.
+        "SER_CACHE_DIR": str(tmp_path / "cache"),
     }
     base.update(env)
     return build_settings_from_inputs(capture_settings_inputs(env=base))
