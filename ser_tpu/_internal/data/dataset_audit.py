@@ -45,6 +45,8 @@ class SplitLedgerEntry:
     group_id: str | None
     audio_sha256: str | None
     reason: str
+    tasks: tuple[str, ...] = ()
+    disposition: str = "accepted"
 
     def to_record(self) -> dict[str, object]:
         return {
@@ -53,19 +55,29 @@ class SplitLedgerEntry:
             "split": self.split,
             "group_id": self.group_id,
             "audio_sha256": self.audio_sha256,
+            "tasks": list(self.tasks),
+            "disposition": self.disposition,
             "reason": self.reason,
         }
 
 
 @dataclass(frozen=True)
 class DatasetAuditReport:
-    """The audited ledger with digests pinning manifest + assignment state."""
+    """The audited ledger with digests pinning manifest + assignment state.
+
+    Recipe provenance fields are populated by :func:`audit_dataset_recipe`
+    (the routing-aware path) and stay ``None`` for the recipe-less
+    :func:`build_split_ledger`.
+    """
 
     manifest_digest: str
     ledger_digest: str
     seed: int
     counters: dict[str, int]
     ledger: tuple[SplitLedgerEntry, ...]
+    recipe_id: str | None = None
+    recipe_revision: str | None = None
+    recipe_digest: str | None = None
 
     def split_of(self, sample_id: str) -> LedgerSplit:
         for entry in self.ledger:
@@ -296,10 +308,174 @@ def build_split_ledger(
     )
 
 
+def audit_dataset_recipe(
+    utterances: list[Utterance],
+    *,
+    recipe,
+    seed: int = 17,
+    strict: bool = True,
+) -> DatasetAuditReport:
+    """Routing-aware audit: routes, deduplicates, and assigns ledger splits.
+
+    Reference ``dataset_audit.py:159-313``: every row is routed through the
+    recipe's per-corpus task policy; content duplicates quarantine in both
+    modes; strict mode additionally rejects duplicate content, missing content
+    hashes, and missing dataset revisions; identity grouping and split
+    assignment are computed over ELIGIBLE rows only (dropped/missing/
+    quarantined routes never influence the grouped split), and the ledger
+    records each row's disposition + task set alongside its split. Strict
+    class checks apply only to rows carrying the ``primary_emotion`` task.
+    """
+    from ser_tpu._internal.data.recipe import route_utterance
+
+    recipe.validate()
+    seen_ids: set[str] = set()
+    by_content: defaultdict[str, list[str]] = defaultdict(list)
+    routes = []
+    for utterance in utterances:
+        if utterance.sample_id in seen_ids:
+            raise DatasetAuditError(
+                f"Duplicate sample_id {utterance.sample_id!r} across manifests."
+            )
+        seen_ids.add(utterance.sample_id)
+        if utterance.audio_sha256:
+            by_content[utterance.audio_sha256].append(utterance.sample_id)
+        routes.append(route_utterance(utterance, recipe))
+
+    duplicate_ids = {
+        sample_id
+        for group in by_content.values()
+        if len(group) > 1
+        for sample_id in group
+    }
+    if strict and duplicate_ids:
+        raise DatasetAuditError(
+            f"Duplicate normalized audio content detected for {len(duplicate_ids)} row(s)."
+        )
+    missing_hashes = [u.sample_id for u in utterances if not u.audio_sha256]
+    if strict and missing_hashes:
+        raise DatasetAuditError(
+            f"audio_sha256 is missing for {len(missing_hashes)} row(s)."
+        )
+    if strict:
+        missing_revisions = [u.sample_id for u in utterances if u.revision is None]
+        if missing_revisions:
+            raise DatasetAuditError(
+                f"dataset revision is missing for {len(missing_revisions)} row(s)."
+            )
+
+    counters: Counter[str] = Counter(route.disposition for route in routes)
+    by_corpus: defaultdict[str, list] = defaultdict(list)
+    for route in routes:
+        by_corpus[route.utterance.corpus].append(route)
+
+    _INELIGIBLE = ("dropped", "missing", "quarantined")
+    entries: list[SplitLedgerEntry] = []
+    for corpus, corpus_routes in sorted(by_corpus.items()):
+        groups = _identity_groups([route.utterance for route in corpus_routes])
+        eligible = [
+            route
+            for route in corpus_routes
+            if route.disposition not in _INELIGIBLE
+            and route.utterance.sample_id not in duplicate_ids
+        ]
+        official = bool(eligible) and all(
+            (route.utterance.native_split or route.utterance.split) is not None
+            for route in eligible
+        )
+        group_ids = {
+            group
+            for route in eligible
+            if (group := groups[route.utterance.sample_id]) is not None
+        }
+        assignments = (
+            {} if official else _group_assignments(group_ids, corpus=corpus, seed=seed)
+        )
+        for route in corpus_routes:
+            utterance = route.utterance
+            group_id = groups[utterance.sample_id]
+            disposition = route.disposition
+            if utterance.sample_id in duplicate_ids:
+                split: LedgerSplit = "quarantined"
+                reason = "duplicate_normalized_audio"
+                counters[route.disposition] -= 1
+                counters["quarantined"] += 1
+                disposition = "quarantined"
+            elif route.disposition in _INELIGIBLE:
+                split = "quarantined"
+                reason = route.reason
+            elif official:
+                split = utterance.native_split or utterance.split  # type: ignore[assignment]
+                reason = "verified_native_split"
+            elif group_id is None:
+                split = "ssl_only"
+                reason = "missing_speaker_or_session_group"
+            else:
+                split = assignments[group_id]
+                reason = "deterministic_grouped_split"
+            entries.append(
+                SplitLedgerEntry(
+                    sample_id=utterance.sample_id,
+                    corpus=corpus,
+                    split=split,
+                    group_id=group_id,
+                    audio_sha256=utterance.audio_sha256,
+                    reason=reason,
+                    tasks=tuple(sorted(route.tasks)),
+                    disposition=disposition,
+                )
+            )
+
+    if sum(counters.values()) != len(utterances):
+        raise DatasetAuditError(
+            "Internal audit accounting did not classify every manifest row."
+        )
+    _validate_partition_isolation(entries)
+
+    if strict:
+        by_id = {u.sample_id: u for u in utterances}
+        train_labels = {
+            label
+            for entry in entries
+            if entry.split == "train" and "primary_emotion" in entry.tasks
+            if (label := by_id[entry.sample_id].label) is not None
+        }
+        if len(train_labels) < 2:
+            raise DatasetAuditError(
+                "Primary emotion training partition must contain at least two "
+                "populated classes."
+            )
+        eval_labels = {
+            label
+            for entry in entries
+            if entry.split in ("dev", "test") and "primary_emotion" in entry.tasks
+            if (label := by_id[entry.sample_id].label) is not None
+        }
+        missing = eval_labels - train_labels
+        if missing:
+            raise DatasetAuditError(
+                "Primary emotion evaluation classes are absent from train: "
+                + ", ".join(sorted(missing))
+            )
+
+    ordered = tuple(sorted(entries, key=lambda entry: entry.sample_id))
+    return DatasetAuditReport(
+        manifest_digest=_manifest_digest(utterances),
+        ledger_digest=_ledger_digest(list(ordered)),
+        seed=seed,
+        counters=dict(sorted(counters.items())),
+        ledger=ordered,
+        recipe_id=recipe.recipe_id,
+        recipe_revision=recipe.revision,
+        recipe_digest=recipe.digest,
+    )
+
+
 __all__ = [
     "DatasetAuditError",
     "DatasetAuditReport",
     "LedgerSplit",
     "SplitLedgerEntry",
+    "audit_dataset_recipe",
     "build_split_ledger",
 ]

@@ -250,8 +250,59 @@ def load_utterances(
     return utterances or None
 
 
+def apply_recipe_ledger(
+    utterances,
+    *,
+    settings: AppConfig | None = None,
+):
+    """Reassigns splits from the audited recipe ledger when a recipe is set.
+
+    Reference ``data_loader.py:74-99``: with ``--dataset-recipe``, the split
+    assignment recorded in the leakage-audited ledger REPLACES whatever the
+    manifests carried, and only rows routed to the ``primary_emotion`` task in
+    a supervised partition survive into training. Raises
+    ``DatasetAuditError`` when the set cannot produce a defensible benchmark
+    (strict mode) — training must abort, not silently degrade.
+    """
+    import dataclasses
+
+    from ser_tpu._internal.data.dataset_audit import audit_dataset_recipe
+    from ser_tpu._internal.data.recipe import load_dataset_recipe
+
+    settings = _resolve_settings(settings)
+    if not settings.dataset.recipe or not utterances:
+        return utterances
+    recipe = load_dataset_recipe(settings.dataset.recipe)
+    report = audit_dataset_recipe(
+        utterances,
+        recipe=recipe,
+        seed=settings.training.random_state,
+        strict=settings.dataset.strict_audit,
+    )
+    by_id = {utterance.sample_id: utterance for utterance in utterances}
+    kept = [
+        dataclasses.replace(by_id[entry.sample_id], split=entry.split)
+        for entry in report.ledger
+        if "primary_emotion" in entry.tasks
+        and entry.split in ("train", "dev", "test")
+        and by_id[entry.sample_id].label is not None
+    ]
+    logger.info(
+        "Dataset audit passed (recipe=%s@%s recipe_digest=%s ledger_digest=%s counters=%s).",
+        report.recipe_id,
+        report.recipe_revision,
+        report.recipe_digest,
+        report.ledger_digest,
+        report.counters,
+    )
+    if not kept:
+        logger.warning("Dataset recipe produced zero primary-emotion training rows.")
+    return kept
+
+
 __all__ = [
     "LoadedClip",
+    "apply_recipe_ledger",
     "discover_dataset_files",
     "extract_ravdess_emotion_code",
     "extract_ravdess_speaker_id_from_path",

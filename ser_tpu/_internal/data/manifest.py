@@ -56,11 +56,14 @@ class Utterance:
     sample_id: str
     corpus: str
     audio_path: str
-    label: str
+    label: str | None
     raw_label: str = ""
     valence: float | None = None
     arousal: float | None = None
     dominance: float | None = None
+    social_attitude: str | None = None
+    binary_affect: str | None = None
+    transcript: str | None = None
     speaker_id: str | None = None
     session_id: str | None = None
     language: str = "en"
@@ -79,7 +82,26 @@ class Utterance:
             raise ManifestError(f"Utterance {self.sample_id}: corpus must be non-empty.")
         if not self.audio_path:
             raise ManifestError(f"Utterance {self.sample_id}: audio_path must be non-empty.")
-        if self.label not in PRIMARY_EMOTIONS and self.label not in EXTENDED_LABELS:
+        if self.label is None:
+            # Schema v2 allows label-free rows IF another training target
+            # exists (reference ``manifest.py:206-215``: SSL/VAD/attitude/
+            # binary-affect/language/transcript rows are valid without a
+            # categorical label).
+            if not any(
+                (
+                    self.valence is not None,
+                    self.social_attitude,
+                    self.binary_affect,
+                    self.transcript,
+                    self.language,
+                )
+            ):
+                raise ManifestError(
+                    f"Utterance {self.sample_id}: schema v2 requires at least "
+                    "one training target (label/VAD/attitude/binary-affect/"
+                    "language/transcript)."
+                )
+        elif self.label not in PRIMARY_EMOTIONS and self.label not in EXTENDED_LABELS:
             raise ManifestError(
                 f"Utterance {self.sample_id}: label {self.label!r} is not in the "
                 f"primary ontology {PRIMARY_EMOTIONS} nor the extended set "

@@ -221,6 +221,10 @@ def _split_training_files(
         except Exception as err:  # noqa: BLE001 - fall back to file split
             logger.warning("Manifest split unavailable: %s", err)
             utterances = []
+        # Recipe-audited runs take the ledger's split assignment (reference
+        # data_loader.py:74-99); a failed audit ABORTS training rather than
+        # degrading to an unaudited split.
+        utterances = loader.apply_recipe_ledger(utterances, settings=settings) or []
         by_resolved = {str(Path(u.audio_path).resolve()): u for u in utterances}
         file_by_resolved = {str(Path(item[0]).resolve()): item for item in files}
         if by_resolved and set(file_by_resolved) <= set(by_resolved):

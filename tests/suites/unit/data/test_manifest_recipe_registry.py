@@ -64,8 +64,124 @@ def test_recipe_audit_flags_leakage_and_duplicates():
 
 def test_recipe_audit_corpus_scope():
     recipe = get_recipe("research-v1")
-    report = audit_recipe([_utterance(corpus="msp-podcast")], recipe)
+    report = audit_recipe([_utterance(corpus="not-a-corpus")], recipe)
     assert any(issue.kind == "corpus_scope" for issue in report.issues)
+
+
+def test_recipe_routing_decision_table():
+    from ser_tpu._internal.data.recipe import get_recipe, route_utterance
+
+    recipe = get_recipe("research-v1")
+    # Exact canonical label -> primary head; raw==label -> accepted.
+    exact = route_utterance(_utterance(label="happy", raw_label="happy"), recipe)
+    assert exact.disposition == "accepted" and "primary_emotion" in exact.tasks
+    # Remapped raw label still reaches the primary head.
+    remapped = route_utterance(_utterance(label="happy", raw_label="03"), recipe)
+    assert remapped.disposition == "remapped" and "primary_emotion" in remapped.tasks
+    # EmoV-DB's approximate moods stay out of the primary head.
+    weak = route_utterance(
+        _utterance(corpus="emov-db", label="happy", raw_label="amused"), recipe
+    )
+    assert weak.disposition == "weak"
+    assert "primary_emotion" not in weak.tasks and "raw_emotion" in weak.tasks
+    # Unknown corpus quarantines with no tasks.
+    unknown = route_utterance(_utterance(corpus="nope"), recipe)
+    assert unknown.disposition == "quarantined" and not unknown.tasks
+    # Auxiliary-only corpus: attitude rows are accepted without primary task.
+    attitude = route_utterance(
+        _utterance(corpus="att-hack", label="friendly", language="fr"), recipe
+    )
+    assert attitude.disposition == "accepted"
+    assert "attitude" in attitude.tasks and "primary_emotion" not in attitude.tasks
+
+
+def test_load_dataset_recipe_json_round_trip(tmp_path):
+    import json
+
+    from ser_tpu._internal.data.recipe import load_dataset_recipe, research_recipe_v1
+
+    built_in = load_dataset_recipe("research-v1")
+    assert built_in.digest == research_recipe_v1().digest
+    path = tmp_path / "recipe.json"
+    path.write_text(json.dumps(built_in.to_record()), encoding="utf-8")
+    loaded = load_dataset_recipe(path)
+    assert loaded.digest == built_in.digest
+    with pytest.raises(ValueError, match="corpora"):
+        bad = tmp_path / "bad.json"
+        bad.write_text(json.dumps({"recipe_id": "x"}), encoding="utf-8")
+        load_dataset_recipe(bad)
+
+
+def test_audit_dataset_recipe_ledger(tmp_path):
+    from ser_tpu._internal.data.dataset_audit import (
+        DatasetAuditError,
+        audit_dataset_recipe,
+    )
+    from ser_tpu._internal.data.recipe import get_recipe
+
+    recipe = get_recipe("research-v1")
+    rows = [
+        _utterance(
+            sample_id=f"s{i}",
+            audio_sha256=f"h{i}",
+            revision="r1",
+            speaker_id=f"spk{i % 4}",
+            label="happy" if i % 2 else "sad",
+        )
+        for i in range(8)
+    ] + [
+        _utterance(
+            sample_id="alien",
+            corpus="not-a-corpus",
+            audio_sha256="hx",
+            revision="r1",
+        )
+    ]
+    report = audit_dataset_recipe(rows, recipe=recipe, seed=7, strict=True)
+    assert report.recipe_id == "cross-domain-common"
+    by_id = {entry.sample_id: entry for entry in report.ledger}
+    assert by_id["alien"].split == "quarantined"
+    assert by_id["alien"].disposition == "quarantined"
+    assert all(
+        by_id[f"s{i}"].split in ("train", "dev", "test") for i in range(8)
+    )
+    assert report.counters["quarantined"] == 1
+    # Duplicate content is rejected in strict mode.
+    dup = rows + [_utterance(sample_id="dup", audio_sha256="h0", revision="r1")]
+    with pytest.raises(DatasetAuditError, match="[Dd]uplicate"):
+        audit_dataset_recipe(dup, recipe=recipe, seed=7, strict=True)
+
+
+def test_apply_recipe_ledger_reassigns_splits(tmp_path):
+    import dataclasses
+
+    from ser_tpu._internal.config.settings_builder import build_settings_from_inputs
+    from ser_tpu._internal.config.settings_inputs import capture_settings_inputs
+    from ser_tpu._internal.data.loader import apply_recipe_ledger
+
+    settings = build_settings_from_inputs(capture_settings_inputs(env={}))
+    settings = dataclasses.replace(
+        settings,
+        dataset=dataclasses.replace(
+            settings.dataset, recipe="research-v1", strict_audit=False
+        ),
+    )
+    rows = [
+        _utterance(
+            sample_id=f"s{i}",
+            audio_sha256=f"h{i}",
+            speaker_id=f"spk{i % 4}",
+            split="train",  # ledger overrides manifest split
+        )
+        for i in range(8)
+    ]
+    kept = apply_recipe_ledger(rows, settings=settings)
+    assert kept and all(u.split in ("train", "dev", "test") for u in kept)
+    # Same speaker -> same split (leak-proof grouping survived reassignment).
+    by_speaker = {}
+    for u in kept:
+        by_speaker.setdefault(u.speaker_id, set()).add(u.split)
+    assert all(len(splits) == 1 for splits in by_speaker.values())
 
 
 def test_recipe_strict_escalates_warnings():

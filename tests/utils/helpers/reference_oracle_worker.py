@@ -790,6 +790,101 @@ def op_retry_policy(payload: dict) -> dict:
     return {"attempts": attempts["n"], "outcome": outcome}
 
 
+def _ref_recipe():
+    from ser._internal.data.recipe import research_recipe_v1
+
+    return research_recipe_v1()
+
+
+def _ref_audit_utterances(items: list[dict]):
+    from ser._internal.data.manifest import Utterance as RefUtterance
+    from ser._internal.data.manifest import VadTarget
+
+    rows = []
+    for item in items:
+        vad = None
+        if item.get("vad") is not None:
+            v, a, d = item["vad"]
+            vad = VadTarget(valence=v, arousal=a, dominance=d)
+        rows.append(
+            RefUtterance(
+                schema_version=2,
+                sample_id=item["sample_id"],
+                corpus=item["corpus"],
+                audio_path=Path(item.get("audio_path", "/tmp/a.wav")),
+                label=item.get("label"),
+                raw_label=item.get("raw_label"),
+                vad=vad,
+                social_attitude=item.get("social_attitude"),
+                binary_affect=item.get("binary_affect"),
+                transcript=item.get("transcript"),
+                speaker_id=item.get("speaker_id"),
+                session_id=item.get("session_id"),
+                language=item.get("language"),
+                split=item.get("split"),
+                native_split=item.get("native_split"),
+                normalized_audio_sha256=item.get("audio_sha256"),
+                dataset_revision=item.get("revision"),
+            )
+        )
+    return rows
+
+
+def op_recipe_digest(payload: dict) -> dict:
+    recipe = _ref_recipe()
+    return {
+        "recipe_id": recipe.recipe_id,
+        "revision": recipe.revision,
+        "ontology_version": recipe.ontology_version,
+        "digest": recipe.digest,
+        "record": recipe.to_record(),
+    }
+
+
+def op_route_utterance(payload: dict) -> list[dict]:
+    from ser._internal.data.recipe import route_utterance
+
+    recipe = _ref_recipe()
+    return [
+        {
+            "sample_id": routed.utterance.sample_id,
+            "disposition": routed.disposition,
+            "tasks": sorted(routed.tasks),
+            "reason": routed.reason,
+        }
+        for routed in (
+            route_utterance(row, recipe)
+            for row in _ref_audit_utterances(payload["samples"])
+        )
+    ]
+
+
+def op_audit_dataset_recipe(payload: dict) -> dict:
+    from ser._internal.data.dataset_audit import audit_dataset_recipe
+
+    report = audit_dataset_recipe(
+        _ref_audit_utterances(payload["samples"]),
+        recipe=_ref_recipe(),
+        seed=payload["seed"],
+        strict=payload["strict"],
+    )
+    return {
+        "counters": dict(report.counters),
+        "ledger": [
+            {
+                "sample_id": entry.sample_id,
+                "corpus": entry.corpus,
+                "split": entry.split,
+                "group_id": entry.group_id,
+                "tasks": list(entry.tasks),
+                "disposition": entry.disposition,
+                "reason": entry.reason,
+            }
+            for entry in report.ledger
+        ],
+    }
+
+
 def op_dataset_catalog(payload: dict) -> dict:
     from ser._internal.data.dataset_prepare import SUPPORTED_DATASETS
 
@@ -843,6 +938,9 @@ _OPS = {
     "dataset_catalog": op_dataset_catalog,
     "csv_label_mappings": op_csv_label_mappings,
     "retry_policy": op_retry_policy,
+    "recipe_digest": op_recipe_digest,
+    "route_utterance": op_route_utterance,
+    "audit_dataset_recipe": op_audit_dataset_recipe,
 }
 
 
