@@ -278,6 +278,9 @@ class TranscriptionConfig:
     calibration_min_confidence: Literal["high", "medium", "low"] = "high"
     calibration_report_max_age_hours: float = 168.0
     calibration_report_path: Path | None = None
+    # Locally staged neural-separator checkpoint (.npz) for the use_demucs
+    # lane; None keeps the weight-free REPET-SIM separator.
+    separation_model_path: Path | None = None
     # No bundled backend *requires* isolation (the reference isolated only
     # ctranslate2/faster_whisper for a macOS OpenMP clash, process_isolation
     # .py:319-321); the spawn path stays available as an opt-in for CPU runs.

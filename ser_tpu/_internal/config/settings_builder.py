@@ -10,6 +10,7 @@ from __future__ import annotations
 import dataclasses
 import math
 from collections.abc import Mapping
+from pathlib import Path
 from types import MappingProxyType
 
 from ser_tpu._internal.config import schema as config_schema
@@ -229,6 +230,8 @@ def build_settings_from_inputs(
         tx_changes["use_demucs"] = inputs.whisper_demucs
     if inputs.whisper_vad is not None:
         tx_changes["use_vad"] = inputs.whisper_vad
+    if inputs.separation_model_path is not None:
+        tx_changes["separation_model_path"] = Path(inputs.separation_model_path)
     if inputs.whisper_decode_strategy is not None:
         if inputs.whisper_decode_strategy not in ("greedy", "beam"):
             raise ValueError(

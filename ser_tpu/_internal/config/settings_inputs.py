@@ -165,6 +165,7 @@ class ResolvedSettingsInputs:
     whisper_decode_strategy: str | None = None
     whisper_beam_size: int | None = None
     whisper_length_penalty: float | None = None
+    separation_model_path: str | None = None
     # Mesh (TPU-native addition)
     mesh_data_axis_size: int | None = None
     mesh_model_axis_size: int | None = None
@@ -333,6 +334,7 @@ def capture_settings_inputs(env: dict[str, str] | None = None) -> ResolvedSettin
         whisper_decode_strategy=read_env_str(env, "WHISPER_DECODE_STRATEGY"),
         whisper_beam_size=read_env_int(env, "WHISPER_BEAM_SIZE"),
         whisper_length_penalty=read_env_float(env, "WHISPER_LENGTH_PENALTY"),
+        separation_model_path=read_env_str(env, "SER_SEPARATION_MODEL_PATH"),
         mesh_data_axis_size=read_env_int(env, "SER_MESH_DATA_AXIS_SIZE"),
         mesh_model_axis_size=read_env_int(env, "SER_MESH_MODEL_AXIS_SIZE"),
         default_language=_first(

@@ -88,9 +88,10 @@ class JaxWhisperTranscriber:
                 CompatibilityIssue(
                     kind="noise",
                     message=(
-                        "Demucs weights are not distributable here; separation "
-                        "requests route to the built-in REPET-SIM vocal "
-                        "separator + spectral gate."
+                        "Separation runs the staged demucs-class neural "
+                        "separator when SER_SEPARATION_MODEL_PATH points at a "
+                        "checkpoint; otherwise the built-in REPET-SIM vocal "
+                        "separator + spectral gate take the lane."
                     ),
                 )
             )
@@ -128,9 +129,11 @@ class JaxWhisperTranscriber:
 
         The separation hook fills the reference's demucs lane
         (``stable_whisper.py:272-478`` runs demucs + VAD before transcribing):
-        with ``use_demucs`` on, audio routes through REPET-SIM vocal
-        separation (removes the repeating musical background) followed by the
-        spectral gate (removes residual stationary noise) before VAD/decoding.
+        with ``use_demucs`` on, audio routes through vocal separation — the
+        demucs-class flax U-Net when a checkpoint is staged
+        (``SER_SEPARATION_MODEL_PATH``), else the weight-free REPET-SIM
+        separator — followed by the spectral gate (residual stationary
+        noise) before VAD/decoding.
         """
         if self._model is None:
             self.load_model()
@@ -140,9 +143,11 @@ class JaxWhisperTranscriber:
         audio16k = resample_audio(audio, sr, 16000)
         if self._use_demucs:
             from ser_tpu._internal.utils.denoise import spectral_gate_denoise
-            from ser_tpu._internal.utils.source_separation import separate_vocals
+            from ser_tpu._internal.utils.source_separation import (
+                separate_vocals_auto,
+            )
 
-            audio16k = spectral_gate_denoise(separate_vocals(audio16k, 16000))
+            audio16k = spectral_gate_denoise(separate_vocals_auto(audio16k, 16000))
         return self._model.transcribe_words(
             audio16k, language=language, use_vad=self._use_vad
         )

@@ -134,4 +134,55 @@ def separate_vocals(
     return output.astype(np.float32)
 
 
-__all__ = ["separate_vocals"]
+#: (resolved path → loaded params) — checkpoints load once per process.
+_NEURAL_PARAM_CACHE: dict[str, dict] = {}
+
+
+def separate_vocals_auto(
+    audio: np.ndarray,
+    sample_rate: int,
+    *,
+    settings=None,
+) -> np.ndarray:
+    """Routes the demucs lane: neural separator when staged, REPET-SIM else.
+
+    The reference's ``use_demucs`` runs the demucs v4 neural separator
+    (``stable_whisper.py:272-478``); here the demucs-class flax U-Net
+    (:mod:`ser_tpu.models.separation`) takes the lane whenever a checkpoint
+    is staged at ``transcription.separation_model_path`` /
+    ``SER_SEPARATION_MODEL_PATH`` — zero-egress environments without staged
+    weights keep the weight-free REPET-SIM separator above.
+    """
+    import os
+    from pathlib import Path
+
+    path = None
+    if settings is not None:
+        path = settings.transcription.separation_model_path
+    if path is None:
+        env_path = os.environ.get("SER_SEPARATION_MODEL_PATH")
+        path = Path(env_path) if env_path else None
+    if path is not None and Path(path).exists():
+        from ser_tpu.models.separation import (
+            SeparatorConfig,
+            load_separator_params,
+            separate_vocals_neural,
+        )
+
+        key = str(Path(path).resolve())
+        if key not in _NEURAL_PARAM_CACHE:
+            _NEURAL_PARAM_CACHE[key] = load_separator_params(key)
+        params, config = _NEURAL_PARAM_CACHE[key]
+        config = config or SeparatorConfig(sample_rate=sample_rate)
+        if config.sample_rate != sample_rate:
+            raise ValueError(
+                f"Staged separator checkpoint expects {config.sample_rate} Hz "
+                f"audio; the transcription lane provides {sample_rate} Hz."
+            )
+        return separate_vocals_neural(
+            audio, sample_rate, params=params, config=config
+        )
+    return separate_vocals(audio, sample_rate)
+
+
+__all__ = ["separate_vocals", "separate_vocals_auto"]
