@@ -11,7 +11,6 @@ a typed ``RepairRecord`` so ``--repair`` output is auditable.
 from __future__ import annotations
 
 import os
-import shutil
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -89,17 +88,44 @@ def _repair_staging(settings: AppConfig) -> RepairRecord:
 
 
 def _repair_caches(settings: AppConfig) -> list[RepairRecord]:
-    records = []
-    for target in (
+    """Invalidates CORRUPT derived-cache entries only.
+
+    Reference ``training_readiness.py:1956-1981``: every ``.npz`` under the
+    derived cache roots is validated by loading it (``allow_pickle=False``)
+    and only unreadable entries are removed — valid cached encodes represent
+    hours of accelerator work and MUST survive a repair pass.
+    """
+    import numpy as np
+
+    cache_roots = (
         Path(settings.tmp_folder) / "embedding-cache",
         Path(settings.tmp_folder) / "prepared",
-    ):
-        if target.exists():
-            shutil.rmtree(target, ignore_errors=True)
-            records.append(RepairRecord("purge_cache", str(target), True, "purged"))
-        else:
-            records.append(RepairRecord("purge_cache", str(target), True, "absent"))
-    return records
+    )
+    invalidated = 0
+    failures = 0
+    for cache_root in cache_roots:
+        if not cache_root.is_dir():
+            continue
+        for cache_path in cache_root.rglob("*.npz"):
+            try:
+                with np.load(cache_path, allow_pickle=False) as payload:
+                    _ = tuple(payload.files)
+            except (OSError, ValueError, EOFError):
+                try:
+                    cache_path.unlink(missing_ok=True)
+                except OSError:
+                    failures += 1
+                else:
+                    invalidated += 1
+    return [
+        RepairRecord(
+            "invalidate_derived_cache",
+            ",".join(str(path) for path in cache_roots),
+            failures == 0,
+            f"Invalidated {invalidated} corrupt derived cache entrie(s); "
+            f"failures={failures}.",
+        )
+    ]
 
 
 def _repair_manifests(settings: AppConfig) -> list[RepairRecord]:

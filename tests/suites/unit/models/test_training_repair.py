@@ -36,15 +36,25 @@ def test_repairs_create_directories_and_clean_staging(tmp_path):
     assert keep.exists()  # only allowlisted patterns are touched
 
 
-def test_repairs_purge_prepared_and_cache(tmp_path):
+def test_repairs_invalidate_only_corrupt_cache_entries(tmp_path):
+    """Valid cached encodes are hours of accelerator work: they must survive
+    a repair pass; only unreadable entries are removed (reference
+    ``training_readiness.py:1956-1981``)."""
+    import numpy as np
+
     settings = _settings(tmp_path)
     cache = settings.tmp_folder / "embedding-cache"
     cache.mkdir(parents=True)
-    (cache / "stale.npz").write_bytes(b"x")
+    corrupt = cache / "stale.npz"
+    corrupt.write_bytes(b"x")
+    valid = cache / "good.npz"
+    np.savez(valid, embeddings=np.zeros((2, 3), dtype=np.float32))
     records = repair.apply_training_repairs(settings=settings, profile="fast")
-    purges = [r for r in records if r.action == "purge_cache"]
-    assert all(r.succeeded for r in purges)
-    assert not cache.exists()
+    invalidations = [r for r in records if r.action == "invalidate_derived_cache"]
+    assert len(invalidations) == 1 and invalidations[0].succeeded
+    assert "Invalidated 1" in invalidations[0].detail
+    assert not corrupt.exists()
+    assert valid.exists()
 
 
 def test_network_repair_denied_without_optin(tmp_path, monkeypatch):
