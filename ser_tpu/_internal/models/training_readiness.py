@@ -1276,11 +1276,13 @@ def _recipe_findings(settings: AppConfig) -> list[ReadinessFinding]:
     """Audits the configured cross-corpus recipe when one is set."""
     if not settings.dataset.recipe:
         return []
-    from ser_tpu._internal.data.recipe import audit_recipe, get_recipe
+    from ser_tpu._internal.data.recipe import audit_recipe, load_dataset_recipe
 
     try:
-        recipe = get_recipe(settings.dataset.recipe)
-    except KeyError as err:
+        # Built-in recipe id OR a versioned JSON recipe file, like the
+        # reference's ``--dataset-recipe`` (``recipe.py:252-313``).
+        recipe = load_dataset_recipe(settings.dataset.recipe)
+    except (KeyError, ValueError) as err:
         return [
             ReadinessFinding(
                 FindingScope.CONFIG,
