@@ -194,19 +194,21 @@ class LatencyPercentiles:
 
 
 def latency_percentiles(latencies: Sequence[float]) -> LatencyPercentiles:
-    import numpy as np
+    """Nearest-rank percentile matrix (reference ``text_metrics.py:57-62``
+    feeds every calibration percentile — NOT numpy's interpolated variant)."""
+    from ser_tpu._internal.transcript.profiling import nearest_rank_percentile
 
-    values = np.asarray(list(latencies), dtype=np.float64)
-    if values.size == 0:
+    values = [float(v) for v in latencies]
+    if not values:
         return LatencyPercentiles(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
     return LatencyPercentiles(
-        mean=float(values.mean()),
-        p10=float(np.percentile(values, 10)),
-        p50=float(np.percentile(values, 50)),
-        p90=float(np.percentile(values, 90)),
-        p95=float(np.percentile(values, 95)),
-        minimum=float(values.min()),
-        maximum=float(values.max()),
+        mean=sum(values) / len(values),
+        p10=nearest_rank_percentile(values, 0.10),
+        p50=nearest_rank_percentile(values, 0.50),
+        p90=nearest_rank_percentile(values, 0.90),
+        p95=nearest_rank_percentile(values, 0.95),
+        minimum=min(values),
+        maximum=max(values),
     )
 
 

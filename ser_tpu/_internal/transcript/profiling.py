@@ -30,11 +30,29 @@ RAVDESS_CANONICAL_SENTENCES: tuple[str, ...] = (
 
 
 def _normalize_words(text: str) -> list[str]:
-    return [
-        "".join(ch for ch in word.lower() if ch.isalnum())
-        for word in text.split()
-        if any(ch.isalnum() for ch in word)
-    ]
+    """Lowercase tokens with punctuation as SEPARATORS, not deletions.
+
+    Reference ``transcription/text_metrics.py:12-17``: any non-[a-z0-9 ] run
+    becomes a space, so "door's" tokenizes as ("door", "s") — in-place
+    stripping ("doors") would count different edit operations and shift WER.
+    """
+    import re
+
+    normalized = re.sub(r"[^a-z0-9 ]+", " ", text.strip().lower())
+    return [token for token in normalized.split() if token]
+
+
+def nearest_rank_percentile(values: list[float], fraction: float) -> float:
+    """Nearest-rank percentile (reference ``text_metrics.py:57-62``).
+
+    Empty samples report 1.0 (pessimistic), matching the reference.
+    """
+    if not values:
+        return 1.0
+    import math
+
+    rank = max(0, math.ceil(fraction * len(values)) - 1)
+    return sorted(values)[rank]
 
 
 def word_error_rate(reference: str, hypothesis: str) -> float:
@@ -108,13 +126,13 @@ def profile_transcription_candidate(
         latencies.append(time.perf_counter() - start)
         hypothesis = " ".join(word.word for word in words)
         wers.append(word_error_rate(reference, hypothesis))
-    lat = np.asarray(latencies)
     return TranscriptionCandidateReport(
         backend_id=backend_id,
         model_name=model_name,
         mean_wer=float(np.mean(wers)),
-        p50_latency_seconds=float(np.percentile(lat, 50)),
-        p95_latency_seconds=float(np.percentile(lat, 95)),
+        # Nearest-rank, not interpolated (reference text_metrics.py:57-62).
+        p50_latency_seconds=nearest_rank_percentile(latencies, 0.50),
+        p95_latency_seconds=nearest_rank_percentile(latencies, 0.95),
         samples=len(samples),
     )
 

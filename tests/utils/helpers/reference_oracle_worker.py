@@ -790,6 +790,22 @@ def op_retry_policy(payload: dict) -> dict:
     return {"attempts": attempts["n"], "outcome": outcome}
 
 
+def op_text_metrics(payload: dict) -> dict:
+    from ser._internal.transcription import text_metrics as tm
+
+    return {
+        "tokens": [tm.normalize_words(text) for text in payload.get("texts", [])],
+        "wer": [
+            tm.compute_word_error_rate(ref, hyp)
+            for ref, hyp in payload.get("pairs", [])
+        ],
+        "percentile": [
+            tm.percentile(values, fraction)
+            for values, fraction in payload.get("percentiles", [])
+        ],
+    }
+
+
 def _ref_recipe():
     from ser._internal.data.recipe import research_recipe_v1
 
@@ -938,6 +954,7 @@ _OPS = {
     "dataset_catalog": op_dataset_catalog,
     "csv_label_mappings": op_csv_label_mappings,
     "retry_policy": op_retry_policy,
+    "text_metrics": op_text_metrics,
     "recipe_digest": op_recipe_digest,
     "route_utterance": op_route_utterance,
     "audit_dataset_recipe": op_audit_dataset_recipe,
