@@ -68,15 +68,20 @@ def build_artifact_metadata(
         raise ArtifactError("training_samples must be positive.")
     if not labels:
         raise ArtifactError("labels must be non-empty.")
+    from datetime import UTC, datetime
+
     return {
         "artifact_version": MODEL_ARTIFACT_VERSION,
         "artifact_schema_version": ARTIFACT_SCHEMA_VERSION,
+        "created_at_utc": datetime.now(tz=UTC).isoformat(),
         "feature_vector_size": int(feature_vector_size),
         "training_samples": int(training_samples),
         "labels": [str(label) for label in labels],
         "backend_id": backend_id,
         "profile": profile,
-        "feature_dim": int(feature_dim) if feature_dim is not None else None,
+        # The reference resolves an unset feature_dim to the vector size and
+        # REQUIRES equality at load time (artifact_metadata.py:109-111,164).
+        "feature_dim": int(feature_dim) if feature_dim is not None else int(feature_vector_size),
         "frame_size_seconds": float(frame_size_seconds),
         "frame_stride_seconds": float(frame_stride_seconds),
         "pooling_strategy": pooling_strategy,
@@ -87,18 +92,28 @@ def build_artifact_metadata(
         "provenance": provenance or {},
         "task_heads": ["primary_emotion"],
         "seed": seed,
-        "evaluation_summary": evaluation_summary,
+        # JSON objects, never None: the reference's load-time normalization
+        # rejects null values here (artifact_metadata.py:254-255,310-311).
+        "sampling_policy": {},
+        "evaluation_summary": evaluation_summary or {},
     }
 
 
 def build_model_artifact(model: Any, metadata: dict[str, Any]) -> dict[str, Any]:
-    """Wraps a model + metadata into a persistable envelope dict."""
+    """Wraps a model + metadata into a persistable envelope dict.
+
+    The version rides at BOTH the envelope top level and inside the metadata
+    (reference ``artifact_loading.py:56-110`` validates both and their
+    equality) — an artifact trained here must load in the reference and vice
+    versa; this is the drop-in-switch contract.
+    """
     payload: Any
     if isinstance(model, JaxMLPClassifier):
         payload = model.get_state()
     else:
         payload = model  # sklearn estimators and test doubles pickle directly
-    return {"model": payload, "metadata": dict(metadata)}
+    version = dict(metadata).get("artifact_version", MODEL_ARTIFACT_VERSION)
+    return {"artifact_version": version, "model": payload, "metadata": dict(metadata)}
 
 
 def _rehydrate_model(payload: Any) -> Any:
@@ -190,6 +205,14 @@ def load_model_artifact(
         raise ArtifactError(
             f"Unsupported artifact version {version!r}; "
             f"supported: {sorted(SUPPORTED_MODEL_ARTIFACT_VERSIONS)}."
+        )
+    envelope_version = raw.get("artifact_version", version)
+    if envelope_version != version:
+        # Reference ``artifact_loading.py:108-109``: a version split between
+        # envelope and metadata means a hand-edited or corrupted artifact.
+        raise ArtifactError(
+            "Model artifact envelope and metadata versions must match "
+            f"(envelope {envelope_version!r} vs metadata {version!r})."
         )
     if expected_backend_id is not None:
         found = metadata.get("backend_id", DEFAULT_BACKEND_ID)

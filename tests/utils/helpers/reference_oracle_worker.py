@@ -790,6 +790,50 @@ def op_retry_policy(payload: dict) -> dict:
     return {"attempts": attempts["n"], "outcome": outcome}
 
 
+def op_persist_artifact(payload: dict) -> dict:
+    """Fits a tiny sklearn MLP and persists it with the REFERENCE envelope."""
+    from ser._internal.models.artifact_envelope import build_model_artifact
+    from ser._internal.models.artifact_persistence import persist_pickle_artifact
+
+    from sklearn.neural_network import MLPClassifier
+
+    x = np.asarray(payload["x"], dtype=np.float64)
+    y = list(payload["y"])
+    model = MLPClassifier(
+        hidden_layer_sizes=(8,), max_iter=300, random_state=42
+    ).fit(x, y)
+    artifact = build_model_artifact(
+        model=model,
+        feature_vector_size=x.shape[1],
+        training_samples=x.shape[0],
+        labels=sorted(set(y)),
+        backend_id=payload.get("backend_id", "handcrafted"),
+        profile=payload.get("profile", "fast"),
+    )
+    persist_pickle_artifact(Path(payload["path"]), artifact)
+    return {
+        "predictions": [str(p) for p in model.predict(x)],
+        "proba": np.asarray(model.predict_proba(x)).tolist(),
+    }
+
+
+def op_load_artifact(payload: dict) -> dict:
+    """Loads ANY pickle artifact with the REFERENCE loader and predicts."""
+    import pickle
+
+    from ser._internal.models.artifact_envelope import deserialize_model_artifact
+
+    with open(payload["path"], "rb") as handle:
+        raw = pickle.load(handle)
+    loaded = deserialize_model_artifact(raw)
+    x = np.asarray(payload["x"], dtype=np.float64)
+    return {
+        "predictions": [str(p) for p in loaded.model.predict(x)],
+        "expected_feature_size": loaded.expected_feature_size,
+        "backend_id": (loaded.artifact_metadata or {}).get("backend_id"),
+    }
+
+
 def op_text_metrics(payload: dict) -> dict:
     from ser._internal.transcription import text_metrics as tm
 
@@ -955,6 +999,8 @@ _OPS = {
     "csv_label_mappings": op_csv_label_mappings,
     "retry_policy": op_retry_policy,
     "text_metrics": op_text_metrics,
+    "persist_artifact": op_persist_artifact,
+    "load_artifact": op_load_artifact,
     "recipe_digest": op_recipe_digest,
     "route_utterance": op_route_utterance,
     "audit_dataset_recipe": op_audit_dataset_recipe,
