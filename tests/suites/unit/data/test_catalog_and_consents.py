@@ -56,7 +56,8 @@ class TestConsents:
         )
         merged = consents.configure_dataset_consents(accept_policy_ids=("a-policy",))
         assert merged.policy_ids == ("a-policy", "b-policy")
-        assert merged.license_ids == ("CC-BY-4.0",)
+        # Ids normalize to lowercase on write (reference dataset_consents.py:97-105).
+        assert merged.license_ids == ("cc-by-4.0",)
         # Persisted: a fresh read sees the merge.
         assert consents.show_dataset_consents().policy_ids == ("a-policy", "b-policy")
 

@@ -834,6 +834,28 @@ def op_load_artifact(payload: dict) -> dict:
     }
 
 
+def op_consents(payload: dict) -> dict:
+    """Persists/loads the reference consent store (env-pinned path)."""
+    import os
+
+    os.environ["SER_DATASET_CONSENTS_FILE"] = payload["path"]
+    from ser._internal.data import dataset_consents as dc
+
+    settings = SimpleNamespace()  # env override wins before settings is read
+    if payload.get("accept_policy_ids") or payload.get("accept_license_ids"):
+        dc.persist_dataset_consents(
+            settings=settings,
+            accept_policy_ids=payload.get("accept_policy_ids"),
+            accept_license_ids=payload.get("accept_license_ids"),
+            source=payload.get("source", "oracle"),
+        )
+    loaded = dc.load_persisted_dataset_consents(settings=settings)
+    return {
+        "policy_consents": dict(loaded.policy_consents),
+        "license_consents": dict(loaded.license_consents),
+    }
+
+
 def op_text_metrics(payload: dict) -> dict:
     from ser._internal.transcription import text_metrics as tm
 
@@ -1000,6 +1022,7 @@ _OPS = {
     "retry_policy": op_retry_policy,
     "text_metrics": op_text_metrics,
     "persist_artifact": op_persist_artifact,
+    "consents": op_consents,
     "load_artifact": op_load_artifact,
     "recipe_digest": op_recipe_digest,
     "route_utterance": op_route_utterance,
