@@ -13,7 +13,7 @@ import json
 import os
 import time
 from contextlib import contextmanager
-from dataclasses import asdict, dataclass
+from dataclasses import asdict, dataclass, field
 from pathlib import Path
 
 from ser_tpu._internal.config.schema import AppConfig, default_data_root
@@ -24,7 +24,14 @@ logger = get_logger(__name__)
 
 @dataclass(frozen=True)
 class DatasetRegistryRecord:
-    """One registered prepared dataset."""
+    """One registered prepared dataset.
+
+    ``options`` is the reference's free-form per-dataset option map
+    (labels_csv_path, audio_base_dir, source_repo_id, ... —
+    ``dataset_registry.py:31-59``), persisted verbatim; utterance_count/
+    revision/prepared_at are this framework's provenance extras the
+    reference's loader ignores.
+    """
 
     dataset_id: str
     dataset_root: str
@@ -32,6 +39,7 @@ class DatasetRegistryRecord:
     utterance_count: int
     revision: str | None = None
     prepared_at_unix: float = 0.0
+    options: dict[str, str] = field(default_factory=dict)
 
 
 @dataclass(frozen=True)
@@ -49,7 +57,13 @@ def _registry_path(settings: AppConfig | None = None) -> Path:
     # parameter was accepted and ignored.
     if settings is not None and settings.dataset.registry_root is not None:
         return Path(settings.dataset.registry_root) / "datasets.json"
-    return default_data_root() / "registry" / "datasets.json"
+    # Reference location (``dataset_registry.py:125-127``): a user switching
+    # frameworks keeps every registered dataset.
+    if settings is None:
+        from ser_tpu._internal.config.bootstrap import reload_settings
+
+        settings = reload_settings()
+    return Path(settings.models.folder).parent / ".ser" / "dataset_registry.json"
 
 
 @contextmanager
@@ -100,6 +114,7 @@ def list_registered_datasets(
             prepared_at = float(entry.get("prepared_at_unix", 0.0))
         except (TypeError, ValueError):
             prepared_at = 0.0
+        options = entry.get("options", {})
         records.append(
             DatasetRegistryRecord(
                 dataset_id=dataset_id,
@@ -108,6 +123,11 @@ def list_registered_datasets(
                 utterance_count=count,
                 revision=entry.get("revision"),
                 prepared_at_unix=prepared_at,
+                options=(
+                    {str(k): str(v) for k, v in options.items()}
+                    if isinstance(options, dict)
+                    else {}
+                ),
             )
         )
     return tuple(records)
@@ -123,7 +143,7 @@ def register_dataset(record: DatasetRegistryRecord, *, settings: AppConfig | Non
         raw[record.dataset_id] = entry
         path.parent.mkdir(parents=True, exist_ok=True)
         tmp = path.with_suffix(f".tmp.{os.getpid()}")
-        tmp.write_text(json.dumps(raw, indent=2), encoding="utf-8")
+        tmp.write_text(json.dumps(raw, indent=2, sort_keys=True) + "\n", encoding="utf-8")
         tmp.replace(path)
 
 
@@ -145,9 +165,14 @@ def unregister_dataset(
             return None
         path.parent.mkdir(parents=True, exist_ok=True)
         tmp = path.with_suffix(f".tmp.{os.getpid()}")
-        tmp.write_text(json.dumps(raw, indent=2), encoding="utf-8")
+        tmp.write_text(json.dumps(raw, indent=2, sort_keys=True) + "\n", encoding="utf-8")
         tmp.replace(path)
-        return DatasetRegistryRecord(dataset_id=dataset_id, **entry)
+        known = {
+            k: v
+            for k, v in entry.items()
+            if k in DatasetRegistryRecord.__dataclass_fields__
+        }
+        return DatasetRegistryRecord(dataset_id=dataset_id, **known)
 
 
 def audit_registry_health(

@@ -856,6 +856,33 @@ def op_consents(payload: dict) -> dict:
     }
 
 
+def op_registry(payload: dict) -> dict:
+    """Upserts/loads the reference dataset registry rooted at data_root."""
+    from ser._internal.data import dataset_registry as dr
+
+    settings = SimpleNamespace(
+        models=SimpleNamespace(folder=Path(payload["data_root"]) / "models")
+    )
+    if payload.get("upsert"):
+        entry = payload["upsert"]
+        dr.upsert_dataset_registry_entry(
+            settings=settings,
+            dataset_id=entry["dataset_id"],
+            dataset_root=Path(entry["dataset_root"]),
+            manifest_path=Path(entry["manifest_path"]),
+            options=entry.get("options"),
+        )
+    registry = dr.load_dataset_registry(settings=settings)
+    return {
+        dataset_id: {
+            "dataset_root": str(item.dataset_root),
+            "manifest_path": str(item.manifest_path),
+            "options": dict(item.options),
+        }
+        for dataset_id, item in registry.items()
+    }
+
+
 def op_text_metrics(payload: dict) -> dict:
     from ser._internal.transcription import text_metrics as tm
 
@@ -1023,6 +1050,7 @@ _OPS = {
     "text_metrics": op_text_metrics,
     "persist_artifact": op_persist_artifact,
     "consents": op_consents,
+    "registry": op_registry,
     "load_artifact": op_load_artifact,
     "recipe_digest": op_recipe_digest,
     "route_utterance": op_route_utterance,
