@@ -355,7 +355,7 @@ def _bench_infer_encoder(profile: str) -> tuple[float, str, dict]:
         labels=sorted(set(y)),
         backend_id=backend.backend_id,
         profile=profile,
-        feature_dim=backend.feature_dim,
+        feature_dim=pooled_dim,
         pooling_strategy="mean_std",
         backend_model_id=resolved_model_id(profile, settings),
         device="tpu" if on_tpu else "cpu",

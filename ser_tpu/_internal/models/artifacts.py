@@ -235,6 +235,16 @@ def load_model_artifact(
 
     size = metadata.get("feature_vector_size")
     expected_size = int(size) if isinstance(size, int) and size > 0 else None
+    feature_dim = metadata.get("feature_dim")
+    if (
+        expected_size is not None
+        and isinstance(feature_dim, int)
+        and feature_dim != expected_size
+    ):
+        raise ArtifactError(
+            "Artifact metadata 'feature_dim' must match 'feature_vector_size' "
+            f"({feature_dim} vs {expected_size})."
+        )
     return LoadedModel(
         model=_rehydrate_model(raw["model"]),
         expected_feature_size=expected_size,

@@ -427,7 +427,10 @@ def _train_encoder_profile_model_ready(
         labels=sorted(set(y_train)),
         backend_id=spec.backend_id,
         profile=profile,
-        feature_dim=backend.feature_dim,
+        # The classifier INPUT dim (pooled), not the raw encoder dim — the
+        # reference requires feature_dim == feature_vector_size at load
+        # (artifact_metadata.py:109-111; training_orchestration.py:436-448).
+        feature_dim=int(x_train.shape[1]),
         frame_size_seconds=runtime_config.pool_window_size_seconds,
         frame_stride_seconds=runtime_config.pool_window_stride_seconds,
         pooling_strategy="mean_std",

@@ -310,10 +310,16 @@ def separate_vocals_neural(
         starts.append(max(0, length - segment))
     padded = np.pad(audio, (0, max(0, starts[-1] + segment - length)))
     batch = np.stack([padded[s : s + segment] for s in starts])
+    # Bucket the batch dimension to the next power of two so arbitrary file
+    # lengths reuse a handful of compiled executables instead of one per
+    # distinct segment count (zero rows are masked out after the call).
+    bucket = 1 << (len(starts) - 1).bit_length()
+    if bucket > len(starts):
+        batch = np.pad(batch, ((0, bucket - len(starts)), (0, 0)))
 
     vocal_segments = np.asarray(
         _compiled_separate(params, jnp.asarray(batch), config)
-    )
+    )[: len(starts)]
 
     ramp = min(segment - 1, max(1, segment - stride))
     weight = np.ones(segment)
