@@ -117,6 +117,42 @@ def test_dispatcher_prefers_staged_checkpoint(tmp_path, params, monkeypatch):
     assert not np.allclose(neural, repet)
 
 
+def test_separator_trains_toward_target(params):
+    """Two optimizer steps on a fixed mixture must reduce the loss —
+    the model is trainable end to end through the masked STFT path."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    rng = np.random.default_rng(7)
+    # Mixture = vocal + structured interference; target = the vocal stem.
+    vocal = jnp.asarray(
+        rng.standard_normal((2, CFG.segment_samples)) * 0.5, dtype=jnp.float32
+    )
+    noise = jnp.asarray(
+        np.sin(np.linspace(0, 800 * np.pi, CFG.segment_samples))[None, :]
+        * np.ones((2, 1)),
+        dtype=jnp.float32,
+    )
+    mixture = vocal + noise
+
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    loss_grad = jax.jit(
+        jax.value_and_grad(lambda p: separation_loss(p, mixture, vocal, CFG))
+    )
+
+    losses = []
+    state = params
+    for _ in range(3):
+        loss, grads = loss_grad(state)
+        losses.append(float(loss))
+        updates, opt_state = optimizer.update(grads, opt_state, state)
+        state = optax.apply_updates(state, updates)
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+
 def test_transcriber_demucs_hook_separates_before_decode(
     tmp_path, params, monkeypatch
 ):
