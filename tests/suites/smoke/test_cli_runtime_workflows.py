@@ -93,7 +93,13 @@ def test_cli_configure_dataset_consent_flow(env):
     # Reference `ser configure` semantics (data/cli.py:108-154): show prints
     # the persisted record; accepting without --persist refuses with exit 2.
     root, env_vars = env
-    consent_env = dict(env_vars, XDG_DATA_HOME=str(root / "xdg"))
+    # The store rides the models folder (shared across this module's env
+    # fixture, where an earlier `--accept-license` may have persisted);
+    # isolate with the reference's own override (dataset_consents.py:23).
+    consent_env = dict(
+        env_vars,
+        SER_DATASET_CONSENTS_FILE=str(root / "isolated" / "dataset_consents.json"),
+    )
     result = _run(["configure", "--show"], consent_env)
     assert result.returncode == 0
     assert "Persisted dataset policy consents: (none)" in result.stdout
