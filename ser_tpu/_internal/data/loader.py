@@ -222,6 +222,19 @@ def load_utterances(
         utterances = []
         for manifest in settings.dataset.manifest_paths:
             utterances.extend(read_manifest_jsonl(manifest))
+        # Reference data_loader.py:64-73: cross-manifest duplicate ids are a
+        # hard error even without a recipe — two rows claiming one identity
+        # make every downstream split/cache/ledger ambiguous.
+        seen: set[str] = set()
+        duplicates: set[str] = set()
+        for utterance in utterances:
+            if utterance.sample_id in seen:
+                duplicates.add(utterance.sample_id)
+            seen.add(utterance.sample_id)
+        if duplicates:
+            raise RuntimeError(
+                "Duplicate sample_id values across manifests: " + ", ".join(sorted(duplicates))
+            )
         return utterances or None
 
     from ser_tpu._internal.data.ontology import remap_label, resolve_label_ontology
