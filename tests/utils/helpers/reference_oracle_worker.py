@@ -790,6 +790,63 @@ def op_retry_policy(payload: dict) -> dict:
     return {"attempts": attempts["n"], "outcome": outcome}
 
 
+def op_medium_inference_once(payload: dict) -> dict:
+    """Runs the reference's pure medium execution pass end to end."""
+    from ser._internal.runtime.medium_execution import run_medium_inference_once
+    from ser._internal.runtime.medium_prediction import (
+        confidence_and_probabilities,
+        predict_labels,
+    )
+
+    encoded = _encoded_from_payload(payload)
+    runtime_config = SimpleNamespace(
+        pool_window_size_seconds=payload["window_size"],
+        pool_window_stride_seconds=payload["window_stride"],
+        post_smoothing_window_frames=payload["smoothing"],
+        post_hysteresis_enter_confidence=payload["enter"],
+        post_hysteresis_exit_confidence=payload["exit"],
+        post_min_segment_duration_seconds=payload["min_segment"],
+    )
+    loaded = SimpleNamespace(
+        model=payload["model"],
+        expected_feature_size=payload.get("expected_feature_size"),
+    )
+    import logging
+
+    def _confidence(model, features, expected_rows):
+        return confidence_and_probabilities(
+            model,
+            features,
+            expected_rows=expected_rows,
+            logger=logging.getLogger("oracle"),
+        )
+
+    result = run_medium_inference_once(
+        loaded_model=loaded,
+        encoded=encoded,
+        runtime_config=runtime_config,
+        predict_labels=predict_labels,
+        confidence_and_probabilities=_confidence,
+    )
+    return {
+        "schema_version": result.schema_version,
+        "frames": [
+            (f.start_seconds, f.end_seconds, f.emotion, f.confidence, f.probabilities)
+            for f in result.frames
+        ],
+        "segments": [
+            (
+                s.start_seconds,
+                s.end_seconds,
+                s.emotion,
+                s.confidence,
+                s.probabilities,
+            )
+            for s in result.segments
+        ],
+    }
+
+
 def op_persist_artifact(payload: dict) -> dict:
     """Fits a tiny sklearn MLP and persists it with the REFERENCE envelope."""
     from ser._internal.models.artifact_envelope import build_model_artifact
@@ -1049,6 +1106,7 @@ _OPS = {
     "retry_policy": op_retry_policy,
     "text_metrics": op_text_metrics,
     "persist_artifact": op_persist_artifact,
+    "medium_inference_once": op_medium_inference_once,
     "consents": op_consents,
     "registry": op_registry,
     "load_artifact": op_load_artifact,
