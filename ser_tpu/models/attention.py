@@ -6,9 +6,14 @@ cost of the encode (SURVEY §6 headline metric). On TPU this module routes to
 the canonical Pallas flash-attention kernel
 (``jax.experimental.pallas.ops.tpu.flash_attention``) with:
 
-- sequence padding to the kernel's block granularity, and
+- sequence padding to the kernel's block granularity,
 - padding masked via segment ids (valid=0, pad=1 so cross-segment attention is
-  cut), which also carries the encoders' variable-length frame masks.
+  cut), which also carries the encoders' variable-length frame masks, and
+- **full-sequence block sizes**: the kernel's DEFAULT BlockSizes lose to XLA
+  2.6x at the encode shapes (382 vs 147 ms per 32-layer stack), but
+  block_q = block_k = padded_T runs the same stack in 65 ms — 2.26x FASTER
+  than XLA's einsum attention (ATTN_ABLATION_r03.json, v5e, bf16, T=1500,
+  H=20, D=64, batch 8; max|delta| vs einsum 1e-4).
 
 The einsum path remains the reference implementation (CPU tests, decoders) and
 the numerical ground truth the flash path is verified against.
@@ -22,15 +27,18 @@ import jax
 import jax.numpy as jnp
 
 _FLASH_BLOCK = 512
+#: Largest single block edge: a (2048, 2048) f32 score block is 16 MB of VMEM
+#: scratch, comfortably inside v5e's budget next to the q/k/v tiles.
+_MAX_BLOCK = 2048
 
 
 def _flash_enabled() -> bool:
-    # Default OFF: on the current v5e target, XLA's fused einsum attention
-    # measured FASTER than the Pallas flash kernel at the encode shapes
-    # (T=1500, bf16 blocks: 1125 vs 464 audio-s/s/chip) — the kernel pays
-    # sequence padding, layout transposes, and the masked-kernel path.
-    # Re-measure per hardware generation; enable with SER_FLASH_ATTENTION=1.
-    if os.environ.get("SER_FLASH_ATTENTION", "0").strip().lower() not in ("1", "true", "on"):
+    # Default ON for accelerators: with full-sequence BlockSizes the Pallas
+    # flash kernel beats XLA's fused einsum attention 2.26x at the encode
+    # shapes (ATTN_ABLATION_r03.json; the round-2 negative result used the
+    # kernel's default blocks, which lose 2.6x). SER_FLASH_ATTENTION=0
+    # restores the einsum path; CPU always uses einsum.
+    if os.environ.get("SER_FLASH_ATTENTION", "1").strip().lower() not in ("1", "true", "on"):
         return False
     return jax.default_backend() not in ("cpu",)
 
@@ -68,6 +76,36 @@ def _einsum_path(q, k, v, *, frame_mask, compute_dtype):
         scores = scores + bias.astype(scores.dtype)
     weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+
+
+def _block_sizes(padded: int):
+    """Full-sequence blocks (the measured optimum), VMEM-capped.
+
+    ``padded`` is a multiple of 128 (<512) or 512 (>=512); every candidate
+    edge below divides it. Larger blocks amortize the kernel's softmax
+    rescaling and keep the score tile resident in VMEM across the whole
+    k-sweep — the measured ordering at T=1536 was 1536x1536 (64.9 ms) <
+    1536x512 (71.3) < 512x512 (75.8) < defaults (382) vs einsum 146.8.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
+
+    if padded <= _MAX_BLOCK:
+        edge = padded
+    else:
+        edge = max(b for b in (2048, 1536, 1024, 512) if padded % b == 0)
+    return BlockSizes(
+        block_q=edge,
+        block_k_major=edge,
+        block_k=edge,
+        block_b=1,
+        block_q_major_dkv=edge,
+        block_k_major_dkv=edge,
+        block_k_dkv=edge,
+        block_q_dkv=edge,
+        block_k_major_dq=edge,
+        block_k_dq=edge,
+        block_q_dq=edge,
+    )
 
 
 def _flash_path(q, k, v, *, frame_mask):
@@ -108,6 +146,7 @@ def _flash_path(q, k, v, *, frame_mask):
         segment_ids=segment_ids,
         causal=False,
         sm_scale=1.0 / (head_dim**0.5),
+        block_sizes=_block_sizes(padded),
     )
     out = out.transpose(0, 2, 1, 3)
     return out[:, :seq_len].astype(q.dtype)

@@ -90,10 +90,26 @@ def test_pad_len_block_policy():
     assert attention._pad_len(1500) == 1536
 
 
-def test_flash_disabled_by_default_and_on_cpu(monkeypatch):
+def test_flash_dispatch_policy(monkeypatch):
+    # Flash defaults ON for accelerators but NEVER runs on the CPU backend —
+    # the kernel is TPU-only; einsum is the CPU/ground-truth path.
     monkeypatch.delenv("SER_FLASH_ATTENTION", raising=False)
-    assert attention._flash_enabled() is False
-    # Even when requested, the CPU backend must stay on the einsum path.
-    monkeypatch.setenv("SER_FLASH_ATTENTION", "1")
     if jax.default_backend() == "cpu":
         assert attention._flash_enabled() is False
+    # An explicit opt-out always wins, any backend.
+    monkeypatch.setenv("SER_FLASH_ATTENTION", "0")
+    assert attention._flash_enabled() is False
+
+
+def test_block_sizes_full_sequence_and_capped():
+    # Full-sequence blocks up to the VMEM cap; above it, the largest
+    # candidate edge that divides the padded length.
+    assert attention._block_sizes(128).block_q == 128
+    assert attention._block_sizes(1536).block_q == 1536
+    assert attention._block_sizes(2048).block_q == 2048
+    bs = attention._block_sizes(2560)  # 5*512: 2048/1536/1024 don't divide
+    assert bs.block_q == bs.block_k == 512
+    bs = attention._block_sizes(3072)  # 2*1536
+    assert bs.block_q == 1536
+    for padded in (128, 256, 384, 512, 1024, 1536, 2048, 2560, 3072, 4096):
+        assert padded % attention._block_sizes(padded).block_q == 0
