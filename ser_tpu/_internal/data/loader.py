@@ -300,6 +300,16 @@ def apply_recipe_ledger(
         and entry.split in ("train", "dev", "test")
         and by_id[entry.sample_id].label is not None
     ]
+    # Stamp audited provenance onto the active training run so artifact
+    # metadata can carry the reference's v3 recipe_digest/split_ledger_digest
+    # fields (artifact_envelope.py:66-67; validated at load,
+    # artifact_metadata.py:231-234).
+    from ser_tpu._internal.models.training_orchestration import current_training_run
+
+    run_state = current_training_run()
+    if run_state is not None:
+        run_state.recipe_digest = report.recipe_digest
+        run_state.split_ledger_digest = report.ledger_digest
     logger.info(
         "Dataset audit passed (recipe=%s@%s recipe_digest=%s ledger_digest=%s counters=%s).",
         report.recipe_id,

@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import os
 import pickle
+import re
 import tempfile
 from pathlib import Path
 from typing import Any, NamedTuple
@@ -28,6 +29,9 @@ MODEL_ARTIFACT_VERSION = 3
 SUPPORTED_MODEL_ARTIFACT_VERSIONS = frozenset({2, MODEL_ARTIFACT_VERSION})
 DEFAULT_BACKEND_ID = "handcrafted"
 DEFAULT_PROFILE_ID = "fast"
+#: v3 provenance digests are bare sha256 hex (reference
+#: ``artifact_metadata.py:198-208`` ``_SHA256_PATTERN``).
+_SHA256_HEX = re.compile(r"[0-9a-f]{64}")
 
 
 class ArtifactError(ValueError):
@@ -60,17 +64,40 @@ def build_artifact_metadata(
     provenance: dict[str, Any] | None = None,
     seed: int | None = None,
     evaluation_summary: dict[str, Any] | None = None,
+    recipe_digest: str | None = None,
+    split_ledger_digest: str | None = None,
 ) -> dict[str, Any]:
-    """Builds normalized v3 artifact metadata."""
+    """Builds normalized v3 artifact metadata.
+
+    ``recipe_digest``/``split_ledger_digest`` are the reference's v3
+    dataset-provenance fields (``artifact_envelope.py:66-67``) — optional,
+    sha256 hex when present, and included only when set (the reference writer
+    drops None values, ``artifact_metadata.py:303-310``).
+    """
     if feature_vector_size <= 0:
         raise ArtifactError("feature_vector_size must be positive.")
     if training_samples <= 0:
         raise ArtifactError("training_samples must be positive.")
     if not labels:
         raise ArtifactError("labels must be non-empty.")
+    for name, digest in (
+        ("recipe_digest", recipe_digest),
+        ("split_ledger_digest", split_ledger_digest),
+    ):
+        if digest is not None and _SHA256_HEX.fullmatch(digest) is None:
+            raise ArtifactError(f"Artifact metadata {name!r} must be sha256 hex.")
     from datetime import UTC, datetime
 
+    optional_digests = {
+        name: digest
+        for name, digest in (
+            ("recipe_digest", recipe_digest),
+            ("split_ledger_digest", split_ledger_digest),
+        )
+        if digest is not None
+    }
     return {
+        **optional_digests,
         "artifact_version": MODEL_ARTIFACT_VERSION,
         "artifact_schema_version": ARTIFACT_SCHEMA_VERSION,
         "created_at_utc": datetime.now(tz=UTC).isoformat(),
@@ -231,6 +258,19 @@ def load_model_artifact(
         if found is not None and found != expected_model_id:
             raise ArtifactError(
                 f"Artifact model-id mismatch: expected {expected_model_id!r}, found {found!r}."
+            )
+
+    # v3 provenance digests: optional, but when present they must be sha256
+    # hex (reference load-time normalization, artifact_metadata.py:202-208 —
+    # a malformed digest means a hand-edited artifact).
+    for digest_field in ("recipe_digest", "split_ledger_digest"):
+        digest_value = metadata.get(digest_field)
+        if digest_value is not None and (
+            not isinstance(digest_value, str)
+            or _SHA256_HEX.fullmatch(digest_value) is None
+        ):
+            raise ArtifactError(
+                f"Artifact metadata contains invalid {digest_field!r} value."
             )
 
     size = metadata.get("feature_vector_size")

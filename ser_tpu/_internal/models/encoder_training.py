@@ -444,6 +444,11 @@ def _train_encoder_profile_model_ready(
             "uar": report["uar"],
             "macro_f1": report["macro_f1"],
         },
+        # Audited-recipe provenance (set by loader.apply_recipe_ledger when a
+        # --dataset-recipe run passed its audit): the reference's v3 fields
+        # (artifact_envelope.py:66-67), absent on non-recipe runs.
+        recipe_digest=run_state.recipe_digest if run_state else None,
+        split_ledger_digest=run_state.split_ledger_digest if run_state else None,
     )
     names = profile_artifact_file_names(
         profile=profile,

@@ -59,6 +59,11 @@ class TrainingRunState:
     cache_misses: int = 0
     bounded_retries: int = 0
     quarantined_sample_paths: list[str] = field(default_factory=list)
+    # Audited-recipe provenance, set by loader.apply_recipe_ledger and
+    # stamped into artifact metadata (reference v3 fields,
+    # artifact_metadata.py:231-234 validates them at load when present).
+    recipe_digest: str | None = None
+    split_ledger_digest: str | None = None
 
 
 _active_run: ContextVar[TrainingRunState | None] = ContextVar(

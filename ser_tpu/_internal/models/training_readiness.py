@@ -1342,6 +1342,34 @@ def _backend_fingerprint(settings: AppConfig, profile: ProfileName) -> dict:
     }
 
 
+def recipe_content_digest(settings: AppConfig) -> str:
+    """Digest of the configured recipe's CONTENT (reference
+    ``training_orchestration.py:183-190`` ``_recipe_digest``): the sha256 of
+    the canonical-JSON encoding of the recipe file's text when the knob names
+    a file, else of the knob string itself (built-in id or unset → "none").
+    Prepared plans pin this so EDITING the recipe file invalidates the plan —
+    the settings digest only sees the unchanged path string.
+    """
+    recipe = settings.dataset.recipe or "none"
+    recipe_path = Path(recipe).expanduser()
+    try:
+        payload: str = (
+            recipe_path.read_text(encoding="utf-8")
+            if recipe_path.is_file()
+            else recipe
+        )
+    except OSError:
+        payload = recipe
+    canonical = json.dumps(
+        payload,
+        sort_keys=True,
+        separators=(",", ":"),
+        ensure_ascii=False,
+        allow_nan=False,
+    )
+    return sha256(canonical.encode("utf-8")).hexdigest()
+
+
 def _settings_digest(settings: AppConfig, profile: ProfileName) -> str:
     payload = json.dumps(
         {
@@ -1511,6 +1539,7 @@ def write_prepared_plan(
         "quarantine_ledger_digest": quarantine_ledger_digest(settings, profile),
         "split_digest": split_digest(report, settings),
         "split_salt": _plan_split_salt(settings),
+        "recipe_digest": recipe_content_digest(settings),
         "files": kept_files,
         "sample_digests": digests,
         "payload": str(payload_path),
@@ -1653,6 +1682,16 @@ def load_prepared_plan(
         raise PreparedPlanError(
             "Prepared plan split salt mismatch: SER_SPLIT_SALT changed since "
             "preparation. Re-run --prepare-only."
+        )
+    # Recipe CONTENT pin (reference validate_prepared_plan recomputes
+    # _recipe_digest, training_orchestration.py:1367): an edited recipe file
+    # changes routing/splits without touching any settings value.
+    if "recipe_digest" in plan and plan["recipe_digest"] != recipe_content_digest(
+        settings
+    ):
+        raise PreparedPlanError(
+            "Prepared plan recipe digest mismatch: the dataset recipe changed "
+            "since preparation. Re-run --prepare-only."
         )
     expected_backend = _backend_fingerprint(settings, profile)
     if plan.get("backend") != expected_backend:

@@ -61,6 +61,10 @@ def test_our_artifact_passes_reference_validation(oracle, tmp_path):
         labels=sorted(set(y)),
         backend_id="handcrafted",
         profile="fast",
+        # v3 provenance digests must survive the reference's strict
+        # normalize_v3 load validation (artifact_metadata.py:231-234).
+        recipe_digest="ab" * 32,
+        split_ledger_digest="cd" * 32,
     )
     path = tmp_path / "ours.pkl"
     save_model_artifact(build_model_artifact(model, metadata), path)

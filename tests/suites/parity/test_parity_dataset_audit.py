@@ -65,6 +65,30 @@ def test_recipe_digest_parity(oracle):
     assert recipe.digest == theirs["digest"]
 
 
+def test_plan_recipe_content_digest_parity(oracle, tmp_path):
+    """Prepared-plan recipe CONTENT digest bit-matches the reference's
+    ``_recipe_digest`` (``training_orchestration.py:183-190``) for the unset
+    knob, a bare built-in id, and a recipe FILE (content, not path)."""
+    import dataclasses
+
+    from ser_tpu._internal.config.settings_builder import build_settings_from_inputs
+    from ser_tpu._internal.config.settings_inputs import capture_settings_inputs
+    from ser_tpu._internal.models.training_readiness import recipe_content_digest
+
+    base = build_settings_from_inputs(capture_settings_inputs(env={}))
+    recipe_file = tmp_path / "recipe.json"
+    recipe_file.write_text(
+        '{"recipe_id": "custom", "corpora": []}\n', encoding="utf-8"
+    )
+    for knob in (None, "research-v1", str(recipe_file)):
+        ours = recipe_content_digest(
+            dataclasses.replace(
+                base, dataset=dataclasses.replace(base.dataset, recipe=knob)
+            )
+        )
+        assert ours == oracle.call("plan_recipe_digest", recipe=knob), knob
+
+
 @st.composite
 def routing_samples(draw):
     count = draw(st.integers(min_value=1, max_value=24))

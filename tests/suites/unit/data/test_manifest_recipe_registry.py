@@ -184,6 +184,46 @@ def test_apply_recipe_ledger_reassigns_splits(tmp_path):
     assert all(len(splits) == 1 for splits in by_speaker.values())
 
 
+def test_apply_recipe_ledger_stamps_run_provenance(tmp_path):
+    """A passed audit stamps recipe/ledger digests onto the active training
+    run so artifacts carry the reference's v3 provenance fields
+    (artifact_envelope.py:66-67)."""
+    import dataclasses
+
+    from ser_tpu._internal.config.settings_builder import build_settings_from_inputs
+    from ser_tpu._internal.config.settings_inputs import capture_settings_inputs
+    from ser_tpu._internal.data.loader import apply_recipe_ledger
+    from ser_tpu._internal.models.training_orchestration import (
+        training_operation_scope,
+    )
+
+    settings = build_settings_from_inputs(capture_settings_inputs(env={}))
+    settings = dataclasses.replace(
+        settings,
+        dataset=dataclasses.replace(
+            settings.dataset, recipe="research-v1", strict_audit=False
+        ),
+    )
+    rows = [
+        _utterance(sample_id=f"s{i}", audio_sha256=f"h{i}", speaker_id=f"spk{i % 4}")
+        for i in range(8)
+    ]
+    with training_operation_scope("accurate") as run_state:
+        assert run_state.recipe_digest is None
+        apply_recipe_ledger(rows, settings=settings)
+        assert run_state.recipe_digest is not None
+        assert run_state.split_ledger_digest is not None
+        assert len(run_state.recipe_digest) == 64
+        assert len(run_state.split_ledger_digest) == 64
+    # Without a recipe the loader is a pass-through and stamps nothing.
+    with training_operation_scope("accurate") as run_state:
+        plain = dataclasses.replace(
+            settings, dataset=dataclasses.replace(settings.dataset, recipe=None)
+        )
+        assert apply_recipe_ledger(rows, settings=plain) is rows
+        assert run_state.recipe_digest is None
+
+
 def test_recipe_strict_escalates_warnings():
     recipe = get_recipe("research-v1")
     utterances = [_utterance(audio_sha256=None, speaker_id=None)]

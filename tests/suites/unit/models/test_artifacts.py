@@ -91,6 +91,42 @@ def test_metadata_validation():
         )
 
 
+def test_provenance_digests_round_trip(tmp_path):
+    """v3 recipe/split-ledger digests persist and survive load validation."""
+    recipe = "ab" * 32
+    ledger = "cd" * 32
+    meta = _metadata(recipe_digest=recipe, split_ledger_digest=ledger)
+    envelope = artifacts.build_model_artifact(_tiny_model(), meta)
+    path = artifacts.save_model_artifact(envelope, tmp_path / "ser_model.pkl")
+    loaded = artifacts.load_model_artifact(path)
+    assert loaded.artifact_metadata["recipe_digest"] == recipe
+    assert loaded.artifact_metadata["split_ledger_digest"] == ledger
+
+
+def test_provenance_digests_absent_when_unset():
+    """The writer drops None digests (reference artifact_metadata.py:303-310)."""
+    meta = _metadata()
+    assert "recipe_digest" not in meta
+    assert "split_ledger_digest" not in meta
+
+
+def test_provenance_digest_rejects_non_hex():
+    with pytest.raises(artifacts.ArtifactError, match="recipe_digest"):
+        _metadata(recipe_digest="not-a-sha256")
+    with pytest.raises(artifacts.ArtifactError, match="split_ledger_digest"):
+        _metadata(split_ledger_digest="AB" * 32)  # uppercase is invalid
+
+
+def test_load_rejects_malformed_provenance_digest(tmp_path):
+    """Hand-edited digests fail load (reference artifact_metadata.py:202-208)."""
+    envelope = artifacts.build_model_artifact(_tiny_model(), _metadata())
+    envelope["metadata"]["split_ledger_digest"] = "tampered"
+    path = tmp_path / "ser_model.pkl"
+    path.write_bytes(pickle.dumps(envelope))
+    with pytest.raises(artifacts.ArtifactError, match="split_ledger_digest"):
+        artifacts.load_model_artifact(path)
+
+
 def test_discover_candidates_sorted_newest_first(tmp_path):
     import time
 

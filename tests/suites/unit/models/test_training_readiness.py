@@ -380,6 +380,55 @@ def test_prepared_plan_rejects_split_salt_change(tmp_path, monkeypatch):
         tr.load_prepared_plan(plan_path, settings=settings, profile="fast")
 
 
+def test_recipe_content_digest_semantics(tmp_path):
+    # Unset knob and bare built-in id digest the identifier STRING; a file
+    # path digests the file CONTENT (reference _recipe_digest,
+    # training_orchestration.py:183-190).
+    import dataclasses as _dc
+
+    settings = _settings(tmp_path)
+    assert settings.dataset.recipe is None
+    unset = tr.recipe_content_digest(settings)
+    by_id = tr.recipe_content_digest(
+        _dc.replace(
+            settings, dataset=_dc.replace(settings.dataset, recipe="research-v1")
+        )
+    )
+    assert unset != by_id and len(unset) == len(by_id) == 64
+    recipe_path = tmp_path / "recipe.json"
+    recipe_path.write_text('{"corpora": []}', encoding="utf-8")
+    by_file = _dc.replace(
+        settings, dataset=_dc.replace(settings.dataset, recipe=str(recipe_path))
+    )
+    before = tr.recipe_content_digest(by_file)
+    # Editing the file changes the digest even though the path (and every
+    # settings value) is unchanged.
+    recipe_path.write_text('{"corpora": [1]}', encoding="utf-8")
+    assert tr.recipe_content_digest(by_file) != before
+
+
+def test_prepared_plan_rejects_recipe_change(tmp_path):
+    # settings.dataset is outside the settings digest, so the recipe pin is
+    # the ONLY guard against a recipe change between prepare and train.
+    import dataclasses as _dc
+
+    _make_corpus(tmp_path)
+    settings = _settings(tmp_path)
+    report = tr.run_training_readiness(settings=settings, profile="fast")
+    plan_path = tr.write_prepared_plan(
+        settings=settings, profile="fast", report=report, plan_dir=tmp_path / "plan"
+    )
+    assert json.loads(plan_path.read_text())["recipe_digest"] == (
+        tr.recipe_content_digest(settings)
+    )
+    tr.load_prepared_plan(plan_path, settings=settings, profile="fast")
+    recipe_on = _dc.replace(
+        settings, dataset=_dc.replace(settings.dataset, recipe="research-v1")
+    )
+    with pytest.raises(tr.PreparedPlanError, match="recipe digest"):
+        tr.load_prepared_plan(plan_path, settings=recipe_on, profile="fast")
+
+
 def test_split_digest_tracks_membership(tmp_path):
     _make_corpus(tmp_path)
     settings = _settings(tmp_path)

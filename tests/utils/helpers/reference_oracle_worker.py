@@ -1007,6 +1007,16 @@ def op_recipe_digest(payload: dict) -> dict:
     }
 
 
+def op_plan_recipe_digest(payload: dict) -> str:
+    """Reference prepared-plan recipe CONTENT digest
+    (``training_orchestration.py:183-190``). Only ``settings.dataset.recipe``
+    is consulted, so a namespace stub suffices."""
+    from ser._internal.models.training_orchestration import _recipe_digest
+
+    settings = SimpleNamespace(dataset=SimpleNamespace(recipe=payload["recipe"]))
+    return _recipe_digest(settings)
+
+
 def op_route_utterance(payload: dict) -> list[dict]:
     from ser._internal.data.recipe import route_utterance
 
@@ -1111,6 +1121,7 @@ _OPS = {
     "registry": op_registry,
     "load_artifact": op_load_artifact,
     "recipe_digest": op_recipe_digest,
+    "plan_recipe_digest": op_plan_recipe_digest,
     "route_utterance": op_route_utterance,
     "audit_dataset_recipe": op_audit_dataset_recipe,
 }
