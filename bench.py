@@ -10,7 +10,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is the ratio against the 50x real-time target.
 
 Env knobs: SER_BENCH_SECONDS (default 60 s of audio per batch),
-SER_BENCH_REPEATS (default 3), SER_BENCH_PROFILE (accurate|medium|fast).
+SER_BENCH_REPEATS (default 3), SER_BENCH_PROFILE (accurate|medium|fast|
+infer|infer-accurate|infer-medium|transcript|train); the default accurate
+run attaches every other lane to extras.
 """
 
 from __future__ import annotations
@@ -481,6 +483,131 @@ def _bench_transcript() -> tuple[float, str, dict]:
     return seconds / p50, "transcript_lane_audio_seconds_per_second_per_chip", extras
 
 
+def _bench_train() -> tuple[float, str, dict]:
+    """Training-lane throughput: full encoder+head train steps on the mesh.
+
+    BASELINE.md's final benchmark config ("accurate-research + `ser --train`
+    with pmap data parallelism"): the sharded end-to-end train step (encoder
+    forward -> pool -> head -> cross-entropy -> grads -> adam) at large-v3
+    dims with per-block remat, run K steps per dispatch via
+    make_sharded_train_loop — per-step dispatch over the remote tunnel
+    re-ships the ~10 GB param/adam tree (measured 17-31 s/step vs 244 ms
+    inside the scan).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ser_tpu._internal.config.schema import MeshConfig
+    from ser_tpu.models.whisper import (
+        CHUNK_SAMPLES,
+        WhisperConfig,
+        WhisperEncoder,
+        init_whisper_encoder_params,
+    )
+    from ser_tpu.parallel.mesh import build_mesh
+    from ser_tpu.parallel.train_step import make_sharded_train_loop
+
+    on_tpu = any(d.platform != "cpu" for d in jax.devices())
+    config = WhisperConfig() if on_tpu else WhisperConfig.tiny()
+    # Batch 4 is the measured single-chip optimum at large-v3 dims (8 OOMs a
+    # 16 GB chip next to f32 adam state; 2 leaves the MXU underfed).
+    batch = 4 if on_tpu else 2
+    n_steps = int(os.environ.get("SER_BENCH_TRAIN_STEPS", "3"))
+    chunk = CHUNK_SAMPLES if on_tpu else CHUNK_SAMPLES // 30
+
+    encoder = WhisperEncoder(
+        config,
+        compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        remat=True,
+    )
+    encoder_params = init_whisper_encoder_params(config, seed=0)
+    rng = np.random.default_rng(0)
+    head = {
+        "w1": jnp.asarray(
+            rng.standard_normal((2 * config.d_model, 300)) * 0.02, jnp.float32
+        ),
+        "b1": jnp.zeros(300, jnp.float32),
+        "w2": jnp.asarray(rng.standard_normal((300, 8)) * 0.02, jnp.float32),
+        "b2": jnp.zeros(8, jnp.float32),
+    }
+    waveforms = jnp.asarray(
+        rng.standard_normal((n_steps, batch, chunk)) * 0.1, dtype=jnp.float32
+    )
+    labels = jnp.asarray(
+        rng.integers(0, 8, size=(n_steps, batch)), dtype=jnp.int32
+    )
+    mesh = build_mesh(MeshConfig(model_axis_size=1), devices=jax.devices()[:1])
+    place, run_steps, optimizer = make_sharded_train_loop(encoder, mesh)
+    with mesh:
+        encoder_params, head, waveforms, labels = place(
+            encoder_params, head, waveforms, labels
+        )
+        opt_state = optimizer.init((encoder_params, head))
+        # TWO warm calls: the first compiles; the second absorbs the one
+        # recompile caused by GSPMD output shardings differing from the
+        # explicit input placements (measured: call1 recompiles, call2 hits
+        # the cache). The loss fetch (np.asarray) is the completion barrier —
+        # block_until_ready alone returns early under the remote platform.
+        for _ in range(2):
+            encoder_params, head, opt_state, losses = run_steps(
+                encoder_params, head, opt_state, waveforms, labels
+            )
+            np.asarray(losses)
+        start = time.perf_counter()
+        encoder_params, head, opt_state, losses = run_steps(
+            encoder_params, head, opt_state, waveforms, labels
+        )
+        np.asarray(losses)
+        elapsed = time.perf_counter() - start
+    final_loss = float(np.asarray(losses)[-1])
+    assert np.isfinite(final_loss), f"train bench produced loss={final_loss}"
+    audio_seconds = n_steps * batch * (chunk / 16000.0)
+    per_step_ms = elapsed / n_steps * 1000.0
+    extras = {
+        "train_step_ms": round(per_step_ms, 1),
+        "train_audio_s_per_s": round(audio_seconds / elapsed, 1),
+        "train_batch": batch,
+        "train_dims": "production" if on_tpu else "tiny",
+    }
+    return (
+        audio_seconds / elapsed,
+        "train_lane_audio_seconds_per_second_per_chip",
+        extras,
+    )
+
+
+def _train_lane_subprocess(timeout_s: float = 1500.0) -> dict:
+    """Runs the train lane in a FRESH process and merges its extras.
+
+    The default run's earlier lanes leave encoder params and cached
+    executables resident in HBM; the ~10 GB training state then OOMs a
+    16 GB chip in-process (measured). A clean process is the honest
+    single-chip measurement.
+    """
+    import subprocess
+
+    env = dict(os.environ)
+    env["SER_BENCH_PROFILE"] = "train"
+    env["SER_BENCH_SKIP_INFER"] = "1"
+    result = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        capture_output=True,
+        text=True,
+        timeout=timeout_s,
+        env=env,
+    )
+    if result.returncode != 0:
+        raise RuntimeError(
+            f"train lane subprocess failed: {result.stderr.strip().splitlines()[-1:]}"
+        )
+    payload = json.loads(result.stdout.strip().splitlines()[-1])
+    return {
+        key: value
+        for key, value in payload.get("extras", {}).items()
+        if key.startswith("train_")
+    }
+
+
 def _ensure_live_backend(probe_timeout_s: float = 240.0) -> str:
     """Probes accelerator availability in a SUBPROCESS before any in-process
     jax init.
@@ -532,6 +659,8 @@ def main() -> int:
             return _bench_infer_medium()
         if profile == "transcript":
             return _bench_transcript()
+        if profile == "train":
+            return _bench_train()
         if profile == "accurate":
             return _bench_accurate()
         if profile == "medium":
@@ -568,6 +697,7 @@ def main() -> int:
             ("medium_encode", _medium_extra),
             ("fast_dsp", _fast_extra),
             ("transcript", lambda: _bench_transcript()[2]),
+            ("train", _train_lane_subprocess),
         )
         for lane_name, lane in lanes:
             try:

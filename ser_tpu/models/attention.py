@@ -93,18 +93,24 @@ def _block_sizes(padded: int):
         edge = padded
     else:
         edge = max(b for b in (2048, 1536, 1024, 512) if padded % b == 0)
+    # Backward kernels carry extra per-block scratch (dk/dv accumulators +
+    # recomputed scores): a 1536 edge needs 19.5 MB of scoped VMEM vs the
+    # 16 MB budget (measured OOM in flash_mha_bwd_dkv on v5e at the training
+    # step's large-v3 shapes). 512 keeps every bwd tile resident; forward
+    # keeps the measured full-sequence optimum.
+    bwd_edge = min(edge, 512) if padded % 512 == 0 else edge
     return BlockSizes(
         block_q=edge,
         block_k_major=edge,
         block_k=edge,
         block_b=1,
-        block_q_major_dkv=edge,
-        block_k_major_dkv=edge,
-        block_k_dkv=edge,
-        block_q_dkv=edge,
-        block_k_major_dq=edge,
-        block_k_dq=edge,
-        block_q_dq=edge,
+        block_q_major_dkv=bwd_edge,
+        block_k_major_dkv=bwd_edge,
+        block_k_dkv=bwd_edge,
+        block_q_dkv=bwd_edge,
+        block_k_major_dq=bwd_edge,
+        block_k_dq=bwd_edge,
+        block_q_dq=bwd_edge,
     )
 
 

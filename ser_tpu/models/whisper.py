@@ -190,10 +190,17 @@ class WhisperEncoder(nn.Module):
     config: WhisperConfig
     compute_dtype: jnp.dtype = jnp.float32
     ln_dtype: jnp.dtype = jnp.float32
+    #: Rematerialize each block on the backward pass (training only): storing
+    #: every layer's intermediates at large-v3 dims OOMs a 16 GB chip next to
+    #: Adam state; remat keeps only the 2*B*T*d residual stream and re-runs
+    #: the forward per block. Inference paths never take a gradient, so the
+    #: flag costs them nothing.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, mel: jax.Array) -> jax.Array:
         cfg = self.config
+        block_cls = nn.remat(EncoderBlock) if self.remat else EncoderBlock
         x = nn.Conv(cfg.d_model, kernel_size=(3,), padding=1, dtype=self.compute_dtype, name="conv1")(mel)
         x = _gelu(x)
         x = nn.Conv(cfg.d_model, kernel_size=(3,), strides=(2,), padding=1, dtype=self.compute_dtype, name="conv2")(x)
@@ -202,7 +209,7 @@ class WhisperEncoder(nn.Module):
         positions = jnp.asarray(_sinusoids(x.shape[1], cfg.d_model))
         x = x + positions[None].astype(x.dtype)
         for i in range(cfg.encoder_layers):
-            x = EncoderBlock(
+            x = block_cls(
                 cfg,
                 compute_dtype=self.compute_dtype,
                 ln_dtype=self.ln_dtype,

@@ -6,11 +6,17 @@ from ser_tpu.parallel.sharding import (
     encoder_param_sharding,
     replicated,
 )
+from ser_tpu.parallel.train_step import (
+    make_sharded_train_loop,
+    make_sharded_train_step,
+)
 
 __all__ = [
     "batch_sharding",
     "build_mesh",
     "encoder_param_sharding",
+    "make_sharded_train_loop",
+    "make_sharded_train_step",
     "mesh_shape_for",
     "replicated",
 ]

@@ -68,6 +68,12 @@ def make_sharded_train_step(encoder: WhisperEncoder, mesh, optimizer=None):
     """
     optimizer = optimizer if optimizer is not None else optax.adam(1e-4)
 
+    # Deliberately NOT donate_argnums: device_put can alias the caller's
+    # buffer when placements already match (measured on the CPU mesh), so
+    # donation silently deletes caller-held arrays; and over a remote-dispatch
+    # link donated inputs defeat device-side buffer reuse. XLA frees the
+    # non-donated inputs at their last use inside the step, so the large-v3
+    # train state still fits a 16 GB chip (measured, batch 4 with remat).
     @jax.jit
     def step(encoder_params, head_params, opt_state, waveform, labels, valid_samples=None):
         def loss_fn(ep, hp):
@@ -99,4 +105,69 @@ def make_sharded_train_step(encoder: WhisperEncoder, mesh, optimizer=None):
     return place, step, optimizer
 
 
-__all__ = ["cross_entropy_loss", "encoder_classifier_loss", "make_sharded_train_step"]
+def make_sharded_train_loop(encoder: WhisperEncoder, mesh, optimizer=None):
+    """Builds ``(place, run_steps, optimizer)``: a device-side training loop.
+
+    ``run_steps`` consumes a PREFETCHED super-batch — waveforms ``(K, B, S)``,
+    labels ``(K, B)``, optional valid_samples ``(K, B)`` — and runs K
+    optimizer steps in ONE dispatch via ``lax.scan``, returning the K losses.
+    One dispatch per K steps is the production shape on TPU: per-step
+    dispatch re-ships the multi-GB param/optimizer tree over any non-local
+    link (measured 17-31 s/step over the remote tunnel vs 244 ms/step inside
+    the scan at large-v3 dims), and even locally it saves K-1 launch+sync
+    round-trips. Batches shard over ``data`` on dim 1 (dim 0 is scan time).
+    """
+    optimizer = optimizer if optimizer is not None else optax.adam(1e-4)
+
+    @jax.jit
+    def run_steps(
+        encoder_params, head_params, opt_state, waveforms, labels, valid_samples=None
+    ):
+        def body(carry, batch):
+            ep, hp, state = carry
+            wave, lab, valid = batch
+            loss, grads = jax.value_and_grad(
+                lambda e, h: encoder_classifier_loss(encoder, e, h, wave, lab, valid),
+                argnums=(0, 1),
+            )(ep, hp)
+            updates, state = optimizer.update(grads, state, (ep, hp))
+            ep, hp = optax.apply_updates((ep, hp), updates)
+            return (ep, hp, state), loss
+
+        if valid_samples is None:
+            valid_samples = jnp.full(
+                labels.shape, waveforms.shape[-1], dtype=jnp.int32
+            )
+        (encoder_params, head_params, opt_state), losses = jax.lax.scan(
+            body,
+            (encoder_params, head_params, opt_state),
+            (waveforms, labels, valid_samples),
+        )
+        return encoder_params, head_params, opt_state, losses
+
+    def place(encoder_params, head_params, waveforms, labels):
+        """Mesh placements: params TP/replicated, super-batch DP on dim 1."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ser_tpu.parallel.mesh import DATA_AXIS
+
+        def stacked(ndim):
+            return NamedSharding(mesh, P(None, DATA_AXIS, *([None] * (ndim - 2))))
+
+        encoder_params = jax.device_put(
+            encoder_params, encoder_param_sharding(mesh, encoder_params)
+        )
+        head_params = jax.device_put(head_params, replicated(mesh))
+        waveforms = jax.device_put(waveforms, stacked(waveforms.ndim))
+        labels = jax.device_put(labels, stacked(2))
+        return encoder_params, head_params, waveforms, labels
+
+    return place, run_steps, optimizer
+
+
+__all__ = [
+    "cross_entropy_loss",
+    "encoder_classifier_loss",
+    "make_sharded_train_loop",
+    "make_sharded_train_step",
+]
