@@ -240,6 +240,21 @@ def _split_training_files(
             ]
             return train, test, metadata.as_dict()
 
+    # Falling through means the manifest/ledger split was NOT used (no
+    # manifests, load failure, or discovered files not covered by the
+    # manifest rows). Any provenance digests stamped by apply_recipe_ledger
+    # would now be a false claim on the artifact — clear them.
+    from ser_tpu._internal.models.training_orchestration import current_training_run
+
+    run_state = current_training_run()
+    if run_state is not None and run_state.recipe_digest is not None:
+        logger.warning(
+            "Audited recipe split not applied (files outside manifest "
+            "coverage); clearing artifact provenance digests."
+        )
+        run_state.recipe_digest = None
+        run_state.split_ledger_digest = None
+
     train, test = speaker_disjoint_split(
         files,
         speaker_of=lambda item: item[2] or item[0],

@@ -1352,14 +1352,12 @@ def recipe_content_digest(settings: AppConfig) -> str:
     """
     recipe = settings.dataset.recipe or "none"
     recipe_path = Path(recipe).expanduser()
-    try:
-        payload: str = (
-            recipe_path.read_text(encoding="utf-8")
-            if recipe_path.is_file()
-            else recipe
-        )
-    except OSError:
-        payload = recipe
+    # An existing-but-unreadable recipe file propagates its OSError (the
+    # reference has no fallback): silently digesting the path string would
+    # pin a value that stops tracking the file's content.
+    payload: str = (
+        recipe_path.read_text(encoding="utf-8") if recipe_path.is_file() else recipe
+    )
     canonical = json.dumps(
         payload,
         sort_keys=True,
@@ -1685,13 +1683,14 @@ def load_prepared_plan(
         )
     # Recipe CONTENT pin (reference validate_prepared_plan recomputes
     # _recipe_digest, training_orchestration.py:1367): an edited recipe file
-    # changes routing/splits without touching any settings value.
-    if "recipe_digest" in plan and plan["recipe_digest"] != recipe_content_digest(
-        settings
-    ):
+    # changes routing/splits without touching any settings value. A plan
+    # WITHOUT the field (pre-pin writer, or hand-stripped) is equally
+    # unverifiable — the reference always compares, never skips.
+    if plan.get("recipe_digest") != recipe_content_digest(settings):
         raise PreparedPlanError(
             "Prepared plan recipe digest mismatch: the dataset recipe changed "
-            "since preparation. Re-run --prepare-only."
+            "since preparation (or the plan predates recipe pinning). "
+            "Re-run --prepare-only."
         )
     expected_backend = _backend_fingerprint(settings, profile)
     if plan.get("backend") != expected_backend:

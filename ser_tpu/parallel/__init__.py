@@ -1,4 +1,9 @@
-"""Multi-chip execution: device meshes, sharding rules, parallel steps."""
+"""Multi-chip execution: device meshes, sharding rules, parallel steps.
+
+The train-step builders are exposed lazily (PEP 562): they pull in optax and
+the flax whisper stack, which pure-inference processes importing
+``ser_tpu.parallel.mesh``/``sharding`` must not pay for at startup.
+"""
 
 from ser_tpu.parallel.mesh import build_mesh, mesh_shape_for
 from ser_tpu.parallel.sharding import (
@@ -6,10 +11,8 @@ from ser_tpu.parallel.sharding import (
     encoder_param_sharding,
     replicated,
 )
-from ser_tpu.parallel.train_step import (
-    make_sharded_train_loop,
-    make_sharded_train_step,
-)
+
+_LAZY_TRAIN = ("make_sharded_train_loop", "make_sharded_train_step")
 
 __all__ = [
     "batch_sharding",
@@ -20,3 +23,11 @@ __all__ = [
     "mesh_shape_for",
     "replicated",
 ]
+
+
+def __getattr__(name: str):
+    if name in _LAZY_TRAIN:
+        from ser_tpu.parallel import train_step
+
+        return getattr(train_step, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -25,6 +25,12 @@ def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
 
 
+def stacked_batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Data-parallel placement on dim 1 of a (steps, batch, ...) super-batch
+    (dim 0 is scan time in the K-steps-per-dispatch training loop)."""
+    return NamedSharding(mesh, P(None, DATA_AXIS, *([None] * (ndim - 2))))
+
+
 def _spec_for_param(path: tuple[str, ...], value: jax.Array) -> P:
     """Tensor-parallel spec for one encoder parameter by name/shape.
 

@@ -15,7 +15,12 @@ import jax.numpy as jnp
 import optax
 
 from ser_tpu.models.whisper import WhisperEncoder, log_mel_spectrogram
-from ser_tpu.parallel.sharding import batch_sharding, encoder_param_sharding, replicated
+from ser_tpu.parallel.sharding import (
+    batch_sharding,
+    encoder_param_sharding,
+    replicated,
+    stacked_batch_sharding,
+)
 
 
 def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
@@ -60,6 +65,28 @@ def encoder_classifier_loss(
     return cross_entropy_loss(logits, labels)
 
 
+def _train_update(
+    encoder, optimizer, encoder_params, head_params, opt_state, waveform, labels,
+    valid_samples,
+):
+    """One optimizer step: value_and_grad → update → apply. Shared by the
+    per-dispatch ``make_sharded_train_step`` and the scanned
+    ``make_sharded_train_loop`` so their trajectories cannot diverge."""
+    loss, grads = jax.value_and_grad(
+        lambda ep, hp: encoder_classifier_loss(
+            encoder, ep, hp, waveform, labels, valid_samples
+        ),
+        argnums=(0, 1),
+    )(encoder_params, head_params)
+    updates, opt_state = optimizer.update(
+        grads, opt_state, (encoder_params, head_params)
+    )
+    encoder_params, head_params = optax.apply_updates(
+        (encoder_params, head_params), updates
+    )
+    return encoder_params, head_params, opt_state, loss
+
+
 def make_sharded_train_step(encoder: WhisperEncoder, mesh, optimizer=None):
     """Builds ``(place, step, optimizer)``: mesh placement helper, the jitted
     step, and the optax optimizer whose state the caller initializes.
@@ -76,21 +103,10 @@ def make_sharded_train_step(encoder: WhisperEncoder, mesh, optimizer=None):
     # train state still fits a 16 GB chip (measured, batch 4 with remat).
     @jax.jit
     def step(encoder_params, head_params, opt_state, waveform, labels, valid_samples=None):
-        def loss_fn(ep, hp):
-            return encoder_classifier_loss(
-                encoder, ep, hp, waveform, labels, valid_samples
-            )
-
-        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
-            encoder_params, head_params
+        return _train_update(
+            encoder, optimizer, encoder_params, head_params, opt_state,
+            waveform, labels, valid_samples,
         )
-        updates, opt_state = optimizer.update(
-            grads, opt_state, (encoder_params, head_params)
-        )
-        encoder_params, head_params = optax.apply_updates(
-            (encoder_params, head_params), updates
-        )
-        return encoder_params, head_params, opt_state, loss
 
     def place(encoder_params, head_params, waveform, labels):
         """Applies mesh placements to params and batch."""
@@ -126,12 +142,9 @@ def make_sharded_train_loop(encoder: WhisperEncoder, mesh, optimizer=None):
         def body(carry, batch):
             ep, hp, state = carry
             wave, lab, valid = batch
-            loss, grads = jax.value_and_grad(
-                lambda e, h: encoder_classifier_loss(encoder, e, h, wave, lab, valid),
-                argnums=(0, 1),
-            )(ep, hp)
-            updates, state = optimizer.update(grads, state, (ep, hp))
-            ep, hp = optax.apply_updates((ep, hp), updates)
+            ep, hp, state, loss = _train_update(
+                encoder, optimizer, ep, hp, state, wave, lab, valid
+            )
             return (ep, hp, state), loss
 
         if valid_samples is None:
@@ -147,19 +160,14 @@ def make_sharded_train_loop(encoder: WhisperEncoder, mesh, optimizer=None):
 
     def place(encoder_params, head_params, waveforms, labels):
         """Mesh placements: params TP/replicated, super-batch DP on dim 1."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        from ser_tpu.parallel.mesh import DATA_AXIS
-
-        def stacked(ndim):
-            return NamedSharding(mesh, P(None, DATA_AXIS, *([None] * (ndim - 2))))
-
         encoder_params = jax.device_put(
             encoder_params, encoder_param_sharding(mesh, encoder_params)
         )
         head_params = jax.device_put(head_params, replicated(mesh))
-        waveforms = jax.device_put(waveforms, stacked(waveforms.ndim))
-        labels = jax.device_put(labels, stacked(2))
+        waveforms = jax.device_put(
+            waveforms, stacked_batch_sharding(mesh, waveforms.ndim)
+        )
+        labels = jax.device_put(labels, stacked_batch_sharding(mesh, 2))
         return encoder_params, head_params, waveforms, labels
 
     return place, run_steps, optimizer

@@ -224,6 +224,52 @@ def test_apply_recipe_ledger_stamps_run_provenance(tmp_path):
         assert run_state.recipe_digest is None
 
 
+def test_split_fallback_clears_stamped_provenance(tmp_path):
+    """If the ledger split is NOT actually used (files outside manifest
+    coverage force the speaker-disjoint fallback), the digests stamped by
+    apply_recipe_ledger must be cleared — else the artifact would falsely
+    claim an audited split."""
+    import dataclasses
+
+    from ser_tpu._internal.config.settings_builder import build_settings_from_inputs
+    from ser_tpu._internal.config.settings_inputs import capture_settings_inputs
+    from ser_tpu._internal.data.manifest import write_manifest_jsonl
+    from ser_tpu._internal.models.encoder_training import _split_training_files
+    from ser_tpu._internal.models.training_orchestration import (
+        training_operation_scope,
+    )
+
+    rows = [
+        _utterance(
+            sample_id=f"s{i}",
+            audio_sha256=f"h{i}",
+            speaker_id=f"spk{i % 4}",
+            audio_path=str(tmp_path / f"covered{i}.wav"),
+        )
+        for i in range(8)
+    ]
+    manifest = write_manifest_jsonl(rows, tmp_path / "m.jsonl")
+    settings = build_settings_from_inputs(
+        capture_settings_inputs(
+            env={"SER_DATASET_MANIFESTS": str(manifest)}
+        )
+    )
+    settings = dataclasses.replace(
+        settings,
+        dataset=dataclasses.replace(
+            settings.dataset, recipe="research-v1", strict_audit=False
+        ),
+    )
+    # One discovered file is OUTSIDE the manifest -> coverage check fails ->
+    # speaker-disjoint fallback.
+    files = [(str(tmp_path / f"covered{i}.wav"), "happy", f"spk{i % 4}") for i in range(8)]
+    files.append((str(tmp_path / "rogue.wav"), "sad", "spk9"))
+    with training_operation_scope("accurate") as run_state:
+        _split_training_files(files=files, settings=settings)
+        assert run_state.recipe_digest is None
+        assert run_state.split_ledger_digest is None
+
+
 def test_recipe_strict_escalates_warnings():
     recipe = get_recipe("research-v1")
     utterances = [_utterance(audio_sha256=None, speaker_id=None)]

@@ -427,6 +427,13 @@ def test_prepared_plan_rejects_recipe_change(tmp_path):
     )
     with pytest.raises(tr.PreparedPlanError, match="recipe digest"):
         tr.load_prepared_plan(plan_path, settings=recipe_on, profile="fast")
+    # A plan WITHOUT the field is equally unverifiable (pre-pin writer or
+    # hand-stripped) — the reference always compares, never skips.
+    stripped = json.loads(plan_path.read_text())
+    del stripped["recipe_digest"]
+    plan_path.write_text(json.dumps(stripped))
+    with pytest.raises(tr.PreparedPlanError, match="recipe digest"):
+        tr.load_prepared_plan(plan_path, settings=settings, profile="fast")
 
 
 def test_split_digest_tracks_membership(tmp_path):
