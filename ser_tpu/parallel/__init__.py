@@ -12,7 +12,12 @@ from ser_tpu.parallel.sharding import (
     replicated,
 )
 
-_LAZY_TRAIN = ("make_sharded_train_loop", "make_sharded_train_step")
+_LAZY = {
+    "make_sharded_train_loop": "train_step",
+    "make_sharded_train_step": "train_step",
+    "restore_train_state": "checkpoint",
+    "save_train_state": "checkpoint",
+}
 
 __all__ = [
     "batch_sharding",
@@ -22,12 +27,15 @@ __all__ = [
     "make_sharded_train_step",
     "mesh_shape_for",
     "replicated",
+    "restore_train_state",
+    "save_train_state",
 ]
 
 
 def __getattr__(name: str):
-    if name in _LAZY_TRAIN:
-        from ser_tpu.parallel import train_step
+    if name in _LAZY:
+        import importlib
 
-        return getattr(train_step, name)
+        module = importlib.import_module(f"ser_tpu.parallel.{_LAZY[name]}")
+        return getattr(module, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
