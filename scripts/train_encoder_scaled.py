@@ -67,6 +67,13 @@ def main() -> int:
     parser.add_argument("--steps-per-dispatch", type=int, default=3)
     parser.add_argument("--learning-rate", type=float, default=1e-4)
     parser.add_argument("--checkpoint", type=Path, help="Trajectory checkpoint dir.")
+    parser.add_argument(
+        "--checkpoint-every",
+        type=int,
+        default=1,
+        metavar="N",
+        help="Save every N dispatches (a large-v3 trajectory is ~10 GB/save).",
+    )
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
@@ -88,7 +95,10 @@ def main() -> int:
     )
     from ser_tpu.parallel.checkpoint import restore_train_state, save_train_state
     from ser_tpu.parallel.mesh import build_mesh
-    from ser_tpu.parallel.train_step import make_sharded_train_loop
+    from ser_tpu.parallel.train_step import (
+        make_sharded_train_loop,
+        place_optimizer_state,
+    )
 
     honor_platform_env()
     labels = sorted(set(RAVDESS_EMOTIONS.values()))
@@ -164,7 +174,7 @@ def main() -> int:
         waves, labs, valid = super_batch()
         encoder_params, head, waves, labs = place(encoder_params, head, waves, labs)
         _, _, valid = place_batch(waves, labs, valid)
-        opt_state = optimizer.init((encoder_params, head))
+        opt_state = place_optimizer_state(mesh, optimizer.init((encoder_params, head)))
         step = 0
         ckpt_path = args.checkpoint / "trainstate" if args.checkpoint else None
         if args.resume and ckpt_path and ckpt_path.exists():
@@ -177,6 +187,7 @@ def main() -> int:
             )
             print(f"resumed at step {step}")
 
+        dispatch = 0
         while step < args.steps:
             start = time.perf_counter()
             encoder_params, head, opt_state, losses = run_steps(
@@ -190,7 +201,10 @@ def main() -> int:
                 f"step {step:>5}  loss {losses[-1]:.4f}  "
                 f"{audio_s / elapsed:7.1f} audio_s/s  {elapsed / k * 1000:6.0f} ms/step"
             )
-            if ckpt_path:
+            dispatch += 1
+            if ckpt_path and (
+                dispatch % args.checkpoint_every == 0 or step >= args.steps
+            ):
                 save_train_state(
                     ckpt_path,
                     encoder_params=encoder_params,

@@ -46,7 +46,11 @@ def _spec_for_param(path: tuple[str, ...], value: jax.Array) -> P:
     ):
         return P(None, MODEL_AXIS)
     if any(tag in name for tag in ("ffn_out", "mlp_out", "attn_out", "/out/")):
-        return P(MODEL_AXIS, None)
+        # NO trailing None: with_sharding_constraint normalizes
+        # P('model', None) to P('model',), and the two are UNEQUAL in the
+        # jit cache key — a step whose inputs were placed with the trailing
+        # None recompiles when fed its own (constrained) outputs.
+        return P(MODEL_AXIS)
     return P()
 
 

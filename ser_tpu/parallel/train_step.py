@@ -65,9 +65,72 @@ def encoder_classifier_loss(
     return cross_entropy_loss(logits, labels)
 
 
+def _jit_state_identical(fn):
+    """Jits ``fn`` with out_shardings pinned to the INPUT shardings of its
+    first three (state) arguments, resolved at first call.
+
+    Without the pin, GSPMD picks its own output shardings for the returned
+    params/opt-state; feeding them back into the next dispatch then
+    RECOMPILES the whole step (measured: a full extra compile on the second
+    call at large-v3 dims — spec-level mismatches as small as
+    ``P('model', None)`` vs ``P('model',)`` or a bias GSPMD chose to shard
+    break the cache key). Copying the live input shardings is exact by
+    construction; the trailing loss output is left to GSPMD.
+    """
+    jitted = None
+
+    def _ensure(ep, hp, state):
+        nonlocal jitted
+        if jitted is None:
+            from jax.sharding import NamedSharding
+
+            def shardings_of(tree):
+                # Pin only mesh-placed leaves; stray single-device scalars
+                # (an opt_state init that skipped place_optimizer_state)
+                # stay GSPMD's choice — pinning them would demand outputs on
+                # one device while the rest of the state spans the mesh.
+                def leaf(x):
+                    sharding = getattr(x, "sharding", None)
+                    return sharding if isinstance(sharding, NamedSharding) else None
+
+                return jax.tree_util.tree_map(leaf, tree)
+
+            jitted = jax.jit(
+                fn,
+                out_shardings=(
+                    shardings_of(ep),
+                    shardings_of(hp),
+                    shardings_of(state),
+                    None,
+                ),
+            )
+        return jitted
+
+    def call(ep, hp, state, *batch):
+        return _ensure(ep, hp, state)(ep, hp, state, *batch)
+
+    call.lower = lambda ep, hp, state, *batch: _ensure(ep, hp, state).lower(
+        ep, hp, state, *batch
+    )
+    return call
+
+
+def place_optimizer_state(mesh, opt_state):
+    """Commits a freshly-initialized optax state to its mesh placements.
+
+    ``optimizer.init`` builds mu/nu via ``zeros_like`` (they inherit the
+    params' placements) but leaves scalar counters as UNCOMMITTED
+    single-device arrays. The jitted step returns counters committed
+    mesh-replicated, so the second dispatch would see different input
+    shardings and RECOMPILE (measured: a full extra compile at large-v3
+    dims). Placing the whole state up front makes call 2 hit the cache.
+    """
+    return jax.device_put(opt_state, encoder_param_sharding(mesh, opt_state))
+
+
 def _train_update(
-    encoder, optimizer, encoder_params, head_params, opt_state, waveform, labels,
-    valid_samples,
+    encoder, optimizer, encoder_params, head_params, opt_state, waveform,
+    labels, valid_samples,
 ):
     """One optimizer step: value_and_grad → update → apply. Shared by the
     per-dispatch ``make_sharded_train_step`` and the scanned
@@ -101,7 +164,7 @@ def make_sharded_train_step(encoder: WhisperEncoder, mesh, optimizer=None):
     # link donated inputs defeat device-side buffer reuse. XLA frees the
     # non-donated inputs at their last use inside the step, so the large-v3
     # train state still fits a 16 GB chip (measured, batch 4 with remat).
-    @jax.jit
+    @_jit_state_identical
     def step(encoder_params, head_params, opt_state, waveform, labels, valid_samples=None):
         return _train_update(
             encoder, optimizer, encoder_params, head_params, opt_state,
@@ -135,7 +198,7 @@ def make_sharded_train_loop(encoder: WhisperEncoder, mesh, optimizer=None):
     """
     optimizer = optimizer if optimizer is not None else optax.adam(1e-4)
 
-    @jax.jit
+    @_jit_state_identical
     def run_steps(
         encoder_params, head_params, opt_state, waveforms, labels, valid_samples=None
     ):
@@ -178,4 +241,5 @@ __all__ = [
     "encoder_classifier_loss",
     "make_sharded_train_loop",
     "make_sharded_train_step",
+    "place_optimizer_state",
 ]

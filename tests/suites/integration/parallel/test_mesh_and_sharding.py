@@ -41,7 +41,9 @@ def test_encoder_param_sharding_specs():
     assert spec_in == jax.sharding.PartitionSpec(None, "model")
     # FFN out-proj: row parallel (input dim over model axis).
     spec_out = shardings["layer_0"]["mlp_out"]["kernel"].spec
-    assert spec_out == jax.sharding.PartitionSpec("model", None)
+    # No trailing None: P("model", None) != P("model") in the jit cache key,
+    # and with_sharding_constraint/GSPMD normalize to the short form.
+    assert spec_out == jax.sharding.PartitionSpec("model")
     # Norm scales replicate.
     assert shardings["final_ln"]["scale"].spec == jax.sharding.PartitionSpec()
 
