@@ -213,12 +213,32 @@ def fetch_url(
                 fetched += len(chunk)
     elif parsed.scheme in ("http", "https"):
         from urllib.error import HTTPError
+        from urllib.request import HTTPRedirectHandler, build_opener
 
+        class _AuthStrippingRedirect(HTTPRedirectHandler):
+            """Drops Authorization when a redirect changes host.
+
+            urllib re-sends ALL original headers on redirect (unlike
+            `requests`). Credentialed APIs (Kaggle) 302 to signed storage
+            URLs (GCS) that reject requests carrying both a signature and an
+            Authorization header — and forwarding credentials to a third
+            host leaks them.
+            """
+
+            def redirect_request(self, req, fp, code, msg, hdrs, newurl):
+                new = super().redirect_request(req, fp, code, msg, hdrs, newurl)
+                if new is not None and urlparse(newurl).netloc != urlparse(req.full_url).netloc:
+                    new.headers = {
+                        k: v for k, v in new.headers.items() if k.lower() != "authorization"
+                    }
+                return new
+
+        opener = build_opener(_AuthStrippingRedirect)
         request = Request(url, headers=dict(headers or {}))
         if offset:
             request.add_header("Range", f"bytes={offset}-")
         try:
-            with urlopen(request, timeout=timeout_seconds) as response:  # noqa: S310
+            with opener.open(request, timeout=timeout_seconds) as response:  # noqa: S310
                 if offset and response.status == 200:
                     # Server ignored the Range request: restart from zero.
                     staging.unlink()

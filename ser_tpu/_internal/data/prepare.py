@@ -183,7 +183,10 @@ def prepare_dataset(
         )
 
     root = dataset_root if dataset_root is not None else settings.dataset.folder
-    if not skip_download and not root.exists():
+    # An EMPTY existing root does not count as acquired: preparers mkdir the
+    # root before their first network call, so a failed attempt would
+    # otherwise permanently disable retry (root.exists() forever True).
+    if not skip_download and (not root.exists() or not any(root.iterdir())):
         from ser_tpu._internal.data.provider_prepare import acquire_dataset
 
         # Run the dataset's acquisition workflow (zenodo/openslr/mendeley/...).

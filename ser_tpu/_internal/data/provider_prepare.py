@@ -43,6 +43,24 @@ from ser_tpu._internal.utils.logger import get_logger
 logger = get_logger(__name__)
 
 LABELS_FILE_NAME = "labels.csv"
+
+
+def _contained_destination(root: Path, *parts: object) -> Path:
+    """Joins remote-controlled path parts under ``root``, traversal-safe.
+
+    Provider payloads carry file names chosen by the uploader (Mendeley
+    ``meta.key``, GitHub release ``asset.key``); a name like
+    ``../../home/user/.bashrc`` must not escape the dataset root — the same
+    containment rule archive extraction enforces via ``_safe_members``.
+    """
+    candidate = root.joinpath(*(str(part) for part in parts))
+    root_resolved = root.resolve()
+    resolved = candidate.resolve()
+    if resolved != root_resolved and root_resolved not in resolved.parents:
+        raise TransportError(
+            f"Provider-supplied file name escapes the dataset root: {candidate}"
+        )
+    return candidate
 SOURCE_MANIFEST_FILE_NAME = "source_manifest.json"
 
 # Pinned provider coordinates (reference `public_dataset_downloads.py:56-100`).
@@ -271,13 +289,26 @@ def generate_labels_from_metadata_csv(
             if mapped is None:
                 dropped += 1
                 continue
-            normalized_name = file_name.replace("\\", "/").lstrip("./")
+            # removeprefix, not lstrip: lstrip("./") strips any leading RUN
+            # of '.'/'/' characters and would mangle dotfile-style names
+            # ("..segment.wav" -> "segment.wav").
+            normalized_name = file_name.replace("\\", "/").removeprefix("./")
             candidates = [root / normalized_name for root in roots]
-            basename = Path(normalized_name).name
-            if basename:
-                for root in roots:
-                    candidates.extend(sorted(root.rglob(basename)))
             selected = next((c for c in candidates if c.is_file()), None)
+            if selected is None:
+                # Recursive search only on a direct miss — rglob per row is a
+                # full tree walk and the direct path usually hits.
+                basename = Path(normalized_name).name
+                if basename:
+                    selected = next(
+                        (
+                            c
+                            for root in roots
+                            for c in sorted(root.rglob(basename))
+                            if c.is_file()
+                        ),
+                        None,
+                    )
             if selected is None:
                 dropped += 1
                 continue
@@ -375,7 +406,9 @@ def download_openslr_archives(
             artifacts = [
                 resolution.MirroredArtifact(file_name=Path(url).name, urls=(url,)) for url in urls
             ]
-        except (TransportError, SyntaxError) as err:
+        except (TransportError, SyntaxError, ValueError) as err:
+            # ValueError: ast.literal_eval on a _RESOURCES dict that is no
+            # longer a pure literal — fall through to the listing-HTML rung.
             logger.warning("OpenSLR HF-script resolution failed for SLR%s: %s", dataset_id, err)
     if not artifacts:
         listing = listing_url or f"{canonical_base}/{dataset_id}/"
@@ -430,7 +463,9 @@ def download_mendeley_dataset_tree(
         relative = Path(".") if folder_id == "root" else folder_paths[folder_id]
         for meta in resolution.select_mendeley_files(files_payload):
             transport.download_file(
-                meta.url, destination_root / relative / meta.key, expected_size=meta.size
+                meta.url,
+                _contained_destination(destination_root, relative, meta.key),
+                expected_size=meta.size,
             )
             downloaded += 1
     return downloaded
@@ -511,6 +546,14 @@ def download_jl_corpus_via_hf_rows(
             )
             safe_name = Path(file_name_raw.replace("\\", "/")).name or f"row_{index}.wav"
             destination = audio_root / safe_name
+            if _relative_to_root(dataset_root, destination) in labels_by_file:
+                # Duplicate basename across rows: without a unique name the
+                # second row's download short-circuits on the existing file
+                # while its label OVERWRITES the first row's — a silent
+                # mislabel pairing row A's audio with row B's emotion.
+                stem, suffix = Path(safe_name).stem, Path(safe_name).suffix
+                safe_name = f"{stem}_row{index}{suffix}"
+                destination = audio_root / safe_name
             transport.download_file(src, destination)
             label = _token_resolver(Path(safe_name))
             if label is None:
@@ -942,7 +985,9 @@ def prepare_pavoque(
     archive_paths: list[Path] = []
     for asset in assets:
         path = transport.download_file(
-            asset.url, downloads_dir / asset.key, expected_size=asset.size
+            asset.url,
+            _contained_destination(downloads_dir, asset.key),
+            expected_size=asset.size,
         )
         archive_paths.append(path)
         if path.suffix.lower() in (".zip", ".gz", ".tgz", ".bz2", ".xz", ".tar"):
@@ -1173,13 +1218,26 @@ def acquire_dataset(
             f"{', '.join(sorted(AUTO_PREPARERS))}."
         )
     try:
-        return preparer(dataset_root, transport=transport, **overrides)
+        artifacts = preparer(dataset_root, transport=transport, **overrides)
     except TransportError as err:
         raise DatasetDownloadUnavailableError(
             f"Acquiring {dataset_id!r} failed over the network ({err}). Fetch the "
             "data on a connected machine and stage it at "
             f"{dataset_root}, then re-run with skip_download=True."
         ) from err
+    # Completion marker: a sentinel-less non-empty root is otherwise treated
+    # as an interrupted extraction by materialize_dataset (rmtree'd when an
+    # archive is offered) and as already-acquired by prepare_dataset (the
+    # failed-acquisition mkdir residue would permanently disable retry).
+    from ser_tpu._internal.data.downloads import MATERIALIZED_SENTINEL
+
+    try:
+        (dataset_root / MATERIALIZED_SENTINEL).write_text(
+            f"{dataset_id}\n", encoding="utf-8"
+        )
+    except OSError:  # the marker is an optimization, not a correctness gate
+        logger.warning("Could not write completion marker under %s", dataset_root)
+    return artifacts
 
 
 __all__ = [

@@ -92,7 +92,12 @@ def request_json(
         )
         with request.urlopen(req, timeout=timeout_seconds) as response:  # noqa: S310
             payload = response.read()
-        return json.loads(payload.decode("utf-8"))
+        try:
+            return json.loads(payload.decode("utf-8"))
+        except (UnicodeDecodeError, json.JSONDecodeError) as err:
+            # An HTML maintenance page behind HTTP 200 must surface as the
+            # typed transport failure (and be retried), not escape raw.
+            raise TransportError(f"{url}: response body is not JSON ({err}).") from err
 
     return run_with_retries(description=f"GET {url}", action=_action, retries=retries)
 
@@ -172,6 +177,11 @@ def download_file(
             destination.unlink()
         elif size > 0:
             return destination
+        # Falling through means re-fetch (zero-byte file, or integrity
+        # mismatch already unlinked). A still-existing destination would hit
+        # fetch_url's destination-exists short-circuit and be returned
+        # untouched — a 0-byte error-page download would then be permanent.
+        destination.unlink(missing_ok=True)
     ensure_disk_space(destination, expected_size)
 
     run_with_retries(

@@ -389,3 +389,84 @@ class TestDispatch:
         )
         assert result.utterance_count == 1
         assert Path(result.manifest_path).is_file()
+
+
+class TestAcquisitionRetryAndSentinel:
+    def test_acquire_writes_completion_marker(self, tmp_path):
+        from ser_tpu._internal.data.downloads import MATERIALIZED_SENTINEL
+
+        archive = _zip_bytes({"Actor_01/03-01-05-01-01-01-01.wav": RIFF})
+        api_base = _stage_zenodo_record(
+            tmp_path, "1188976", {"Audio_Speech_Actors_01-24.zip": archive}
+        )
+        root = tmp_path / "ravdess"
+        prep.acquire_dataset("ravdess", root, zenodo_api_base=api_base)
+        # Without the marker, materialize_dataset treats an acquired tree as
+        # an interrupted extraction (rmtree) and prepare_dataset as already
+        # acquired (no retry) — both wrong.
+        assert (root / MATERIALIZED_SENTINEL).read_text().strip() == "ravdess"
+
+    def test_failed_acquisition_leaves_retryable_root(self, tmp_path):
+        """A preparer mkdirs the root before its first network call; the
+        empty residue of a failed attempt must not disable retry."""
+        from ser_tpu._internal.data.downloads import DatasetDownloadUnavailableError
+
+        def dead_request_json(_url, **_kwargs):
+            raise TransportError("network down")
+
+        dead = ProviderTransport(request_json=dead_request_json)
+        root = tmp_path / "ravdess"
+        with pytest.raises(DatasetDownloadUnavailableError):
+            prep.acquire_dataset("ravdess", root, transport=dead)
+        # The gate prepare_dataset uses: an empty root counts as unacquired.
+        assert not root.exists() or not any(root.iterdir())
+
+    def test_jl_duplicate_basenames_do_not_mislabel(self, tmp_path):
+        """Two HF rows exposing the same file name must yield two labeled
+        files, not one file with the second row's label."""
+        import json as _json
+
+        audio_src = tmp_path / "audio1.bin"
+        audio_src.write_bytes(RIFF)
+        audio_src2 = tmp_path / "audio2.bin"
+        audio_src2.write_bytes(RIFF + b"x")
+        rows = {
+            "rows": [
+                {
+                    "row_idx": 0,
+                    "row": {
+                        "file_name": "male1_angry_1a_1.wav",
+                        "audio": [{"src": audio_src.as_uri()}],
+                    },
+                },
+                {
+                    "row_idx": 1,
+                    "row": {
+                        "file_name": "male1_angry_1a_1.wav",
+                        "audio": [{"src": audio_src2.as_uri()}],
+                    },
+                },
+            ],
+            "num_rows_total": 2,
+        }
+        payload_path = tmp_path / "rows.json"
+        payload_path.write_text(_json.dumps(rows), encoding="utf-8")
+        seen = {"n": 0}
+
+        def rows_json(_url, **_kwargs):
+            if seen["n"]:
+                return {"rows": [], "num_rows_total": 2}
+            seen["n"] += 1
+            return rows
+
+        transport = ProviderTransport(request_json=rows_json)
+        labels_csv = tmp_path / "labels.csv"
+        stats = prep.download_jl_corpus_via_hf_rows(
+            dataset_root=tmp_path,
+            labels_csv_path=labels_csv,
+            transport=transport,
+        )
+        assert stats.labels_written == 2
+        audio_root = tmp_path / "raw" / "jl-corpus"
+        labeled_files = sorted(p.name for p in audio_root.iterdir())
+        assert len(labeled_files) == 2

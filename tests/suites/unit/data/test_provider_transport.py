@@ -112,3 +112,38 @@ class TestDownloadFile:
             expected_md5=transport.compute_file_md5(source),
         )
         assert got.read_bytes() == b"fresh-content"
+
+
+class TestReviewRegressions:
+    def test_zero_byte_destination_is_refetched(self, tmp_path):
+        """A 0-byte file (error-page download) must not be returned as the
+        corpus artifact forever: download_file re-fetches it even without an
+        expected size/md5 (fetch_url's exists-short-circuit would otherwise
+        keep it)."""
+        source = tmp_path / "src.bin"
+        source.write_bytes(b"real-bytes")
+        destination = tmp_path / "dst.bin"
+        destination.write_bytes(b"")
+        got = transport.download_file(source.as_uri(), destination)
+        assert got.read_bytes() == b"real-bytes"
+
+    def test_request_json_non_json_body_is_typed(self, tmp_path):
+        page = tmp_path / "maintenance.html"
+        page.write_text("<html>down for maintenance</html>", encoding="utf-8")
+        with pytest.raises(transport.TransportError, match="not JSON"):
+            transport.request_json(page.as_uri())
+
+
+class TestContainedDestination:
+    def test_traversal_escape_is_refused(self, tmp_path):
+        from ser_tpu._internal.data.provider_prepare import _contained_destination
+
+        root = tmp_path / "dataset"
+        root.mkdir()
+        with pytest.raises(transport.TransportError, match="escapes"):
+            _contained_destination(root, "../../outside.bin")
+        with pytest.raises(transport.TransportError, match="escapes"):
+            _contained_destination(root, "nested", "../../../outside.bin")
+        # Honest relative names stay inside.
+        ok = _contained_destination(root, "nested", "file.wav")
+        assert ok == root / "nested" / "file.wav"
