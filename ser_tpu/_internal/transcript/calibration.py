@@ -250,15 +250,28 @@ def profile_candidate_matrix(
 ) -> CandidateMatrixEntry:
     """Per-sample WER + the full latency percentile matrix for one candidate.
 
-    The warmup call (weight load + XLA compile, untimed) propagates its
-    failure: a backend that cannot even load is a setup error the caller must
-    surface, not a sample statistic. AFTER a successful warmup, per-sample
-    failures are counted, not fatal: one corrupt clip must not void an
-    otherwise-informative calibration run.
+    The warmup call (weight load + XLA compile, untimed) records its failure
+    as the candidate's error entry rather than crashing the whole run — a
+    corrupt FIRST clip or an unloadable backend both surface in the report,
+    and other candidates still profile. AFTER a successful warmup,
+    per-sample failures are counted, not fatal: one corrupt clip must not
+    void an otherwise-informative calibration run.
     """
     if not samples:
         raise ValueError("Need at least one labeled sample to profile.")
-    transcribe(samples[0][0])  # warmup — setup failures propagate
+    try:
+        transcribe(samples[0][0])  # warmup (weight load + compile, untimed)
+    except Exception as err:  # noqa: BLE001 - reported, not fatal to the run
+        return CandidateMatrixEntry(
+            backend_id=backend_id,
+            model_name=model_name,
+            mean_wer=1.0,
+            latency=latency_percentiles([]),
+            evaluated_samples=0,
+            failed_samples=len(samples),
+            error_message=f"warmup: {type(err).__name__}: {err}",
+            coverage=summarize_subset_coverage([Path(path) for path, _ in samples]),
+        )
     wers: list[float] = []
     latencies: list[float] = []
     failed = 0
@@ -363,7 +376,11 @@ def recommend_default_candidate(
         )
     selected, selected_speedup = baseline, 1.0
     for entry in entries[1:]:
-        if entry.error_message is not None or entry.evaluated_samples == 0:
+        if entry.error_message is not None:
+            continue
+        # The sample-size floor applies to CANDIDATES too: a 1-evaluated-
+        # sample fluke (11 of 12 clips failed) must not flip the default.
+        if entry.evaluated_samples < minimum_required_samples:
             continue
         if entry.mean_accuracy < gate.minimum_mean_accuracy:
             continue
@@ -372,7 +389,10 @@ def recommend_default_candidate(
         speedup = baseline.latency.mean / entry.latency.mean
         if speedup >= minimum_speedup_ratio and speedup > selected_speedup:
             selected, selected_speedup = entry, speedup
-    if selected.model_name == baseline.model_name:
+    # Object identity, not model_name: candidates are keyed by
+    # (backend_id, model_name), so a same-model win on a different backend
+    # is still a change.
+    if selected is baseline:
         return DefaultRecommendation(
             baseline_name=baseline.model_name,
             recommended_name=baseline.model_name,
@@ -461,7 +481,12 @@ def run_runtime_calibration_probes(
         except Exception as err:  # noqa: BLE001 - probe outcome accounting
             failed += 1
             errors.append(str(err))
-            if device_before == "tpu" and is_hard_tpu_oom(err):
+            # A hard OOM counts whether it struck mid-transcribe (device
+            # known to be "tpu") OR while load_model() was still placing
+            # weights (model is None and device_before is the "cpu"
+            # initializer) — weight placement is precisely where a too-big
+            # model OOMs.
+            if is_hard_tpu_oom(err) and (device_before == "tpu" or model is None):
                 hard_oom += 1
         else:
             device_after = device_of(model) if model is not None else device_before
@@ -551,6 +576,8 @@ def build_calibration_report(
     """
     from ser_tpu._internal.transcript.profiling import recommend_default
 
+    if not entries:
+        raise ValueError("No candidates to build a calibration report from.")
     gate = derive_accuracy_gate(
         entries[0],
         absolute_accuracy_floor=absolute_accuracy_floor,

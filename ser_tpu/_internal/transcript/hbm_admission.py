@@ -43,8 +43,16 @@ class AdmissionDecision:
 
 
 def estimate_model_footprint_mb(model_name: str) -> float:
-    """Estimated HBM footprint in MB for one transcription model."""
-    params_m = _MODEL_PARAMS_M.get(model_name.lower(), 1550.0)
+    """Estimated HBM footprint in MB for one transcription model.
+
+    English-only variants ("small.en") and org-prefixed ids
+    ("openai/whisper-small") normalize to their base size; a truly unknown
+    name falls back to the large estimate (conservative: deny before OOM).
+    """
+    name = model_name.lower().strip()
+    name = name.rsplit("/", 1)[-1].removeprefix("whisper-")
+    name = name.removesuffix(".en")
+    params_m = _MODEL_PARAMS_M.get(name, 1550.0)
     # bf16 weights + ~1.5x activations/workspace during decode.
     return params_m * 2.0 * 2.5
 

@@ -16,15 +16,9 @@ from __future__ import annotations
 
 import numpy as np
 
+from ser_tpu._internal.utils.source_separation import _istft, _stft
+
 _EPS = 1e-10
-
-
-def _stft_frames(audio: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
-    pad = n_fft // 2
-    padded = np.pad(audio, (pad, pad), mode="reflect")
-    n_frames = 1 + (padded.size - n_fft) // hop
-    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
-    return padded[idx]
 
 
 def spectral_gate_denoise(
@@ -51,33 +45,27 @@ def spectral_gate_denoise(
     audio = np.asarray(audio, dtype=np.float32)
     if audio.size < n_fft * 2:
         return audio
-    window = np.hanning(n_fft).astype(np.float32)
-    frames = _stft_frames(audio, n_fft, hop) * window[None, :]
-    spectrum = np.fft.rfft(frames, n=n_fft, axis=-1)
+    # Shared STFT/WOLA core (source_separation._stft/_istft): one framing
+    # convention — periodic hann, reflect pad, win²-normalized overlap-add —
+    # for both denoise stages of the transcription audio path.
+    spectrum = _stft(audio, n_fft, hop)
     magnitude = np.abs(spectrum)
 
     frame_energy = magnitude.sum(axis=1)
-    n_noise = max(2, int(frames.shape[0] * noise_quantile))
+    n_noise = max(2, int(spectrum.shape[0] * noise_quantile))
     quiet = np.argsort(frame_energy)[:n_noise]
     noise_floor_db = 20.0 * np.log10(magnitude[quiet].mean(axis=0) + _EPS)
 
     cell_db = 20.0 * np.log10(magnitude + _EPS)
     above = cell_db - (noise_floor_db[None, :] + threshold_db)
-    gain = 1.0 / (1.0 + np.exp(-above / max(transition_db / 4.0, 1e-3)))
+    # Clip the sigmoid argument: digitally-silent cells sit ~140 dB below
+    # the floor, and exp(97) overflows float32 with a RuntimeWarning per
+    # file (the gain saturates identically either way).
+    z = np.clip(-above / max(transition_db / 4.0, 1e-3), -60.0, 60.0)
+    gain = 1.0 / (1.0 + np.exp(z))
     gain = max_attenuation + (1.0 - max_attenuation) * gain
     gated = spectrum * gain
-
-    synth = np.fft.irfft(gated, n=n_fft, axis=-1) * window[None, :]
-    out = np.zeros(audio.size + n_fft, dtype=np.float64)
-    norm = np.zeros_like(out)
-    win_sq = (window * window).astype(np.float64)
-    for offset in range(synth.shape[0]):
-        start = offset * hop
-        out[start : start + n_fft] += synth[offset]
-        norm[start : start + n_fft] += win_sq
-    pad = n_fft // 2
-    out = out[pad : pad + audio.size] / np.maximum(norm[pad : pad + audio.size], _EPS)
-    return out.astype(np.float32)
+    return _istft(gated, n_fft, hop, audio.size).astype(np.float32)
 
 
 __all__ = ["spectral_gate_denoise"]

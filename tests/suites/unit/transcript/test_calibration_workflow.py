@@ -140,17 +140,23 @@ class TestCandidateMatrix:
         assert entry.mean_wer == 1.0
         assert "device gone" in entry.error_message
 
-    def test_warmup_setup_failure_propagates(self):
+    def test_warmup_setup_failure_is_recorded_not_fatal(self):
+        # A backend that cannot even warm up (or a corrupt FIRST clip) must
+        # surface in the report as the candidate's error entry — other
+        # candidates in the same run still profile.
         def transcribe(_path):
             raise RuntimeError("Whisper assets missing")
 
-        with pytest.raises(RuntimeError, match="assets missing"):
-            cal.profile_candidate_matrix(
-                transcribe,
-                [("a.wav", "kids are talking by the door")],
-                backend_id="jax_whisper",
-                model_name="tiny",
-            )
+        entry = cal.profile_candidate_matrix(
+            transcribe,
+            [("a.wav", "kids are talking by the door")],
+            backend_id="jax_whisper",
+            model_name="tiny",
+        )
+        assert entry.evaluated_samples == 0
+        assert entry.failed_samples == 1
+        assert "warmup" in entry.error_message
+        assert "assets missing" in entry.error_message
 
 
 def _entry(name: str, wer: float, mean_latency: float, samples: int = 5, error=None):
