@@ -478,6 +478,14 @@ def _run_transcription_calibration(settings) -> int:
         except TranscriptionUnavailableError as err:
             logger.error("%s", err)
             return EXIT_VALIDATION
+    if all(entry.evaluated_samples == 0 for entry in candidates):
+        # Per-candidate failures are recorded, not fatal — but a run where
+        # NO candidate transcribed anything (no staged Whisper assets, every
+        # warmup failed) must not persist a recommendation built from
+        # placeholder WERs.
+        detail = candidates[0].error_message or "no samples evaluated"
+        logger.error("Calibration evaluated zero samples (%s).", detail)
+        return EXIT_VALIDATION
     report = build_calibration_report(candidates)
     from ser_tpu._internal.transcript.profiling import default_calibration_report_path
 

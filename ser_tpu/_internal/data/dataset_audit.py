@@ -73,6 +73,11 @@ class DatasetAuditReport:
     manifest_digest: str
     ledger_digest: str
     seed: int
+    #: Producer-dependent histogram: :func:`build_split_ledger` fills split
+    #: counts ({"train": N, ...}); :func:`audit_dataset_recipe` fills route
+    #: DISPOSITION counts ({"accepted": N, "dropped": N, ...}). Consumers of
+    #: a persisted report must key on the producing command, not assume one
+    #: vocabulary.
     counters: dict[str, int]
     ledger: tuple[SplitLedgerEntry, ...]
     recipe_id: str | None = None
@@ -280,16 +285,24 @@ def build_split_ledger(
     _validate_partition_isolation(entries)
 
     if strict:
+        # Label-free rows (schema-v2 VAD-only) are out of scope for class
+        # coverage: a None in either set would crash the join below, and a
+        # {None, 'happy'} train set would falsely pass the two-class gate.
         by_id = {u.sample_id: u for u in utterances}
         train_labels = {
-            by_id[e.sample_id].label for e in entries if e.split == "train"
+            label
+            for e in entries
+            if e.split == "train" and (label := by_id[e.sample_id].label) is not None
         }
         if len(train_labels) < 2:
             raise DatasetAuditError(
                 "Training partition must contain at least two populated classes."
             )
         eval_labels = {
-            by_id[e.sample_id].label for e in entries if e.split in ("dev", "test")
+            label
+            for e in entries
+            if e.split in ("dev", "test")
+            and (label := by_id[e.sample_id].label) is not None
         }
         missing = eval_labels - train_labels
         if missing:
@@ -379,8 +392,14 @@ def audit_dataset_recipe(
             if route.disposition not in _INELIGIBLE
             and route.utterance.sample_id not in duplicate_ids
         ]
+        # Membership in _VALID_NATIVE, not mere presence: a corpus declaring
+        # native_split="validation" would otherwise be deemed official, its
+        # rows ledgered outside the train/dev/test vocabulary — bypassing
+        # the leakage gate and silently dropped by apply_recipe_ledger. The
+        # reference accepts any non-None value here (a latent bug on its
+        # side); build_split_ledger already hardened the sibling check.
         official = bool(eligible) and all(
-            (route.utterance.native_split or route.utterance.split) is not None
+            (route.utterance.native_split or route.utterance.split) in _VALID_NATIVE
             for route in eligible
         )
         group_ids = {

@@ -483,7 +483,14 @@ def audit_recipe(
     primary_counts = Counter(
         r.utterance.label for r in routed if "primary_emotion" in r.tasks
     )
-    for label in sorted(CANONICAL_EMOTIONS):
+    # The floor applies to the labels this recipe actually ROUTES, not all
+    # eight canonical emotions: a narrower custom recipe (4-class) would
+    # otherwise carry permanent blocking findings for classes it never
+    # targets. A recipe with no declared exact labels keeps the full set.
+    routable = frozenset().union(
+        *(policy.exact_primary_labels for policy in recipe.corpora)
+    ) or CANONICAL_EMOTIONS
+    for label in sorted(routable):
         if primary_counts.get(label, 0) < min_clips_per_class:
             issues.append(
                 RecipeAuditIssue(

@@ -1291,7 +1291,20 @@ def _recipe_findings(settings: AppConfig) -> list[ReadinessFinding]:
                 str(err),
             )
         ]
-    utterances = loader.load_utterances(settings=settings)
+    try:
+        utterances = loader.load_utterances(settings=settings)
+    except (OSError, RuntimeError, ValueError) as err:
+        # Manifest defects (cross-manifest duplicate sample_ids, unreadable
+        # files) are FINDINGS — readiness's contract is that every defect
+        # surfaces as one, never as a traceback out of --dry-run.
+        return [
+            ReadinessFinding(
+                FindingScope.CONFIG,
+                FindingSeverity.BLOCKING,
+                "recipe_manifest_invalid",
+                f"Recipe configured but manifests failed to load: {err}",
+            )
+        ]
     if not utterances:
         return [
             ReadinessFinding(
@@ -1453,6 +1466,27 @@ def _plan_split_salt(settings: AppConfig) -> str:
     from ser_tpu._internal.models.dataset_splitting import split_salt
 
     return split_salt(settings)
+
+
+def current_split_digest(settings: AppConfig, profile: ProfileName) -> str:
+    """Recomputes :func:`split_digest` from the CURRENT dataset, cheaply.
+
+    Plan-load validation needs split membership without re-running full
+    readiness (media probes, backend smoke): discovery + attribution minus
+    the profile's quarantine-ledger exclusions reproduces the usable set —
+    media probing is content-deterministic and its exclusion set is pinned
+    separately by :func:`quarantine_ledger_digest`. Reference:
+    ``validate_operation_plan`` recomputes ``_current_split_digest``
+    (``training_orchestration.py:212-231``) the same way.
+    """
+    files = loader.discover_dataset_files(settings)
+    records = _file_records(files, settings)
+    ledger_path = settings.tmp_folder / "quarantine" / f"{profile}.jsonl"
+    excluded = {row.get("file", "") for row in _read_ledger_rows(ledger_path)}
+    usable = tuple(r for r in records if r.path not in excluded)
+    return split_digest(
+        ReadinessReport(profile, (), (), (), usable_records=usable), settings
+    )
 
 
 def split_digest(report: ReadinessReport, settings: AppConfig) -> str:
@@ -1643,8 +1677,11 @@ class PreparedPlanError(ValueError):
 
 def load_prepared_plan(
     plan_path: Path, *, settings: AppConfig, profile: ProfileName
-) -> tuple[np.ndarray, list[str]]:
-    """Validates a prepared plan's digests and returns (features, labels).
+) -> tuple[np.ndarray, list[str], list[str] | None]:
+    """Validates a prepared plan's digests; returns (features, labels, groups).
+
+    ``groups`` carries per-row speaker/clip ids when the plan's payload has
+    them (group-disjoint resume splits), else None.
 
     Every defect in the plan file or its payload raises
     :class:`PreparedPlanError` (the CLI's documented exit-code-2 surface) —
@@ -1676,21 +1713,49 @@ def load_prepared_plan(
     # a salt change reshuffles split membership and must invalidate the plan
     # (reference training_orchestration.py:212-231 recomputes the split
     # digest; the salt is its only input not already pinned here).
-    if "split_salt" in plan and plan["split_salt"] != _plan_split_salt(settings):
+    if plan.get("split_salt") != _plan_split_salt(settings):
+        # Unconditional like the recipe pin below: a plan WITHOUT the field
+        # is equally unverifiable.
         raise PreparedPlanError(
             "Prepared plan split salt mismatch: SER_SPLIT_SALT changed since "
-            "preparation. Re-run --prepare-only."
+            "preparation (or the plan predates salt pinning). Re-run "
+            "--prepare-only."
         )
     # Recipe CONTENT pin (reference validate_prepared_plan recomputes
     # _recipe_digest, training_orchestration.py:1367): an edited recipe file
     # changes routing/splits without touching any settings value. A plan
     # WITHOUT the field (pre-pin writer, or hand-stripped) is equally
-    # unverifiable — the reference always compares, never skips.
-    if plan.get("recipe_digest") != recipe_content_digest(settings):
+    # unverifiable — the reference always compares, never skips. An
+    # unreadable recipe file is a plan-validation defect, not a traceback
+    # (the CLI's contract is PreparedPlanError -> exit 2).
+    try:
+        current_recipe_digest = recipe_content_digest(settings)
+    except OSError as err:
+        raise PreparedPlanError(
+            f"Prepared plan recipe digest could not be recomputed: {err}. "
+            "Re-run --prepare-only."
+        ) from err
+    if plan.get("recipe_digest") != current_recipe_digest:
         raise PreparedPlanError(
             "Prepared plan recipe digest mismatch: the dataset recipe changed "
             "since preparation (or the plan predates recipe pinning). "
             "Re-run --prepare-only."
+        )
+    # Split MEMBERSHIP pin (split_digest's own contract; the reference's
+    # validate_operation_plan recomputes it): files added to or removed from
+    # the dataset reshuffle the deterministic split even though no settings
+    # value changes. Recomputed from a light discovery+attribution scan.
+    try:
+        expected_split = current_split_digest(settings, profile)
+    except (OSError, RuntimeError, ValueError) as err:
+        raise PreparedPlanError(
+            f"Prepared plan split digest could not be recomputed: {err}. "
+            "Re-run --prepare-only."
+        ) from err
+    if plan.get("split_digest") != expected_split:
+        raise PreparedPlanError(
+            "Prepared plan split digest mismatch: dataset membership changed "
+            "since preparation. Re-run --prepare-only."
         )
     expected_backend = _backend_fingerprint(settings, profile)
     if plan.get("backend") != expected_backend:

@@ -188,3 +188,37 @@ class TestValidation:
         ]
         report2 = build_split_ledger(two, strict=False)
         assert {e.split for e in report2.ledger} == {"train", "test"}
+
+
+class TestLabelFreeRows:
+    def test_strict_class_checks_skip_none_labels(self):
+        """Schema-v2 label-free rows (VAD-only) must neither crash the
+        eval-coverage join (None unsortable) nor count as a populated class
+        in the two-class gate."""
+        rows = _balanced_corpus()
+        # Label-free rows spread across speakers, some landing in dev/test.
+        rows.extend(
+            _utterance(900 + k, speaker=f"spk{k}", label=None) for k in range(6)
+        )
+        report = build_split_ledger(rows, strict=True)
+        assert len(report.ledger) == len(rows)
+
+    def test_single_real_class_with_none_still_fails(self):
+        import pytest as _pytest
+
+        from ser_tpu._internal.data.dataset_audit import DatasetAuditError
+
+        rows = []
+        for speaker in range(10):
+            for clip in range(4):
+                rows.append(
+                    _utterance(
+                        speaker * 4 + clip, speaker=f"spk{speaker}", label="happy"
+                    )
+                )
+        rows.extend(
+            _utterance(800 + k, speaker=f"spk{k}", label=None) for k in range(4)
+        )
+        # {None, 'happy'} must NOT pass as two populated classes.
+        with _pytest.raises(DatasetAuditError, match="two populated classes"):
+            build_split_ledger(rows, strict=True)

@@ -436,6 +436,26 @@ def test_prepared_plan_rejects_recipe_change(tmp_path):
         tr.load_prepared_plan(plan_path, settings=settings, profile="fast")
 
 
+def test_prepared_plan_rejects_membership_change(tmp_path):
+    """Adding a file after --prepare-only reshuffles the deterministic split;
+    the plan's split_digest must invalidate the resume (reference
+    validate_operation_plan recomputes _current_split_digest)."""
+    ds = _make_corpus(tmp_path)
+    settings = _settings(tmp_path)
+    report = tr.run_training_readiness(settings=settings, profile="fast")
+    plan_path = tr.write_prepared_plan(
+        settings=settings, profile="fast", report=report, plan_dir=tmp_path / "plan"
+    )
+    tr.load_prepared_plan(plan_path, settings=settings, profile="fast")
+    # New clip appears after preparation: membership changed.
+    import shutil
+
+    source = next((ds / "Actor_01").glob("*.wav"))
+    shutil.copy(source, ds / "Actor_01" / "03-01-06-01-01-01-01.wav")
+    with pytest.raises(tr.PreparedPlanError, match="split digest"):
+        tr.load_prepared_plan(plan_path, settings=settings, profile="fast")
+
+
 def test_split_digest_tracks_membership(tmp_path):
     _make_corpus(tmp_path)
     settings = _settings(tmp_path)
