@@ -47,12 +47,25 @@ def resolve_local_model_dir(cache_root: Path, model_id: str) -> Path | None:
     def has_weights(path: Path) -> bool:
         return (path / "config.json").exists() or (path / "model.pt").exists()
 
+    def snapshot_order(snapshots: Path) -> list[Path]:
+        # Prefer the hash refs/main points at (the HF cache's notion of the
+        # current revision); otherwise newest mtime. Lexicographic hash
+        # order is unrelated to recency and can pick a superseded snapshot.
+        ref = snapshots.parent / "refs" / "main"
+        if ref.is_file():
+            pointed = snapshots / ref.read_text(encoding="utf-8").strip()
+            if pointed.is_dir():
+                return [pointed]
+        return sorted(
+            snapshots.iterdir(), key=lambda p: p.stat().st_mtime, reverse=True
+        )
+
     for candidate in candidates:
         if has_weights(candidate):
             return candidate
         snapshots = candidate / "snapshots"
         if snapshots.is_dir():
-            for snap in sorted(snapshots.iterdir(), reverse=True):
+            for snap in snapshot_order(snapshots):
                 if has_weights(snap):
                     return snap
     return None
@@ -117,6 +130,16 @@ def shard_chunk_batch(batch: np.ndarray, lengths: np.ndarray):
     return batch, lengths, true_rows
 
 
+def _valid_frames_finite(embeddings, lengths, frames_for_length) -> bool:
+    """Finiteness over VALID frames only: padded frame positions are
+    contractually arbitrary (a masked softmax row may be NaN) and must not
+    trigger the float32 retry or fail the batch."""
+    return all(
+        bool(np.all(np.isfinite(embeddings[row, : max(1, frames_for_length(int(n)))])))
+        for row, n in enumerate(lengths)
+    )
+
+
 def chunked_encode(
     audio: np.ndarray,
     sample_rate: int,
@@ -159,14 +182,14 @@ def chunked_encode(
 
     sharded_batch, sharded_lengths, true_rows = shard_chunk_batch(batch, lengths)
     embeddings_batch = np.asarray(encode_batch(sharded_batch, sharded_lengths))[:true_rows]
-    if not np.all(np.isfinite(embeddings_batch)):
+    if not _valid_frames_finite(embeddings_batch, lengths, frames_for_length):
         # Reference behavior: retry in float32 after a non-finite result.
         logger.warning("Non-finite embeddings from %s; retrying in float32.", backend_id)
         retry_encode = (
             float32_encode_batch() if float32_encode_batch is not None else encode_batch
         )
         embeddings_batch = np.asarray(retry_encode(batch, lengths))
-        if not np.all(np.isfinite(embeddings_batch)):
+        if not _valid_frames_finite(embeddings_batch, lengths, frames_for_length):
             raise ValueError(f"Backend {backend_id} produced non-finite embeddings.")
 
     all_embeddings, starts_s, ends_s = [], [], []
@@ -197,16 +220,23 @@ def chunked_encode_many(
     backend_id: str,
     max_batch_chunks: int = 32,
     attention_score_budget: float = 5e7,
+    float32_encode_batch: Callable[[], Callable[[np.ndarray, np.ndarray], np.ndarray]]
+    | None = None,
 ) -> list[EncodedSequence]:
     """Encodes MANY clips with chunks pooled into large cross-clip batches.
 
     The training-path replacement for per-utterance sequential encoding
     (reference ``medium_feature_dataset.py:48-113`` iterates per utterance):
-    all clips' 30 s chunks are flattened, grouped into one bucket shape, and
-    fed through the encoder in ``max_batch_chunks``-sized device batches, then
-    scattered back into per-clip ``EncodedSequence``s.
+    all clips' chunks are flattened, grouped BY LENGTH BUCKET (padding every
+    1 s chunk to a 30 s outlier's bucket would blow attention cost ~900x and
+    shrink the batch cap by the same factor), and fed through the encoder in
+    fixed-shape device batches — rows padded up to each bucket's cap so the
+    number of compiled shapes is bounded by the bucket count, not by the
+    mix of clip lengths. Per-bucket non-finite results retry through
+    ``float32_encode_batch`` (reference hf_xlsr.py:262-300), matching
+    :func:`chunked_encode`.
     """
-    # Flatten chunk work items: (clip_index, start_sample, length, audio16k ref)
+    # Flatten chunk work items: (clip_index, start_sample, length)
     resampled: list[np.ndarray] = []
     work: list[tuple[int, int, int]] = []
     for clip_index, (audio, sr) in enumerate(clips):
@@ -216,29 +246,67 @@ def chunked_encode_many(
             np.asarray(audio, dtype=np.float32), sr, ENCODER_SAMPLE_RATE
         )
         resampled.append(audio16k)
-        for start, length in plan_chunks(audio16k.size):
-            if frames_for_length(length) > 0:
-                work.append((clip_index, start, length))
+        clip_work = [
+            (clip_index, start, length)
+            for start, length in plan_chunks(audio16k.size)
+            if frames_for_length(length) > 0
+        ]
+        if not clip_work:
+            raise ValueError(
+                f"Clip {clip_index} ({audio16k.size} samples) is shorter than "
+                f"the {backend_id} encoder receptive field."
+            )
+        work.extend(clip_work)
 
-    if not work:
-        raise ValueError("Every clip is shorter than the encoder receptive field.")
-    bucket = max(bucket_samples(length) for _, _, length in work)
-    # Bound B so B * F^2 attention scores stay within budget (tiny test
-    # configs have very short conv strides → huge frame counts per chunk).
-    frames_per_chunk = max(1, frames_for_length(bucket))
-    batch_cap = max(1, min(max_batch_chunks, int(attention_score_budget // (frames_per_chunk**2))))
+    # Group by bucket shape; encode each group in row-padded batches.
+    by_bucket: dict[int, list[int]] = {}
+    for item_index, (_, _, length) in enumerate(work):
+        by_bucket.setdefault(bucket_samples(length), []).append(item_index)
+
     chunk_embeddings: dict[int, np.ndarray] = {}
-    for batch_start in range(0, len(work), batch_cap):
-        batch_work = work[batch_start : batch_start + batch_cap]
-        batch = np.zeros((len(batch_work), bucket), dtype=np.float32)
-        lengths = np.zeros(len(batch_work), dtype=np.int32)
-        for row, (clip_index, start, length) in enumerate(batch_work):
-            batch[row, :length] = resampled[clip_index][start : start + length]
-            lengths[row] = length
-        sharded_batch, sharded_lengths, true_rows = shard_chunk_batch(batch, lengths)
-        out = np.asarray(encode_batch(sharded_batch, sharded_lengths))[:true_rows]
-        for row in range(len(batch_work)):
-            chunk_embeddings[batch_start + row] = out[row]
+    for bucket in sorted(by_bucket):
+        item_indices = by_bucket[bucket]
+        # Bound B so B * F^2 attention scores stay within budget (tiny test
+        # configs have very short conv strides → huge frame counts/chunk).
+        frames_per_chunk = max(1, frames_for_length(bucket))
+        batch_cap = max(
+            1,
+            min(max_batch_chunks, int(attention_score_budget // (frames_per_chunk**2))),
+        )
+        for batch_start in range(0, len(item_indices), batch_cap):
+            batch_items = item_indices[batch_start : batch_start + batch_cap]
+            # Fixed row count per (bucket, cap): pad with silent rows and
+            # slice the true ones — a remainder batch must not compile a
+            # fresh shape (minutes per shape over a remote-compile link).
+            batch = np.zeros((batch_cap, bucket), dtype=np.float32)
+            lengths = np.zeros(batch_cap, dtype=np.int32)
+            for row, item_index in enumerate(batch_items):
+                clip_index, start, length = work[item_index]
+                batch[row, :length] = resampled[clip_index][start : start + length]
+                lengths[row] = length
+            # Padding rows reuse the last real row's length so
+            # frames_for_length stays positive for every row.
+            lengths[len(batch_items) :] = lengths[max(0, len(batch_items) - 1)]
+            sharded_batch, sharded_lengths, true_rows = shard_chunk_batch(batch, lengths)
+            out = np.asarray(encode_batch(sharded_batch, sharded_lengths))[:true_rows]
+            real_lengths = lengths[: len(batch_items)]
+            if not _valid_frames_finite(out, real_lengths, frames_for_length):
+                logger.warning(
+                    "Non-finite embeddings from %s; retrying batch in float32.",
+                    backend_id,
+                )
+                retry_encode = (
+                    float32_encode_batch()
+                    if float32_encode_batch is not None
+                    else encode_batch
+                )
+                out = np.asarray(retry_encode(batch, lengths))
+                if not _valid_frames_finite(out, real_lengths, frames_for_length):
+                    raise ValueError(
+                        f"Backend {backend_id} produced non-finite embeddings."
+                    )
+            for row, item_index in enumerate(batch_items):
+                chunk_embeddings[item_index] = out[row]
 
     # Reassemble per clip with even per-chunk timestamp interpolation.
     sequences: list[EncodedSequence] = []

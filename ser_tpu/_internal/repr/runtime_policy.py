@@ -46,7 +46,15 @@ class ResolvedFeatureRuntime:
 
     @property
     def jax_device(self) -> jax.Device:
-        """First device of the resolved kind (mesh-level placement is separate)."""
+        """First device of the resolved kind (mesh-level placement is separate).
+
+        ``jax.devices()`` lists only the DEFAULT backend's devices, so a
+        "cpu" resolution on a TPU host must query the cpu backend explicitly
+        — the old filter-then-fallback silently returned the accelerator,
+        contradicting the resolution (and its float32 clamp).
+        """
+        if self.device_kind == "cpu":
+            return jax.devices("cpu")[0]
         devices = [d for d in jax.devices() if _kind(d) == self.device_kind]
         return devices[0] if devices else jax.devices()[0]
 
@@ -74,11 +82,9 @@ def resolve_feature_runtime(
     device_request = (override.device if override and override.device else runtime.device).lower()
     dtype_request = (override.dtype if override and override.dtype else runtime.dtype).lower()
 
-    if backend_id == "handcrafted" and device_request == "auto":
-        # The DSP program is small and latency-bound: batches of frames still
-        # run on the accelerator when one exists; "auto" keeps that behavior.
-        device_request = "auto"
-
+    # "auto" on the handcrafted backend deliberately stays "auto": the DSP
+    # program is small and latency-bound, but batches of frames still run on
+    # the accelerator when one exists.
     kinds = _available_kinds()
     if device_request in ("auto", ""):
         device_kind = "tpu" if "tpu" in kinds else "cpu"

@@ -167,6 +167,7 @@ class XlsrBackend:
             encode_batch=self._encode_batch,
             frames_for_length=self._frames_for_length,
             backend_id=self.backend_id,
+            float32_encode_batch=self._float32_encode_batch,
         )
 
     def pool(

@@ -16,7 +16,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ser_tpu._internal.config.bootstrap import reload_settings
-from ser_tpu._internal.config.schema import AppConfig, profile_artifact_file_names
+from ser_tpu._internal.config.schema import AppConfig
 from ser_tpu._internal.models import artifacts
 from ser_tpu._internal.models.emotion_model import load_model
 from ser_tpu._internal.runtime.postprocessing import build_segment_postprocessing_config
@@ -55,21 +55,30 @@ def infer_many(
     if profile == "fast":
         raise ValueError("Batch inference targets encoder profiles; use api.infer for fast.")
 
-    from ser_tpu._internal.repr.encoders import build_encoder_backend
+    # Same gates as the serving path (backend_hooks.build_backend_hooks):
+    # batch inference must not become a side door around profile enable
+    # flags or restricted-backend license consent.
+    from ser_tpu._internal.runtime import restricted_backends
+    from ser_tpu._internal.runtime.backend_hooks import (
+        _profile_enabled,
+        build_profile_spec,
+    )
+
+    if not _profile_enabled(profile, settings):
+        raise ValueError(
+            f"Profile {profile!r} is disabled (enable it via its runtime flag)."
+        )
+    if spec.backend_id in restricted_backends.RESTRICTED_BACKEND_POLICIES:
+        restricted_backends.ensure_backend_access(spec.backend_id, settings=settings)
+
+    from ser_tpu._internal.repr.encoders import build_encoder_backend, resolved_model_id
     from ser_tpu._internal.repr.encode_util import encode_clips
 
+    boundary_spec = build_profile_spec(profile, settings)
     backend = build_encoder_backend(profile, settings=settings)
-    names = profile_artifact_file_names(
-        profile=profile,
-        medium_model_id=settings.models.medium_model_id,
-        accurate_model_id=settings.models.accurate_model_id,
-        accurate_research_model_id=settings.models.accurate_research_model_id,
-    )
-    from ser_tpu._internal.repr.encoders import resolved_model_id
-
     loaded = artifacts.load_model_artifact(
-        settings.models.folder / names[0],
-        expected_backend_id=spec.backend_id,
+        settings.models.folder / boundary_spec.artifact_file_name,
+        expected_backend_id=boundary_spec.backend_id,
         expected_profile=profile,
         expected_model_id=resolved_model_id(profile, settings) or None,
     )
@@ -111,7 +120,7 @@ def infer_many(
             model=loaded.model,
             pool_window_size_seconds=runtime.pool_window_size_seconds,
             pool_window_stride_seconds=runtime.pool_window_stride_seconds,
-            pooling_strategy="mean_std",
+            pooling_strategy=boundary_spec.pooling_strategy,
             postprocessing_config=postprocessing,
             output_schema_version=settings.schema.output_schema_version,
             expected_feature_size=loaded.expected_feature_size,

@@ -115,3 +115,37 @@ def test_infer_many_all_failures_returns_rows_not_raise(trained_medium, monkeypa
     )
     assert len(rows) == 3
     assert all(row.result is None and row.error for row in rows)
+
+
+def test_infer_many_enforces_profile_and_consent_gates(tmp_path):
+    """Batch inference is not a side door around the serving path's gates."""
+    import dataclasses
+
+    import pytest
+
+    from ser_tpu._internal.config.settings_builder import build_settings_from_inputs
+    from ser_tpu._internal.config.settings_inputs import capture_settings_inputs
+    from ser_tpu._internal.runtime.restricted_backends import RestrictedBackendError
+    from ser_tpu.parallel.batch_inference import infer_many
+
+    settings = build_settings_from_inputs(
+        capture_settings_inputs(env={"SER_MODELS_DIR": str(tmp_path)})
+    )
+    # Disabled profile flag -> refused before any backend work.
+    disabled = dataclasses.replace(
+        settings,
+        runtime_flags=dataclasses.replace(settings.runtime_flags, medium_profile=False),
+    )
+    with pytest.raises(ValueError, match="disabled"):
+        infer_many(["/nonexistent.wav"], profile="medium", settings=disabled)
+    # Restricted backend without consent -> license gate fires.
+    research_on = dataclasses.replace(
+        settings,
+        runtime_flags=dataclasses.replace(
+            settings.runtime_flags, accurate_research_profile=True
+        ),
+    )
+    with pytest.raises(RestrictedBackendError):
+        infer_many(
+            ["/nonexistent.wav"], profile="accurate-research", settings=research_on
+        )
