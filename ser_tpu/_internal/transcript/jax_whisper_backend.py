@@ -112,6 +112,18 @@ class JaxWhisperTranscriber:
         assets = self._assets_dir()
         if assets is None:
             self.prepare_assets()
+            # prepare_assets returning (instead of raising) means assets
+            # appeared between the two checks (concurrent staging) —
+            # re-resolve rather than calling from_pretrained_dir(None).
+            assets = self._assets_dir()
+            if assets is None:
+                from ser_tpu._internal.transcript.extractor import (
+                    TranscriptionUnavailableError,
+                )
+
+                raise TranscriptionUnavailableError(
+                    f"Whisper assets for {self._model_name!r} must be staged locally."
+                )
         if self._model is None:
             from ser_tpu.models.whisper import WhisperForTranscription
 

@@ -583,6 +583,25 @@ class WhisperForTranscription:
         self.decode_strategy = decode_strategy
         self.beam_size = int(beam_size)
         self.length_penalty = float(length_penalty)
+        self._qkv_fused_cache = None
+
+    def _fused_qkv(self):
+        """Per-layer fused self-attention Q|K|V kernels, computed ONCE.
+
+        Fusing inside the jitted decode re-concatenated every attention
+        projection per dispatch (~300 MB of HBM copies at large-v3, repeated
+        on every window batch and temperature retry); the params are fixed
+        for the model's lifetime, so the fusion is too.
+        """
+        if self._qkv_fused_cache is None:
+            from ser_tpu.models.whisper_decode import _fuse_qkv_params
+
+            self._qkv_fused_cache = _fuse_qkv_params(
+                self.decoder_params,
+                self.config.decoder_layers,
+                self.config.d_model,
+            )
+        return self._qkv_fused_cache
 
     @classmethod
     def from_pretrained_dir(
@@ -659,6 +678,7 @@ class WhisperForTranscription:
         timestamp_begin = (
             self._special("<|0.00|>") if self.apply_timestamp_rules else None
         )
+        qkv_fused = self._fused_qkv()
         use_beam = self.decode_strategy == "beam" and temperature == 0.0
         if use_beam:
             tokens, lengths = beam_decode_kv_cache(
@@ -673,6 +693,7 @@ class WhisperForTranscription:
                 compute_dtype=self.compute_dtype,
                 suppress_tokens=self.suppress_tokens,
                 timestamp_begin=timestamp_begin,
+                qkv_fused=qkv_fused,
             )
             align = None
             if align_spec:
@@ -698,6 +719,7 @@ class WhisperForTranscription:
                 rng_seed=rng_seed,
                 suppress_tokens=self.suppress_tokens,
                 timestamp_begin=timestamp_begin,
+                qkv_fused=qkv_fused,
             )
         matrix = None
         if align_spec:

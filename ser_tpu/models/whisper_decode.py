@@ -439,6 +439,7 @@ def greedy_decode_kv_cache(
     suppress_tokens: tuple[int, ...] = (),
     timestamp_begin: int | None = None,
     fused: bool = False,
+    qkv_fused: list[dict] | None = None,
 ):
     """Batched greedy decode over cached attention state, one dispatch total.
 
@@ -464,8 +465,10 @@ def greedy_decode_kv_cache(
     Returns:
       tokens ``(B, max_len)`` with the prefix at the front and generated ids
       after it (eot-padded), lengths ``(B,)`` of emitted non-eot tokens, and
-      align ``(B, n_align, max_len, S)`` float32 attention probabilities
-      (rows beyond each sequence's length are zero).
+      align ``(B, n_align, max_len, S)`` float32 attention probabilities.
+      Align rows past a row's own length hold the attention of repeated EOT
+      inputs while the rest of the batch drains — NOT zeros; consumers must
+      mask by token counts (``reduce_alignment_matrix`` does).
     """
     cfg = config
     batch = encoder_states.shape[0]
@@ -483,7 +486,8 @@ def greedy_decode_kv_cache(
     # layer (bitwise-identical, fewer loop-body ops — the step is
     # op-overhead-bound at small batch; measured in scripts/profile_decode.py).
     cross_k, cross_v = _precompute_cross_kv(params, encoder_states, n_layers, n_heads, cdt)
-    qkv_fused = _fuse_qkv_params(params, n_layers, d_model)
+    if qkv_fused is None:
+        qkv_fused = _fuse_qkv_params(params, n_layers, d_model)
 
     tokens = jnp.full((batch, max_len), eot, dtype=jnp.int32)
     tokens = tokens.at[:, :prefix_len].set(prefix[None, :prefix_len])
@@ -612,6 +616,7 @@ def beam_decode_kv_cache(
     compute_dtype=jnp.float32,
     suppress_tokens: tuple[int, ...] = (),
     timestamp_begin: int | None = None,
+    qkv_fused: list[dict] | None = None,
 ):
     """Batched beam-search decode over cached attention state, one dispatch.
 
@@ -652,7 +657,8 @@ def beam_decode_kv_cache(
     vocab = cfg.vocab_size
 
     cross_k, cross_v = _precompute_cross_kv(params, encoder_states, n_layers, n_heads, cdt)
-    qkv_fused = _fuse_qkv_params(params, n_layers, cfg.d_model)
+    if qkv_fused is None:
+        qkv_fused = _fuse_qkv_params(params, n_layers, cfg.d_model)
 
     tokens = jnp.full((rows, max_len), eot, dtype=jnp.int32)
     tokens = tokens.at[:, :prefix_len].set(prefix[None, :prefix_len])
@@ -760,7 +766,13 @@ def beam_decode_kv_cache(
             best_cand_score = jnp.take_along_axis(
                 cand_norm, best_cand[:, None], axis=1
             )[:, 0]
-            improved = best_cand_score > best_score
+            # A row stops ACCEPTING once it holds beam_size finished
+            # hypotheses (published BeamSearchDecoder max_candidates cap):
+            # without the gate, a row that finished early keeps improving its
+            # pool while unrelated batch rows drain, making transcripts
+            # depend on batch composition.
+            accepting = n_finished < k_beams
+            improved = (best_cand_score > best_score) & accepting
             parent_row = jnp.arange(batch) * k_beams + best_cand
             cand_tokens = jnp.take(tokens, parent_row, axis=0)  # (B, L)
             cand_tokens = jax.lax.dynamic_update_slice(
@@ -775,8 +787,8 @@ def beam_decode_kv_cache(
                 jnp.take_along_axis(lengths3, best_cand[:, None], axis=1)[:, 0],
                 best_length,
             )
-            new_n_finished = n_finished + jnp.sum(
-                would_select.astype(jnp.int32), axis=1
+            new_n_finished = n_finished + jnp.where(
+                accepting, jnp.sum(would_select.astype(jnp.int32), axis=1), 0
             )
 
             parent = top_idx // vocab
@@ -981,13 +993,34 @@ def reduce_alignment_matrix(
     weights = jnp.where(frame_ok, align, 0.0)
     weights = weights / (jnp.sum(weights, axis=-1, keepdims=True) + 1e-12)
     rows = jnp.arange(max_len)[None, :]
-    row_ok = (rows >= prefix_len) & (rows < token_counts[:, None])
+    # Cap at max_len - 1: a sequence that exhausts the token budget without
+    # EOT appends a final token whose attention row was never captured (the
+    # loop stops before it becomes an input step) — counting that all-zero
+    # row valid would skew the standardization statistics and feed garbage
+    # into DTW for the final word.
+    row_ok = (rows >= prefix_len) & (
+        rows < jnp.minimum(token_counts, max_len - 1)[:, None]
+    )
     mask = row_ok[:, None, :, None].astype(weights.dtype)
     count = jnp.maximum(jnp.sum(mask, axis=2, keepdims=True), 1.0)
     mean = jnp.sum(weights * mask, axis=2, keepdims=True) / count
     var = jnp.sum(jnp.square(weights - mean) * mask, axis=2, keepdims=True) / count
     weights = (weights - mean) / (jnp.sqrt(var) + 1e-9)
     half = medfilt_width // 2
+    # Reflect at each row's VALID frame boundary before filtering: the host
+    # pipeline (word_timings_from_alignment, openai timing.py) crops to
+    # :num_frames and reflect-pads real data, so the filter window at the
+    # audio tail must see mirrored valid columns — not the standardized
+    # padding columns ((0-mean)/std), which would shift the last words'
+    # timings on every chunk shorter than 30 s.
+    col = jnp.arange(enc_len)[None, :]
+    boundary = num_frames[:, None]
+    reflected = jnp.where(
+        col >= boundary, jnp.clip(2 * boundary - 2 - col, 0, enc_len - 1), col
+    )
+    weights = jnp.take_along_axis(
+        weights, jnp.broadcast_to(reflected[:, None, None, :], weights.shape), axis=-1
+    )
     padded = jnp.pad(weights, ((0, 0), (0, 0), (0, 0), (half, half)), mode="reflect")
     stacked = jnp.stack(
         [padded[..., k : k + enc_len] for k in range(medfilt_width)], axis=-1

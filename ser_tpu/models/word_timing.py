@@ -135,20 +135,34 @@ class TimedWord:
 
 
 def _split_tokens_on_unicode(token_ids: list[int], tokenizer):
-    """Greedy split at the smallest decodable (no replacement char) pieces."""
+    """Greedy split at the smallest decodable (no replacement char) pieces.
+
+    A piece CONTAINING the replacement char still flushes when the full
+    decode carries a genuine U+FFFD at the same offset (published
+    split_tokens_on_unicode fallback) — otherwise one legitimate
+    replacement char in the transcript makes every later token accumulate
+    into a single trailing piece with one start/end time.
+    """
     replacement = "�"
+    decoded_full = tokenizer.decode(token_ids)
     pieces: list[str] = []
     piece_spans: list[tuple[int, int]] = []
     pending: list[int] = []
     start = 0
+    unicode_offset = 0
     for index, token_id in enumerate(token_ids):
         pending.append(token_id)
         decoded = tokenizer.decode(pending)
-        if decoded and replacement not in decoded:
+        flush = decoded and replacement not in decoded
+        if not flush and decoded:
+            at = unicode_offset + decoded.index(replacement)
+            flush = decoded_full[at : at + 1] == replacement
+        if flush:
             pieces.append(decoded)
             piece_spans.append((start, index + 1))
             pending = []
             start = index + 1
+            unicode_offset += len(decoded)
     if pending:
         pieces.append(tokenizer.decode(pending))
         piece_spans.append((start, len(token_ids)))
@@ -178,29 +192,38 @@ def split_tokens_into_words(token_ids: list[int], tokenizer):
     return words, spans
 
 
-def _is_only(text: str, charset: str) -> bool:
-    return bool(text) and all(c in charset for c in text)
-
-
 def _merge_punctuation(words, starts, ends):
-    """Folds closing punctuation into the previous word and openers into the next.
+    """Folds openers into the next word, closers into the previous.
 
-    Each entry is ``[word, start, end]``; returns the merged list.
+    Published ``merge_punctuations`` semantics (openai whisper timing.py,
+    the behavior the reference inherits through stable-ts): the PREPEND pass
+    runs first, walking backwards, gated on the opener being space-prefixed
+    (``' "'`` attaches to the following word; a bare ``'"'`` mid-word does
+    not); the APPEND pass walks forwards, gated on the previous word not
+    ending with a space and the candidate being exactly a closer. Timing
+    fields are left untouched — a merged-away entry's times are discarded,
+    so ``'"hello'`` keeps hello's start (NOT the quote's).
     """
-    merged: list[list] = []
-    for word, start, end in zip(words, starts, ends):
-        if merged and _is_only(word.strip(), _APPEND_PUNCT):
-            merged[-1][0] += word
-            merged[-1][2] = end
-            continue
-        merged.append([word, start, end])
-    out: list[list] = []
-    for word, start, end in merged:
-        if out and _is_only(out[-1][0].strip(), _PREPEND_PUNCT):
-            opener, opener_start, _ = out.pop()
-            word, start = opener + word.lstrip(), opener_start
-        out.append([word, start, end])
-    return out
+    entries: list[list] = [[w, s, e] for w, s, e in zip(words, starts, ends)]
+    i, j = len(entries) - 2, len(entries) - 1
+    while i >= 0:
+        prev, following = entries[i], entries[j]
+        if prev[0].startswith(" ") and prev[0].strip() in _PREPEND_PUNCT and prev[0].strip():
+            following[0] = prev[0] + following[0]
+            prev[0] = ""
+        else:
+            j = i
+        i -= 1
+    i, j = 0, 1
+    while j < len(entries):
+        prev, following = entries[i], entries[j]
+        if not prev[0].endswith(" ") and following[0] in _APPEND_PUNCT and following[0]:
+            prev[0] = prev[0] + following[0]
+            following[0] = ""
+        else:
+            i = j
+        j += 1
+    return [entry for entry in entries if entry[0]]
 
 
 def word_timings_from_alignment(

@@ -152,3 +152,48 @@ def test_native_dtw_matches_numpy_wavefront():
             fallback = word_timing.dtw_path(cost)
         np.testing.assert_array_equal(native[0], fallback[0])
         np.testing.assert_array_equal(native[1], fallback[1])
+
+
+def test_space_prefixed_opener_attaches_to_next_word():
+    """Published merge_punctuations: the prepend pass runs FIRST, so a
+    space-prefixed quote joins the FOLLOWING word (keeping its start), never
+    the previous one."""
+    merged = word_timing._merge_punctuation(
+        [" said", ' "', " hello"], [0.0, 0.5, 1.0], [0.4, 0.9, 1.4]
+    )
+    texts = [w for w, _, _ in merged]
+    assert texts == [" said", ' " hello']
+    # The merged word keeps hello's own start (opener timing is discarded).
+    assert merged[1][1] == 1.0
+
+
+def test_hyphen_opener_keeps_following_word_text():
+    merged = word_timing._merge_punctuation(
+        [" well", " -", " known"], [0.0, 0.5, 1.0], [0.4, 0.9, 1.4]
+    )
+    assert [w for w, _, _ in merged] == [" well", " - known"]
+
+
+def test_closer_requires_previous_without_trailing_space():
+    merged = word_timing._merge_punctuation(
+        [" hi", ".", " there"], [0.0, 0.5, 1.0], [0.4, 0.9, 1.4]
+    )
+    assert [w for w, _, _ in merged] == [" hi.", " there"]
+
+
+def test_genuine_replacement_char_does_not_swallow_the_chunk():
+    """One legitimate U+FFFD must not collapse every later token into a
+    single trailing piece (published split_tokens_on_unicode fallback)."""
+
+    class ByteTokenizer:
+        # id 1 decodes to a genuine replacement char; others are words.
+        _pieces = {1: "�", 2: " one", 3: " two", 4: " three"}
+
+        def decode(self, ids):
+            return "".join(self._pieces[i] for i in ids)
+
+    pieces, spans = word_timing._split_tokens_on_unicode(
+        [2, 1, 3, 4], ByteTokenizer()
+    )
+    assert pieces == [" one", "�", " two", " three"]
+    assert spans == [(0, 1), (1, 2), (2, 3), (3, 4)]
