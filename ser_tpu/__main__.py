@@ -4,8 +4,9 @@ Parity surface: reference ``ser/__main__.py`` — the same flag surface
 (``--file/--train/--profile/--save_transcript/--no-transcript/--subtitle-*/
 --disable-timeouts/--preflight/--dry-run``), subcommands ``configure``,
 ``data``, ``doctor``, the restricted-backend gate (``:311-325``), the
-preflight gate (``:328-347``), and validation=2 / runtime=1 / timeout=3 exit
-codes.
+preflight gate (``:328-347``), and validation=2 / runtime=1 / transcription=3
+exit codes (reference ``_internal/runtime/commands.py:91-131``: inference
+timeouts are user-actionable → 2; transcription failures → 3).
 """
 
 from __future__ import annotations
@@ -594,7 +595,9 @@ def main(argv: list[str] | None = None) -> int:
                 prepared_plan=args.prepared_plan,
             )
         _, code = run_command(
-            lambda: api.train(profile=args.profile, settings=settings), label="training"
+            lambda: api.train(profile=args.profile, settings=settings),
+            label="training",
+            workflow="training",
         )
         return code
 
@@ -617,6 +620,7 @@ def main(argv: list[str] | None = None) -> int:
                 settings=settings,
             ),
             label="inference",
+            workflow="inference",
         )
         if result is not None and result.timeline_csv_path:
             print(f"Timeline CSV: {result.timeline_csv_path}")

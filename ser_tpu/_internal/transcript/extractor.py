@@ -24,7 +24,17 @@ from ser_tpu.profiles import ProfileName, get_profile_catalog
 logger = get_logger(__name__)
 
 
-class TranscriptionUnavailableError(RuntimeError):
+class TranscriptionError(RuntimeError):
+    """Raised when transcript extraction fails for operational reasons.
+
+    Parity surface: reference ``transcript/transcript_extractor.py:34-35`` —
+    every failure escaping the transcription lane is wrapped into this type,
+    which the CLI classifies to exit code 3
+    (reference ``runtime/commands.py:126-131``).
+    """
+
+
+class TranscriptionUnavailableError(TranscriptionError):
     """Raised when the transcription backend or its assets cannot be used."""
 
 
@@ -179,12 +189,18 @@ def extract_transcript(
         # setup/model-load phases from the parent; the pipeline's outer
         # PHASE_TRANSCRIPTION block times the whole isolated lane (recording
         # it all as "setup" here misattributed the numbers).
-        return run_isolated_transcription(
-            setup=partial(_isolated_setup, _dataclasses.asdict(resolved)),
-            transcribe=partial(_isolated_transcribe, file_path, language),
-            timeout_seconds=settings.transcription.isolation_timeout_seconds,
-            backend_id=resolved.backend_id,
-        )
+        try:
+            return run_isolated_transcription(
+                setup=partial(_isolated_setup, _dataclasses.asdict(resolved)),
+                transcribe=partial(_isolated_transcribe, file_path, language),
+                timeout_seconds=settings.transcription.isolation_timeout_seconds,
+                backend_id=resolved.backend_id,
+            )
+        except TranscriptionError:
+            raise
+        except Exception as err:
+            logger.error("Error processing speech extraction: %s", err, exc_info=True)
+            raise TranscriptionError("Failed to transcribe audio.") from err
 
     with phases.timed_phase(phases.PHASE_TRANSCRIPTION_SETUP, timings):
         transcriber = _build_transcriber(resolved, settings)
@@ -194,10 +210,20 @@ def extract_transcript(
         if transcriber.setup_required():
             transcriber.load_model(_runtime_request(resolved, settings))
 
-    return transcriber.transcribe(file_path, language=language)
+    # Unexpected backend failures surface as TranscriptionError (reference
+    # extractor_entrypoints.py:141-152: passthrough the taxonomy, wrap the
+    # rest with a stable message).
+    try:
+        return transcriber.transcribe(file_path, language=language)
+    except TranscriptionError:
+        raise
+    except Exception as err:
+        logger.error("Error processing speech extraction: %s", err, exc_info=True)
+        raise TranscriptionError("Failed to transcribe audio.") from err
 
 
 __all__ = [
+    "TranscriptionError",
     "TranscriptionProfile",
     "TranscriptionUnavailableError",
     "extract_transcript",

@@ -6,7 +6,7 @@ from ser_tpu._internal.runtime import phases
 from ser_tpu._internal.runtime.commands import (
     EXIT_OK,
     EXIT_RUNTIME,
-    EXIT_TIMEOUT,
+    EXIT_TRANSCRIPTION,
     EXIT_VALIDATION,
     classify_exit_code,
     run_command,
@@ -14,23 +14,35 @@ from ser_tpu._internal.runtime.commands import (
 from ser_tpu._internal.runtime.errors import (
     InferenceExecutionError,
     InferenceTimeoutError,
+    ModelLoadError,
     ModelUnavailableError,
+    RuntimeDependencyError,
 )
 from ser_tpu._internal.runtime.registry import UnsupportedProfileError
 from ser_tpu._internal.runtime.restricted_backends import RestrictedBackendError
+from ser_tpu._internal.transcript.extractor import (
+    TranscriptionError,
+    TranscriptionUnavailableError,
+)
 
 
 @pytest.mark.parametrize(
     "error,expected",
     [
-        (InferenceTimeoutError("t"), EXIT_TIMEOUT),
+        # Reference commands.py:91-110 — timeouts are user-actionable (2).
+        (InferenceTimeoutError("t"), EXIT_VALIDATION),
         (ValueError("v"), EXIT_VALIDATION),
         (FileNotFoundError("f"), EXIT_VALIDATION),
         (UnsupportedProfileError("u"), EXIT_VALIDATION),
         (RestrictedBackendError("r"), EXIT_VALIDATION),
         (ModelUnavailableError("m"), EXIT_VALIDATION),
+        (ModelLoadError("l"), EXIT_VALIDATION),
+        (RuntimeDependencyError("d"), EXIT_VALIDATION),
         (InferenceExecutionError("e"), EXIT_RUNTIME),
         (RuntimeError("x"), EXIT_RUNTIME),
+        # Reference commands.py:126-131 — transcription failures exit 3.
+        (TranscriptionError("tx"), EXIT_TRANSCRIPTION),
+        (TranscriptionUnavailableError("tu"), EXIT_TRANSCRIPTION),
     ],
 )
 def test_exit_code_classification(error, expected):
@@ -42,10 +54,10 @@ def test_run_command_success_and_failure():
     assert (result, code) == (42, EXIT_OK)
 
     def boom():
-        raise InferenceTimeoutError("too slow")
+        raise TranscriptionError("failed")
 
     result, code = run_command(boom, label="op")
-    assert result is None and code == EXIT_TIMEOUT
+    assert result is None and code == EXIT_TRANSCRIPTION
 
 
 def test_phase_names_are_reference_canonical():

@@ -1076,6 +1076,112 @@ def op_dataset_catalog(payload: dict) -> dict:
     }
 
 
+def _reference_exception(kind: str) -> Exception:
+    """Builds one reference-taxonomy exception instance by symbolic kind."""
+    if kind == "value_error":
+        return ValueError("v")
+    if kind == "file_not_found":
+        return FileNotFoundError("f")
+    if kind == "runtime_error":
+        return RuntimeError("x")
+    if kind == "unsupported_profile":
+        from ser._internal.runtime.registry import UnsupportedProfileError
+
+        return UnsupportedProfileError("u")
+    if kind == "license":
+        from ser._internal.license_check import BackendLicensePolicyError
+
+        return BackendLicensePolicyError("l")
+    if kind == "transcription":
+        from ser._internal.transcript.transcript_extractor import TranscriptionError
+
+        return TranscriptionError("tx")
+    if kind.startswith("training_"):
+        from ser._internal.models import training_readiness as ref_readiness
+
+        cls = {
+            "training_readiness": ref_readiness.TrainingReadinessError,
+            "training_quarantine": ref_readiness.QuarantineBudgetExceeded,
+            "training_prepared_plan": ref_readiness.PreparedPlanError,
+        }[kind]
+        return cls("t")
+    profile, _, failure = kind.partition(":")
+    module = __import__(
+        f"ser._internal.runtime.{profile}_inference", fromlist=["_"]
+    )
+    prefix = profile.capitalize()
+    cls_name = {
+        "timeout": f"{prefix}InferenceTimeoutError",
+        "execution": f"{prefix}InferenceExecutionError",
+        "model_load": f"{prefix}ModelLoadError",
+        "model_unavailable": f"{prefix}ModelUnavailableError",
+        "dependency": f"{prefix}RuntimeDependencyError",
+    }[failure]
+    return getattr(module, cls_name)("e")
+
+
+def op_classify_inference_exception(payload: dict) -> dict:
+    from ser._internal.runtime import commands as ref_commands
+
+    disposition = ref_commands.classify_inference_exception(
+        _reference_exception(payload["kind"])
+    )
+    return {
+        "exit_code": disposition.exit_code,
+        "include_traceback": disposition.include_traceback,
+    }
+
+
+def op_classify_training_exception(payload: dict) -> dict:
+    from ser._internal.runtime import commands as ref_commands
+
+    disposition = ref_commands.classify_training_exception(
+        _reference_exception(payload["kind"])
+    )
+    return {
+        "exit_code": disposition.exit_code,
+        "include_traceback": disposition.include_traceback,
+    }
+
+
+def op_ravdess_reference_text(payload: dict) -> str | None:
+    from ser._internal.transcript import profiling as ref_profiling
+
+    return ref_profiling.ravdess_reference_text(Path(payload["path"]))
+
+
+def op_stratified_subset(payload: dict) -> list[str]:
+    from ser._internal.transcription import ravdess_references as ref_rr
+
+    selected = ref_rr.stratified_reference_subset(
+        [Path(p) for p in payload["paths"]],
+        limit=payload["limit"],
+        random_seed=payload["seed"],
+    )
+    return [str(p) for p in selected]
+
+
+def op_subset_coverage(payload: dict) -> dict:
+    from ser._internal.transcription import ravdess_references as ref_rr
+
+    return ref_rr.summarize_subset_coverage([Path(p) for p in payload["paths"]])
+
+
+def op_collect_reference_files(payload: dict) -> list[str]:
+    from ser._internal.transcript import profiling as ref_profiling
+    from ser._internal.transcription import ravdess_references as ref_rr
+
+    files = ref_rr.collect_reference_files(
+        glob_pattern="<fixture>",
+        statement_text=ref_profiling.RAVDESS_STATEMENT_TEXT,
+        limit=payload["limit"],
+        sampling_strategy=payload["strategy"],
+        random_seed=payload["seed"],
+        glob_paths=lambda _pattern, _recursive: list(payload["paths"]),
+    )
+    return [str(p) for p in files]
+
+
 _OPS = {
     "postprocess": op_postprocess,
     "windows": op_windows,
@@ -1124,6 +1230,12 @@ _OPS = {
     "plan_recipe_digest": op_plan_recipe_digest,
     "route_utterance": op_route_utterance,
     "audit_dataset_recipe": op_audit_dataset_recipe,
+    "classify_inference_exception": op_classify_inference_exception,
+    "classify_training_exception": op_classify_training_exception,
+    "ravdess_reference_text": op_ravdess_reference_text,
+    "stratified_subset": op_stratified_subset,
+    "subset_coverage": op_subset_coverage,
+    "collect_reference_files": op_collect_reference_files,
 }
 
 
