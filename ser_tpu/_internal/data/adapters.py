@@ -67,7 +67,7 @@ def parse_crema_d(path: Path) -> Utterance | None:
         audio_path=str(path),
         label=label,
         raw_label=code,
-        speaker_id=parts[0].strip() or None,
+        speaker_id=(f"crema-d:{parts[0].strip()}" if parts[0].strip() else None),
         language="en",
     )
 
@@ -85,7 +85,7 @@ def parse_emodb(path: Path) -> Utterance | None:
         audio_path=str(path),
         label=label,
         raw_label=stem[5].upper(),
-        speaker_id=stem[:2],
+        speaker_id=f"emodb-2.0:{stem[:2]}",
         language="de",
     )
 
@@ -103,7 +103,7 @@ def parse_jl_corpus(path: Path) -> Utterance | None:
         audio_path=str(path),
         label=label,
         raw_label=parts[1].lower(),
-        speaker_id=parts[0],
+        speaker_id=f"jl-corpus:{parts[0]}",
         language="en",
     )
 

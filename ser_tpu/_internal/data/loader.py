@@ -256,7 +256,12 @@ def load_utterances(
                 audio_path=file,
                 label=label,
                 raw_label=code,
-                speaker_id=extract_ravdess_speaker_id_from_path(file),
+                # Corpus-scoped (reference ravdess.py:87).
+                speaker_id=(
+                    f"ravdess:{sp}"
+                    if (sp := extract_ravdess_speaker_id_from_path(file))
+                    else None
+                ),
                 language=settings.default_language,
             )
         )

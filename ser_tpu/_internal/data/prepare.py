@@ -80,7 +80,12 @@ def _build_ravdess_manifest(root: Path, settings: AppConfig) -> list[Utterance]:
                 audio_path=str(path),
                 label=label,
                 raw_label=code or "",
-                speaker_id=extract_ravdess_speaker_id_from_path(str(path)),
+                # Corpus-scoped (reference ravdess.py:87).
+                speaker_id=(
+                    f"ravdess:{sp}"
+                    if (sp := extract_ravdess_speaker_id_from_path(str(path)))
+                    else None
+                ),
                 language="en",
             )
         )
@@ -145,7 +150,11 @@ def _build_csv_manifest(
                     audio_path=str(audio_path),
                     label=label,
                     raw_label=str(row.get("raw_label", raw)),
-                    speaker_id=(str(row["speaker"]).strip() or None) if row.get("speaker") else None,
+                    speaker_id=(
+                        f"{dataset_id}:{str(row['speaker']).strip()}"
+                        if row.get("speaker") and str(row["speaker"]).strip()
+                        else None
+                    ),
                     language=str(row.get("language") or default_language),
                 )
             )

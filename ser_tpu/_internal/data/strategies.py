@@ -213,6 +213,15 @@ class DatasetStrategy:
                 if label is None:
                     continue
             speaker = extra[0] if extra else None
+            if speaker is None:
+                speaker = _speaker_hint(relative)
+            # Corpus-scoped speaker ids (reference adapters, e.g.
+            # ravdess.py:87, csv_manifest_builder.py:150) — manifest
+            # validation enforces the prefix to prevent cross-corpus
+            # speaker-id collisions in grouped splits. Adapters that
+            # already scope their ids pass through unchanged.
+            if speaker is not None and not speaker.startswith(f"{self.corpus_id}:"):
+                speaker = f"{self.corpus_id}:{speaker}"
             utterances.append(
                 Utterance(
                     sample_id=path.stem,
@@ -220,7 +229,7 @@ class DatasetStrategy:
                     audio_path=str(path),
                     label=label,
                     raw_label=raw,
-                    speaker_id=speaker if speaker is not None else _speaker_hint(relative),
+                    speaker_id=speaker,
                     language=self.language,
                 )
             )

@@ -69,7 +69,11 @@ def test_crema_field_extraction_matches_reference(oracle):
             assert ref_code is None or ref_code not in known, name
         else:
             assert utterance.raw_label == ref_code, name
-            assert utterance.speaker_id == ref_actor, name
+            # The reference prefixes the raw actor at manifest construction
+            # (crema_d.py:210: f"{CREMA_D_CORPUS_ID}:{actor_raw}"); our
+            # adapter emits the manifest-ready scoped id directly.
+            expected = f"crema-d:{ref_actor}" if ref_actor is not None else None
+            assert utterance.speaker_id == expected, name
 
 
 ONTOLOGY_CASES = [

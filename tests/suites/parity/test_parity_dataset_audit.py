@@ -17,7 +17,7 @@ from ser_tpu._internal.data.dataset_audit import (
     DatasetAuditError,
     audit_dataset_recipe,
 )
-from ser_tpu._internal.data.manifest import Utterance
+from ser_tpu._internal.data.manifest import Utterance, VadTarget
 from ser_tpu._internal.data.recipe import (
     research_recipe_v1,
     route_utterance,
@@ -39,9 +39,11 @@ def _ours(item: dict) -> Utterance:
         audio_path=item.get("audio_path", "/tmp/a.wav"),
         label=item.get("label"),
         raw_label=item.get("raw_label") or "",
-        valence=vad[0] if vad else None,
-        arousal=vad[1] if vad else None,
-        dominance=vad[2] if vad else None,
+        vad=(
+            VadTarget(valence=vad[0], arousal=vad[1], dominance=vad[2])
+            if vad
+            else None
+        ),
         social_attitude=item.get("social_attitude"),
         binary_affect=item.get("binary_affect"),
         transcript=item.get("transcript"),
@@ -50,8 +52,8 @@ def _ours(item: dict) -> Utterance:
         language=item.get("language"),
         split=item.get("split"),
         native_split=item.get("native_split"),
-        audio_sha256=item.get("audio_sha256"),
-        revision=item.get("revision"),
+        normalized_audio_sha256=item.get("audio_sha256"),
+        dataset_revision=item.get("revision"),
     )
 
 

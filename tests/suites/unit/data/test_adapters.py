@@ -15,7 +15,7 @@ def test_crema_d_parsing():
     utterance = parse_crema_d(Path("/d/1001_DFA_ANG_XX.wav"))
     assert utterance is not None
     assert utterance.label == "angry"
-    assert utterance.speaker_id == "1001"
+    assert utterance.speaker_id == "crema-d:1001"
     assert utterance.corpus == "crema-d"
     assert parse_crema_d(Path("/d/1001_DFA_ZZZ_XX.wav")) is None
     assert parse_crema_d(Path("/d/malformed.wav")) is None
@@ -25,7 +25,7 @@ def test_emodb_parsing():
     utterance = parse_emodb(Path("/d/03a01Fa.wav"))
     assert utterance is not None
     assert utterance.label == "happy"
-    assert utterance.speaker_id == "03"
+    assert utterance.speaker_id == "emodb-2.0:03"
     assert utterance.language == "de"
     assert parse_emodb(Path("/d/03a01Wa.wav")).label == "angry"
     # Boredom maps to neutral like the reference catalog (not calm).
@@ -37,7 +37,7 @@ def test_jl_corpus_parsing():
     utterance = parse_jl_corpus(Path("/d/female1_angry_1a_1.wav"))
     assert utterance is not None
     assert utterance.label == "angry"
-    assert utterance.speaker_id == "female1"
+    assert utterance.speaker_id == "jl-corpus:female1"
     assert parse_jl_corpus(Path("/d/male2_excited_2b_1.wav")).label == "surprised"
 
 
@@ -50,7 +50,7 @@ def test_strategy_build_walks_tree_and_keeps_adapter_speaker(tmp_path):
     (tmp_path / "notes.txt").write_text("ignore")
     utterances = get_strategy("crema-d").build(tmp_path)
     assert sorted(u.label for u in utterances) == ["happy", "sad"]
-    assert sorted(u.speaker_id for u in utterances) == ["1001", "1002"]
+    assert sorted(u.speaker_id for u in utterances) == ["crema-d:1001", "crema-d:1002"]
     utterances[0].validate()
 
 

@@ -21,7 +21,7 @@ def _utterance(i, *, corpus="ravdess", label="happy", speaker=None, session=None
         label=label,
         speaker_id=speaker,
         session_id=session,
-        audio_sha256=digest,
+        normalized_audio_sha256=digest,
         native_split=native_split,
     )
 
@@ -96,7 +96,7 @@ class TestDedupe:
         rows = _balanced_corpus()
         import dataclasses
 
-        rows[0] = dataclasses.replace(rows[0], audio_sha256=None)
+        rows[0] = dataclasses.replace(rows[0], normalized_audio_sha256=None)
         with pytest.raises(DatasetAuditError, match="audio_sha256 is missing"):
             build_split_ledger(rows, strict=True)
         report = build_split_ledger(rows, strict=False)

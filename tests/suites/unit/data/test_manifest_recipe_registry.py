@@ -1,5 +1,7 @@
 """Manifest schema, recipe audit, registry, and consents tests."""
 
+import hashlib
+
 import numpy as np
 import pytest
 
@@ -13,13 +15,17 @@ from ser_tpu._internal.data.manifest import (
 from ser_tpu._internal.data.recipe import audit_recipe, get_recipe
 
 
+def _digest(seed: str) -> str:
+    return hashlib.sha256(seed.encode()).hexdigest()
+
+
 def _utterance(**overrides):
     base = dict(
         sample_id="s1",
         corpus="ravdess",
         audio_path="/tmp/a.wav",
         label="happy",
-        speaker_id="01",
+        speaker_id="ravdess:01",
     )
     base.update(overrides)
     return Utterance(**base)
@@ -52,8 +58,8 @@ def test_normalized_pcm_digest_is_content_stable():
 def test_recipe_audit_flags_leakage_and_duplicates():
     recipe = get_recipe("research-v1")
     utterances = [
-        _utterance(sample_id="a", audio_sha256="x", split="train"),
-        _utterance(sample_id="b", audio_sha256="x", split="test"),  # dup digest + leakage
+        _utterance(sample_id="a", normalized_audio_sha256=_digest("x"), split="train"),
+        _utterance(sample_id="b", normalized_audio_sha256=_digest("x"), split="test"),  # dup digest + leakage
     ]
     report = audit_recipe(utterances, recipe)
     kinds = {issue.kind for issue in report.issues}
@@ -123,18 +129,20 @@ def test_audit_dataset_recipe_ledger(tmp_path):
     rows = [
         _utterance(
             sample_id=f"s{i}",
-            audio_sha256=f"h{i}",
-            revision="r1",
-            speaker_id=f"spk{i % 4}",
-            label="happy" if i % 2 else "sad",
+            normalized_audio_sha256=_digest(f"h{i}"),
+            dataset_revision="r1",
+            speaker_id=f"ravdess:spk{i % 4}",
+            # Every speaker carries both classes so the strict two-class
+            # check holds for ANY grouped split assignment.
+            label="happy" if i < 4 else "sad",
         )
         for i in range(8)
     ] + [
         _utterance(
             sample_id="alien",
             corpus="not-a-corpus",
-            audio_sha256="hx",
-            revision="r1",
+            normalized_audio_sha256=_digest("hx"),
+            dataset_revision="r1",
         )
     ]
     report = audit_dataset_recipe(rows, recipe=recipe, seed=7, strict=True)
@@ -147,7 +155,7 @@ def test_audit_dataset_recipe_ledger(tmp_path):
     )
     assert report.counters["quarantined"] == 1
     # Duplicate content is rejected in strict mode.
-    dup = rows + [_utterance(sample_id="dup", audio_sha256="h0", revision="r1")]
+    dup = rows + [_utterance(sample_id="dup", normalized_audio_sha256=_digest("h0"), dataset_revision="r1")]
     with pytest.raises(DatasetAuditError, match="[Dd]uplicate"):
         audit_dataset_recipe(dup, recipe=recipe, seed=7, strict=True)
 
@@ -169,8 +177,8 @@ def test_apply_recipe_ledger_reassigns_splits(tmp_path):
     rows = [
         _utterance(
             sample_id=f"s{i}",
-            audio_sha256=f"h{i}",
-            speaker_id=f"spk{i % 4}",
+            normalized_audio_sha256=_digest(f"h{i}"),
+            speaker_id=f"ravdess:spk{i % 4}",
             split="train",  # ledger overrides manifest split
         )
         for i in range(8)
@@ -205,7 +213,7 @@ def test_apply_recipe_ledger_stamps_run_provenance(tmp_path):
         ),
     )
     rows = [
-        _utterance(sample_id=f"s{i}", audio_sha256=f"h{i}", speaker_id=f"spk{i % 4}")
+        _utterance(sample_id=f"s{i}", normalized_audio_sha256=_digest(f"h{i}"), speaker_id=f"ravdess:spk{i % 4}")
         for i in range(8)
     ]
     with training_operation_scope("accurate") as run_state:
@@ -242,8 +250,8 @@ def test_split_fallback_clears_stamped_provenance(tmp_path):
     rows = [
         _utterance(
             sample_id=f"s{i}",
-            audio_sha256=f"h{i}",
-            speaker_id=f"spk{i % 4}",
+            normalized_audio_sha256=_digest(f"h{i}"),
+            speaker_id=f"ravdess:spk{i % 4}",
             audio_path=str(tmp_path / f"covered{i}.wav"),
         )
         for i in range(8)
@@ -272,7 +280,7 @@ def test_split_fallback_clears_stamped_provenance(tmp_path):
 
 def test_recipe_strict_escalates_warnings():
     recipe = get_recipe("research-v1")
-    utterances = [_utterance(audio_sha256=None, speaker_id=None)]
+    utterances = [_utterance(normalized_audio_sha256=None, speaker_id=None)]
     relaxed = audit_recipe(utterances, recipe, strict=False)
     strict = audit_recipe(utterances, recipe, strict=True)
     assert not any(

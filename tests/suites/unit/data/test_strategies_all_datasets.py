@@ -202,7 +202,7 @@ def test_emodb_strategy_keeps_adapter_speaker(tmp_path):
     (wav_dir / "03a01Fa.wav").write_bytes(b"RIFF")
     (wav_dir / "16b10Wb.wav").write_bytes(b"RIFF")
     utterances = get_strategy("emodb-2.0").build(tmp_path)
-    assert sorted(u.speaker_id for u in utterances) == ["03", "16"]
+    assert sorted(u.speaker_id for u in utterances) == ["emodb-2.0:03", "emodb-2.0:16"]
 
 
 def test_get_strategy_ravdess_names_the_builtin_route():

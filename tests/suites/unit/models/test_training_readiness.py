@@ -321,7 +321,7 @@ def test_manifest_labels_drive_split_findings(tmp_path):
                 "audio_path": str(ds / name),
                 "label": label,
                 "raw_label": label,
-                "speaker_id": f"spk{i % 2}",
+                "speaker_id": f"crema-d:spk{i % 2}",
                 "language": "en",
             }
         )

@@ -1120,6 +1120,74 @@ def _reference_exception(kind: str) -> Exception:
     return getattr(module, cls_name)("e")
 
 
+def _manifest_ontology(labels: list[str]):
+    from ser._internal.data.ontology import LabelOntology
+
+    return LabelOntology(
+        ontology_id="parity_io",
+        allowed_labels=frozenset(labels),
+        unknown_label_policy="drop",
+    )
+
+
+def op_manifest_roundtrip(payload: dict) -> dict:
+    """records → reference Utterances → written JSONL text + projections."""
+    from ser._internal.data import manifest_jsonl as ref_manifest_jsonl
+    from ser._internal.data.manifest import Utterance as RefUtterance
+
+    base_dir = Path(payload["base_dir"])
+    ontology = _manifest_ontology(payload["labels"])
+    utterances = [
+        RefUtterance.from_record(record, base_dir=base_dir, ontology=ontology)
+        for record in payload["records"]
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        target = Path(tmp) / "m.jsonl"
+        ref_manifest_jsonl.write_manifest_jsonl(target, utterances, base_dir=base_dir)
+        text = target.read_text(encoding="utf-8")
+    return {
+        "text": text,
+        "projections": [u.to_record() for u in utterances],
+        "audio_paths": [str(u.audio_path) for u in utterances],
+    }
+
+
+def op_manifest_load(payload: dict) -> dict:
+    """JSONL text → reference loader → canonical record projections."""
+    from ser._internal.data import manifest_jsonl as ref_manifest_jsonl
+
+    base_dir = Path(payload["base_dir"])
+    ontology = _manifest_ontology(payload["labels"])
+    with tempfile.TemporaryDirectory() as tmp:
+        source = Path(tmp) / "m.jsonl"
+        source.write_text(payload["text"], encoding="utf-8")
+        utterances = ref_manifest_jsonl.load_manifest_jsonl(
+            source, ontology=ontology, base_dir=base_dir
+        )
+    return {
+        "projections": [u.to_record() for u in utterances],
+        "audio_paths": [str(u.audio_path) for u in utterances],
+    }
+
+
+def op_manifest_from_record(payload: dict) -> dict:
+    """One raw record → reference from_record → projection (or raise)."""
+    from ser._internal.data.manifest import Utterance as RefUtterance
+
+    utterance = RefUtterance.from_record(
+        payload["record"],
+        base_dir=Path(payload["base_dir"]),
+        ontology=_manifest_ontology(payload["labels"]),
+    )
+    return {
+        "projection": utterance.to_record(),
+        "audio_path": str(utterance.audio_path),
+        "split": utterance.split,
+        "native_split": utterance.native_split,
+        "label": utterance.label,
+    }
+
+
 def op_classify_inference_exception(payload: dict) -> dict:
     from ser._internal.runtime import commands as ref_commands
 
@@ -1230,6 +1298,9 @@ _OPS = {
     "plan_recipe_digest": op_plan_recipe_digest,
     "route_utterance": op_route_utterance,
     "audit_dataset_recipe": op_audit_dataset_recipe,
+    "manifest_roundtrip": op_manifest_roundtrip,
+    "manifest_load": op_manifest_load,
+    "manifest_from_record": op_manifest_from_record,
     "classify_inference_exception": op_classify_inference_exception,
     "classify_training_exception": op_classify_training_exception,
     "ravdess_reference_text": op_ravdess_reference_text,
