@@ -259,39 +259,57 @@ def _run_data(args, settings) -> int:
         )
         return EXIT_OK
     if args.data_command == "catalog":
+        # Reference ``ser data catalog`` (data/cli.py:305-351): installed-
+        # dataset capability snapshot with manifest audio stats; --all covers
+        # the full supported catalog; --format json emits the payload shape.
         import json as json_module
 
-        from ser_tpu._internal.data.catalog import DATASET_CATALOG
+        from ser_tpu._internal.data.capabilities import (
+            build_dataset_capability_snapshot_json_payload,
+            collect_dataset_capability_snapshot,
+        )
 
-        installed = {
-            record.dataset_id for record in api.list_registered_datasets(settings=settings)
-        }
-        rows = []
-        for dataset_id, spec in sorted(DATASET_CATALOG.items()):
-            if not args.all and dataset_id not in installed:
-                continue
-            rows.append(
-                {
-                    "dataset_id": dataset_id,
-                    "display_name": spec.display_name,
-                    "installed": dataset_id in installed,
-                    "policy_id": spec.policy_id,
-                    "license_id": spec.license_id,
-                    "provider": spec.provider,
-                    "requires_manual_download": spec.requires_manual_download,
-                }
-            )
+        rows = collect_dataset_capability_snapshot(
+            settings=settings, include_uninstalled=bool(args.all)
+        )
         if args.format == "json":
-            print(json_module.dumps(rows, indent=2))
-        else:
-            for row in rows:
-                marker = "installed" if row["installed"] else "available"
-                print(
-                    f"{row['dataset_id']}: {marker} ({row['policy_id']}/"
-                    f"{row['license_id']}, provider={row['provider']})"
-                )
-            if not rows:
-                print("No datasets installed. Use --all to list the catalog.")
+            payload = build_dataset_capability_snapshot_json_payload(rows)
+            print(json_module.dumps(payload, indent=2, sort_keys=True))
+            return EXIT_OK
+        if not rows:
+            print("No installed datasets found in registry.")
+            return EXIT_OK
+        for row in rows:
+            print(f"- {row.dataset_id} ({row.display_name})")
+            print(f"  registered: {'yes' if row.registered else 'no'}")
+            print(f"  installed: {'yes' if row.installed else 'no'}")
+            print(f"  manifest_exists: {'yes' if row.manifest_exists else 'no'}")
+            if row.dataset_root is not None:
+                print(f"  dataset_root: {row.dataset_root}")
+            if row.manifest_path is not None:
+                print(f"  manifest_path: {row.manifest_path}")
+            print(
+                "  audio_files: "
+                f"referenced={row.referenced_audio_files}, "
+                f"present={row.present_audio_files}, "
+                f"nonempty={row.nonempty_audio_files}"
+            )
+            print(f"  dataset_size: {row.dataset_size_bytes} bytes")
+            print(f"  source_url: {row.source_url}")
+            print(f"  policy/license: {row.policy_id} / {row.license_id}")
+            print(f"  modalities: {', '.join(row.modalities)}")
+            print(f"  label_schema: {row.label_schema}")
+            print(
+                "  candidates: "
+                f"supervised_ser={'yes' if row.supervised_ser_candidate else 'no'}, "
+                f"ssl={'yes' if row.ssl_candidate else 'no'}, "
+                f"multimodal={'yes' if row.multimodal_candidate else 'no'}, "
+                "emotion_merge="
+                f"{'yes' if row.mergeable_with_emotion_ontology else 'no'}"
+            )
+            print(f"  recommended_uses: {', '.join(row.recommended_uses)}")
+            for note in row.notes:
+                print(f"  note: {note}")
         return EXIT_OK
     if args.data_command == "audit":
         import json as json_module

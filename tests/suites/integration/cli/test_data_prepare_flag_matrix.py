@@ -139,14 +139,21 @@ def test_download_catalog_uninstall_verbs(tmp_path):
     assert "Prepared ravdess" in result.stdout
 
     result = run("catalog")
-    assert "ravdess: installed (noncommercial/cc-by-nc-sa-4.0" in result.stdout
+    # Reference capability-snapshot text shape (data/cli.py:317-351).
+    assert "- ravdess (RAVDESS)" in result.stdout
+    assert "installed: yes" in result.stdout
+    assert "policy/license: noncommercial / cc-by-nc-sa-4.0" in result.stdout
+    assert "label_schema: emotion_8_class" in result.stdout
+    assert "audio_files: referenced=" in result.stdout
 
     result = run("catalog", "--all", "--format", "json")
     import json
 
-    rows = json.loads(result.stdout)
+    payload = json.loads(result.stdout)
+    rows = payload["entries"]
     assert len(rows) == 16
     assert any(r["dataset_id"] == "ravdess" and r["installed"] for r in rows)
+    assert all("recommended_uses" in r and "label_schema" in r for r in rows)
 
     result = run("uninstall", "--dataset", "ravdess", "--keep-files")
     assert result.returncode == 0 and "files kept" in result.stdout

@@ -1120,6 +1120,27 @@ def _reference_exception(kind: str) -> Exception:
     return getattr(module, cls_name)("e")
 
 
+def op_capability_profiles(payload: dict) -> list[dict]:
+    from ser._internal.data.dataset_capabilities import list_dataset_capability_profiles
+
+    return [
+        {
+            "dataset_id": profile.dataset_id,
+            "summary": profile.summary,
+            "modalities": list(profile.modalities),
+            "label_schema": profile.label_schema,
+            "has_label_mapping": profile.has_label_mapping,
+            "supervised_ser_candidate": profile.supervised_ser_candidate,
+            "ssl_candidate": profile.ssl_candidate,
+            "multimodal_candidate": profile.multimodal_candidate,
+            "mergeable_with_emotion_ontology": profile.mergeable_with_emotion_ontology,
+            "recommended_uses": list(profile.recommended_uses),
+            "notes": list(profile.notes),
+        }
+        for profile in list_dataset_capability_profiles()
+    ]
+
+
 def _manifest_ontology(labels: list[str]):
     from ser._internal.data.ontology import LabelOntology
 
@@ -1298,6 +1319,7 @@ _OPS = {
     "plan_recipe_digest": op_plan_recipe_digest,
     "route_utterance": op_route_utterance,
     "audit_dataset_recipe": op_audit_dataset_recipe,
+    "capability_profiles": op_capability_profiles,
     "manifest_roundtrip": op_manifest_roundtrip,
     "manifest_load": op_manifest_load,
     "manifest_from_record": op_manifest_from_record,
