@@ -196,11 +196,25 @@ class WhisperEncoder(nn.Module):
     #: the forward per block. Inference paths never take a gradient, so the
     #: flag costs them nothing.
     remat: bool = False
+    #: Remat policy: "full" recomputes everything (minimum memory);
+    #: "dots" saves dot_general outputs with no batch dims (every nn.Dense —
+    #: QKV/out/MLP projections) and recomputes only the cheap elementwise and
+    #: attention ops, trading ~2 GB of bf16 activations per (batch=4,
+    #: large-v3) step for skipping the matmul half of the recompute pass.
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(self, mel: jax.Array) -> jax.Array:
         cfg = self.config
-        block_cls = nn.remat(EncoderBlock) if self.remat else EncoderBlock
+        if self.remat:
+            policy = (
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                if self.remat_policy == "dots"
+                else None
+            )
+            block_cls = nn.remat(EncoderBlock, policy=policy)
+        else:
+            block_cls = EncoderBlock
         x = nn.Conv(cfg.d_model, kernel_size=(3,), padding=1, dtype=self.compute_dtype, name="conv1")(mel)
         x = _gelu(x)
         x = nn.Conv(cfg.d_model, kernel_size=(3,), strides=(2,), padding=1, dtype=self.compute_dtype, name="conv2")(x)

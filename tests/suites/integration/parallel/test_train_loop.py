@@ -147,3 +147,58 @@ def test_remat_encoder_numerics_identical():
     leaves_remat = jax.tree_util.tree_leaves(g_remat)
     for a, b in zip(leaves_plain, leaves_remat):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_remat_dots_policy_numerics_identical():
+    """remat_policy='dots' (save Dense outputs, recompute the rest) changes
+    only the memory/recompute schedule — loss and grads match full remat."""
+    import jax
+
+    config, head, waves, labels = _fixture(batch=2, steps=0)
+    params = init_whisper_encoder_params(config, seed=0)
+
+    def loss_for(policy):
+        return encoder_classifier_loss(
+            WhisperEncoder(config, remat=True, remat_policy=policy),
+            params, head, waves, labels,
+        )
+
+    assert float(loss_for("full")) == pytest.approx(float(loss_for("dots")), abs=1e-6)
+    g_full = jax.grad(
+        lambda p: encoder_classifier_loss(
+            WhisperEncoder(config, remat=True, remat_policy="full"),
+            p, head, waves, labels,
+        )
+    )(params)
+    g_dots = jax.grad(
+        lambda p: encoder_classifier_loss(
+            WhisperEncoder(config, remat=True, remat_policy="dots"),
+            p, head, waves, labels,
+        )
+    )(params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_full), jax.tree_util.tree_leaves(g_dots)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_train_loop_adafactor_state_places_and_trains():
+    """Adafactor's factored state (1-D row/col accumulators) survives
+    `place_optimizer_state` + the scanned loop: losses finite, params move."""
+    from ser_tpu.parallel.train_step import place_optimizer_state
+
+    config, head, waves, labels = _fixture(batch=4, steps=2)
+    encoder = WhisperEncoder(config, remat=True, remat_policy="dots")
+    params = init_whisper_encoder_params(config, seed=0)
+    mesh = build_mesh(MeshConfig(model_axis_size=2))
+    place, run_steps, opt = make_sharded_train_loop(
+        encoder, mesh, optimizer=optax.adafactor(1e-3)
+    )
+    with mesh:
+        params, head, waves, labels = place(params, head, waves, labels)
+        before = np.asarray(head["w2"]).copy()
+        state = place_optimizer_state(mesh, opt.init((params, head)))
+        params, head, state, losses = run_steps(params, head, state, waves, labels)
+        losses = np.asarray(losses)
+    assert losses.shape == (2,) and np.all(np.isfinite(losses))
+    assert not np.allclose(np.asarray(head["w2"]), before)
