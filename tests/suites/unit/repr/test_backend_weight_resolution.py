@@ -1,0 +1,272 @@
+"""Per-owner tests for the XLS-R / emotion2vec backend weight-resolution ladder.
+
+Parity surface: reference ``ser/_internal/repr/hf_xlsr.py`` (local-checkpoint
+loading, permanent float32 downgrade after non-finite output) and
+``ser/_internal/repr/emotion2vec.py`` (restricted-backend staging error).
+The HF-layout converter (``models/wav2vec2.load_hf_wav2vec2_params``) is
+pinned here against synthetic torch checkpoints in BOTH feat_extract_norm
+modes and all three on-disk weight-norm layouts of the positional conv
+(plain ``weight``, legacy ``weight_g/weight_v``, torch>=2.1
+``parametrizations.weight.original0/1``).
+"""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ser_tpu._internal.repr.emotion2vec_backend import Emotion2VecBackend
+from ser_tpu._internal.repr.wav2vec2_backend import XlsrBackend
+from ser_tpu._internal.runtime.errors import RuntimeDependencyError
+from ser_tpu.models import wav2vec2
+from ser_tpu.models.wav2vec2 import Wav2Vec2Config
+
+TINY = Wav2Vec2Config.tiny()
+
+
+def _rng_tensor(rng, *shape):
+    import torch
+
+    return torch.from_numpy(rng.standard_normal(shape).astype(np.float32) * 0.05)
+
+
+def build_hf_checkpoint(
+    model_dir,
+    *,
+    feat_extract_norm: str = "layer",
+    do_stable_layer_norm: bool = True,
+    pos_conv_layout: str = "weight",
+    seed: int = 0,
+):
+    """Writes a tiny-config HF wav2vec2 checkpoint (config.json + .bin)."""
+    import torch
+
+    cfg = TINY
+    rng = np.random.default_rng(seed)
+    sd: dict = {}
+    for i, (dim, kernel) in enumerate(zip(cfg.conv_dim, cfg.conv_kernel)):
+        in_ch = 1 if i == 0 else cfg.conv_dim[i - 1]
+        base = f"feature_extractor.conv_layers.{i}"
+        sd[f"{base}.conv.weight"] = _rng_tensor(rng, dim, in_ch, kernel)
+        if feat_extract_norm == "layer":
+            sd[f"{base}.conv.bias"] = _rng_tensor(rng, dim)
+            sd[f"{base}.layer_norm.weight"] = _rng_tensor(rng, dim)
+            sd[f"{base}.layer_norm.bias"] = _rng_tensor(rng, dim)
+        elif i == 0:
+            sd[f"{base}.layer_norm.weight"] = _rng_tensor(rng, dim)
+            sd[f"{base}.layer_norm.bias"] = _rng_tensor(rng, dim)
+    last = cfg.conv_dim[-1]
+    sd["feature_projection.layer_norm.weight"] = _rng_tensor(rng, last)
+    sd["feature_projection.layer_norm.bias"] = _rng_tensor(rng, last)
+    sd["feature_projection.projection.weight"] = _rng_tensor(rng, cfg.hidden_size, last)
+    sd["feature_projection.projection.bias"] = _rng_tensor(rng, cfg.hidden_size)
+
+    k = cfg.num_conv_pos_embeddings
+    in_per_group = cfg.hidden_size // cfg.num_conv_pos_embedding_groups
+    v = rng.standard_normal((cfg.hidden_size, in_per_group, k)).astype(np.float32) * 0.05
+    g = np.abs(rng.standard_normal((1, 1, k)).astype(np.float32)) + 0.5
+    pos_base = "encoder.pos_conv_embed.conv"
+    if pos_conv_layout == "weight":
+        norm = np.linalg.norm(v, axis=(0, 1), keepdims=True)
+        sd[f"{pos_base}.weight"] = torch.from_numpy(g * v / np.maximum(norm, 1e-12))
+    elif pos_conv_layout == "weight_g":
+        sd[f"{pos_base}.weight_g"] = torch.from_numpy(g)
+        sd[f"{pos_base}.weight_v"] = torch.from_numpy(v)
+    else:  # torch >= 2.1 parametrized layout
+        sd[f"{pos_base}.parametrizations.weight.original0"] = torch.from_numpy(g)
+        sd[f"{pos_base}.parametrizations.weight.original1"] = torch.from_numpy(v)
+    sd[f"{pos_base}.bias"] = _rng_tensor(rng, cfg.hidden_size)
+
+    sd["encoder.layer_norm.weight"] = _rng_tensor(rng, cfg.hidden_size)
+    sd["encoder.layer_norm.bias"] = _rng_tensor(rng, cfg.hidden_size)
+    for i in range(cfg.num_hidden_layers):
+        base = f"encoder.layers.{i}"
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            sd[f"{base}.attention.{proj}.weight"] = _rng_tensor(
+                rng, cfg.hidden_size, cfg.hidden_size
+            )
+            sd[f"{base}.attention.{proj}.bias"] = _rng_tensor(rng, cfg.hidden_size)
+        for ln in ("layer_norm", "final_layer_norm"):
+            sd[f"{base}.{ln}.weight"] = _rng_tensor(rng, cfg.hidden_size)
+            sd[f"{base}.{ln}.bias"] = _rng_tensor(rng, cfg.hidden_size)
+        sd[f"{base}.feed_forward.intermediate_dense.weight"] = _rng_tensor(
+            rng, cfg.intermediate_size, cfg.hidden_size
+        )
+        sd[f"{base}.feed_forward.intermediate_dense.bias"] = _rng_tensor(
+            rng, cfg.intermediate_size
+        )
+        sd[f"{base}.feed_forward.output_dense.weight"] = _rng_tensor(
+            rng, cfg.hidden_size, cfg.intermediate_size
+        )
+        sd[f"{base}.feed_forward.output_dense.bias"] = _rng_tensor(rng, cfg.hidden_size)
+
+    model_dir.mkdir(parents=True, exist_ok=True)
+    torch.save(sd, model_dir / "pytorch_model.bin")
+    (model_dir / "config.json").write_text(
+        json.dumps(
+            {
+                "hidden_size": cfg.hidden_size,
+                "num_hidden_layers": cfg.num_hidden_layers,
+                "num_attention_heads": cfg.num_attention_heads,
+                "intermediate_size": cfg.intermediate_size,
+                "conv_dim": list(cfg.conv_dim),
+                "conv_kernel": list(cfg.conv_kernel),
+                "conv_stride": list(cfg.conv_stride),
+                "num_conv_pos_embeddings": cfg.num_conv_pos_embeddings,
+                "num_conv_pos_embedding_groups": cfg.num_conv_pos_embedding_groups,
+                "feat_extract_norm": feat_extract_norm,
+                "do_stable_layer_norm": do_stable_layer_norm,
+            }
+        ),
+        encoding="utf-8",
+    )
+    return model_dir
+
+
+# --- resolution ladder gating -------------------------------------------------
+
+
+def test_missing_weights_raise_typed_error(tmp_path, monkeypatch):
+    monkeypatch.delenv("SER_ALLOW_RANDOM_INIT", raising=False)
+    with pytest.raises(RuntimeDependencyError, match="SER_ALLOW_RANDOM_INIT"):
+        XlsrBackend(model_id="facebook/wav2vec2-xls-r-300m", cache_root=tmp_path)
+
+
+def test_emotion2vec_missing_weights_point_at_staging(tmp_path, monkeypatch):
+    monkeypatch.delenv("SER_ALLOW_RANDOM_INIT", raising=False)
+    with pytest.raises(RuntimeDependencyError, match="restricted backend"):
+        Emotion2VecBackend(model_id="iic/emotion2vec_plus_large", cache_root=tmp_path)
+
+
+def test_env_gate_allows_tiny_random_init(tmp_path, monkeypatch):
+    monkeypatch.setenv("SER_ALLOW_RANDOM_INIT", "1")
+    monkeypatch.delenv("SER_RANDOM_INIT_SIZE", raising=False)
+    backend = XlsrBackend(model_id="facebook/wav2vec2-xls-r-300m", cache_root=tmp_path)
+    assert backend.feature_dim == TINY.hidden_size
+
+
+def test_random_init_size_full_selects_production_dims(tmp_path, monkeypatch):
+    """Bench mode must init XLS-R-300M dims, not tiny (params stubbed out)."""
+    monkeypatch.setenv("SER_ALLOW_RANDOM_INIT", "1")
+    monkeypatch.setenv("SER_RANDOM_INIT_SIZE", "full")
+    seen: list[Wav2Vec2Config] = []
+
+    def fake_init(cfg, seed=0):
+        seen.append(cfg)
+        return {}
+
+    monkeypatch.setattr(wav2vec2, "init_wav2vec2_params", fake_init)
+    backend = XlsrBackend(model_id="facebook/wav2vec2-xls-r-300m", cache_root=tmp_path)
+    assert seen and seen[0].hidden_size == Wav2Vec2Config().hidden_size == 1024
+    assert backend.feature_dim == 1024
+
+
+# --- HF checkpoint loading ----------------------------------------------------
+
+
+def test_hf_layer_norm_checkpoint_loads_and_encodes(tmp_path, monkeypatch):
+    monkeypatch.delenv("SER_ALLOW_RANDOM_INIT", raising=False)
+    build_hf_checkpoint(tmp_path / "facebook" / "tiny-xlsr")
+    backend = XlsrBackend(model_id="facebook/tiny-xlsr", cache_root=tmp_path)
+    audio = (0.1 * np.random.default_rng(1).standard_normal(16000)).astype(np.float32)
+    encoded = backend.encode_sequence(audio, 16000)
+    assert encoded.backend_id == "jax_xlsr"
+    assert encoded.embeddings.shape == (
+        backend._frames_for_length(16000),
+        TINY.hidden_size,
+    )
+    assert np.isfinite(encoded.embeddings).all()
+
+
+def test_hf_group_norm_checkpoint_loads_and_encodes(tmp_path, monkeypatch):
+    """wav2vec2-base layout: group-norm frontend, post-norm transformer."""
+    monkeypatch.delenv("SER_ALLOW_RANDOM_INIT", raising=False)
+    build_hf_checkpoint(
+        tmp_path / "facebook" / "tiny-base",
+        feat_extract_norm="group",
+        do_stable_layer_norm=False,
+    )
+    backend = XlsrBackend(model_id="facebook/tiny-base", cache_root=tmp_path)
+    params = backend._params
+    assert "conv_gn" in params["feature_encoder"]
+    assert "bias" not in params["feature_encoder"]["conv_0"]
+    assert "encoder_pre_ln" in params
+    audio = (0.1 * np.random.default_rng(3).standard_normal(8000)).astype(np.float32)
+    encoded = backend.encode_sequence(audio, 16000)
+    assert np.isfinite(encoded.embeddings).all()
+
+
+@pytest.mark.parametrize("layout", ["weight_g", "parametrizations"])
+def test_pos_conv_weight_norm_layouts_reconstruct_plain_weight(tmp_path, layout):
+    """g*v/||v|| from either weight-norm layout equals the plain weight."""
+    plain_dir = build_hf_checkpoint(tmp_path / "plain", pos_conv_layout="weight", seed=7)
+    norm_dir = build_hf_checkpoint(tmp_path / layout, pos_conv_layout=layout, seed=7)
+    cfg = wav2vec2.config_from_hf_dir(plain_dir)
+    plain = wav2vec2.load_hf_wav2vec2_params(plain_dir, cfg)
+    reconstructed = wav2vec2.load_hf_wav2vec2_params(norm_dir, cfg)
+    np.testing.assert_allclose(
+        plain["pos_embed"]["pos_conv"]["kernel"],
+        reconstructed["pos_embed"]["pos_conv"]["kernel"],
+        rtol=1e-6,
+        atol=1e-7,
+    )
+
+
+def test_emotion2vec_hf_layout_fallback(tmp_path, monkeypatch):
+    """A re-exported HF-layout checkpoint (config.json, no model.pt) loads."""
+    monkeypatch.delenv("SER_ALLOW_RANDOM_INIT", raising=False)
+    build_hf_checkpoint(tmp_path / "iic" / "emotion2vec_plus_large")
+    backend = Emotion2VecBackend(
+        model_id="iic/emotion2vec_plus_large", cache_root=tmp_path
+    )
+    assert backend.backend_id == "emotion2vec"
+    assert backend.feature_dim == TINY.hidden_size
+
+
+# --- float32 downgrade semantics ---------------------------------------------
+
+
+def _tiny_bf16_backend():
+    return XlsrBackend(
+        model_id="test/tiny",
+        cache_root="/nonexistent",
+        dtype="bfloat16",
+        init="random",
+        config=TINY,
+    )
+
+
+def test_bf16_backend_stores_params_in_bf16():
+    backend = _tiny_bf16_backend()
+    import jax
+
+    leaves = jax.tree.leaves(backend._params)
+    assert all(leaf.dtype == jnp.bfloat16 for leaf in leaves)
+
+
+def test_switch_to_float32_is_permanent(monkeypatch):
+    backend = _tiny_bf16_backend()
+    backend._switch_to_float32()
+    import jax
+
+    assert backend._dtype == jnp.float32
+    assert all(leaf.dtype == jnp.float32 for leaf in jax.tree.leaves(backend._params))
+    # Later encodes run the f32 model — and the switch is idempotent.
+    backend._switch_to_float32()
+    audio = (0.1 * np.random.default_rng(5).standard_normal(8000)).astype(np.float32)
+    encoded = backend.encode_sequence(audio, 16000)
+    assert np.isfinite(encoded.embeddings).all()
+
+
+def test_switch_to_float32_noop_when_already_f32(xlsr_f32=None):
+    backend = XlsrBackend(
+        model_id="test/tiny",
+        cache_root="/nonexistent",
+        dtype="float32",
+        init="random",
+        config=TINY,
+    )
+    params_before = backend._params
+    backend._switch_to_float32()
+    assert backend._params is params_before
