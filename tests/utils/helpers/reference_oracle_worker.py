@@ -1271,6 +1271,39 @@ def op_collect_reference_files(payload: dict) -> list[str]:
     return [str(p) for p in files]
 
 
+def _ref_sampling_items(rows: list[dict]):
+    from ser._internal.models import utterance_sampling as ref_sampling
+
+    return [ref_sampling.UtteranceSamplingItem(**row) for row in rows]
+
+
+def op_sampling_distribution(payload: dict) -> list[tuple[str, str, str, float]]:
+    from ser._internal.models import utterance_sampling as ref_sampling
+
+    rows = ref_sampling.utterance_sampling_distribution(
+        _ref_sampling_items(payload["items"])
+    )
+    return [(r.sample_id, r.corpus, r.label, r.probability) for r in rows]
+
+
+def op_sampling_contributions(payload: dict) -> dict:
+    from ser._internal.models import utterance_sampling as ref_sampling
+
+    return ref_sampling.sampling_contributions(_ref_sampling_items(payload["items"]))
+
+
+def op_select_windows(payload: dict) -> tuple[int, ...]:
+    from ser._internal.models import utterance_sampling as ref_sampling
+
+    return ref_sampling.select_training_windows(
+        sample_id=payload["sample_id"],
+        window_count=payload["window_count"],
+        max_windows=payload["max_windows"],
+        seed=payload["seed"],
+        epoch=payload["epoch"],
+    )
+
+
 _OPS = {
     "postprocess": op_postprocess,
     "windows": op_windows,
@@ -1329,6 +1362,9 @@ _OPS = {
     "stratified_subset": op_stratified_subset,
     "subset_coverage": op_subset_coverage,
     "collect_reference_files": op_collect_reference_files,
+    "sampling_distribution": op_sampling_distribution,
+    "sampling_contributions": op_sampling_contributions,
+    "select_windows": op_select_windows,
 }
 
 
