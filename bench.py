@@ -488,11 +488,13 @@ def _bench_train() -> tuple[float, str, dict]:
 
     BASELINE.md's final benchmark config ("accurate-research + `ser --train`
     with pmap data parallelism"): the sharded end-to-end train step (encoder
-    forward -> pool -> head -> cross-entropy -> grads -> adam) at large-v3
-    dims with per-block remat, run K steps per dispatch via
+    forward -> pool -> head -> cross-entropy -> grads -> optimizer) at
+    large-v3 dims with per-block remat, run K steps per dispatch via
     make_sharded_train_loop — per-step dispatch over the remote tunnel
-    re-ships the ~10 GB param/adam tree (measured 17-31 s/step vs 244 ms
-    inside the scan).
+    re-ships the multi-GB param/optimizer tree (measured 17-31 s/step vs
+    244 ms inside the scan). Optimizer/remat = adafactor + 'dots', the
+    measured single-chip optimum (TRAIN_ABLATION_r03.json: 294.9 audio-s/s
+    vs adam+full's 250.6; adam+dots OOMs, adafactor frees the ~5 GB mu/nu).
     """
     import jax
     import jax.numpy as jnp
@@ -507,10 +509,12 @@ def _bench_train() -> tuple[float, str, dict]:
     from ser_tpu.parallel.mesh import build_mesh
     from ser_tpu.parallel.train_step import make_sharded_train_loop
 
+    import optax
+
     on_tpu = any(d.platform != "cpu" for d in jax.devices())
     config = WhisperConfig() if on_tpu else WhisperConfig.tiny()
-    # Batch 4 is the measured single-chip optimum at large-v3 dims (8 OOMs a
-    # 16 GB chip next to f32 adam state; 2 leaves the MXU underfed).
+    # Batch 4 + adafactor + 'dots' is the measured single-chip optimum at
+    # large-v3 dims (TRAIN_ABLATION_r03.json; batch 8 fits but gains nothing).
     batch = 4 if on_tpu else 2
     n_steps = int(os.environ.get("SER_BENCH_TRAIN_STEPS", "3"))
     chunk = CHUNK_SAMPLES if on_tpu else CHUNK_SAMPLES // 30
@@ -519,6 +523,7 @@ def _bench_train() -> tuple[float, str, dict]:
         config,
         compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
         remat=True,
+        remat_policy="dots",
     )
     encoder_params = init_whisper_encoder_params(config, seed=0)
     rng = np.random.default_rng(0)
@@ -537,12 +542,18 @@ def _bench_train() -> tuple[float, str, dict]:
         rng.integers(0, 8, size=(n_steps, batch)), dtype=jnp.int32
     )
     mesh = build_mesh(MeshConfig(model_axis_size=1), devices=jax.devices()[:1])
-    place, run_steps, optimizer = make_sharded_train_loop(encoder, mesh)
+    place, run_steps, optimizer = make_sharded_train_loop(
+        encoder, mesh, optimizer=optax.adafactor(1e-4)
+    )
     with mesh:
         encoder_params, head, waveforms, labels = place(
             encoder_params, head, waveforms, labels
         )
-        opt_state = optimizer.init((encoder_params, head))
+        from ser_tpu.parallel.train_step import place_optimizer_state
+
+        # Adafactor's factored moments are fresh shapes (not zeros_like of
+        # params): commit them to the mesh explicitly.
+        opt_state = place_optimizer_state(mesh, optimizer.init((encoder_params, head)))
         # TWO warm calls: the first compiles; the second absorbs the one
         # recompile caused by GSPMD output shardings differing from the
         # explicit input placements (measured: call1 recompiles, call2 hits

@@ -10,9 +10,12 @@ no encoder-training counterpart; this is the TPU-native scale-out lane):
     (save every nn.Dense output across the remat boundary — skips the matmul
     half of the recompute at ~2 GB bf16 activation cost per batch-4 step).
 
-Each config runs in the CURRENT process sequentially (state is freed between
-configs); a config that OOMs is recorded as {"oom": true} rather than
-aborting the sweep. Emits JSON to stdout and TRAIN_ABLATION_r03.json.
+Each config runs in its OWN subprocess: the TPU runtime does not reliably
+reclaim the prior config's ~10 GB of live state within one process (measured:
+adafactor-b4 OOMs after an adam-b4 run that fits standalone), so process
+isolation is the only honest A/B. A config that OOMs is recorded as
+{"oom": true} rather than aborting the sweep. Emits JSON to stdout and
+TRAIN_ABLATION_r03.json.
 
 Usage: python scripts/profile_train_ablation.py [--steps 3] [--out path]
 """
@@ -107,6 +110,29 @@ def run_config(optimizer_name: str, remat_policy: str, batch: int, n_steps: int)
     }
 
 
+def run_single(spec: str, n_steps: int) -> int:
+    """Child mode: run ONE config and print its JSON row on the last line."""
+    optimizer_name, policy, batch = spec.strip().split(":")
+    try:
+        row = run_config(optimizer_name, policy, int(batch), n_steps)
+    except Exception as err:
+        msg = str(err)
+        oom = (
+            "RESOURCE_EXHAUSTED" in msg
+            or "Out of memory" in msg.lower()
+            or "oom" in msg.lower()
+        )
+        row = {
+            "optimizer": optimizer_name,
+            "remat_policy": policy,
+            "batch": int(batch),
+            "oom": oom,
+            "error": msg.splitlines()[0][:300],
+        }
+    print(json.dumps(row), flush=True)
+    return 0
+
+
 def main() -> int:
     parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     parser.add_argument("--steps", type=int, default=3)
@@ -118,25 +144,45 @@ def main() -> int:
         default="adam:full:4,adam:dots:4,adafactor:full:4,adafactor:dots:4,adafactor:full:8,adafactor:dots:8",
         help="comma list of optimizer:remat_policy:batch",
     )
+    parser.add_argument("--single", help="(internal) run one optimizer:policy:batch config")
+    parser.add_argument(
+        "--timeout", type=int, default=1500, help="per-config subprocess timeout (s)"
+    )
     args = parser.parse_args()
+
+    if args.single:
+        return run_single(args.single, args.steps)
+
+    import subprocess
+    import sys
 
     results = []
     for spec in args.configs.split(","):
-        optimizer_name, policy, batch = spec.strip().split(":")
-        label = f"{optimizer_name}:{policy}:b{batch}"
-        try:
-            row = run_config(optimizer_name, policy, int(batch), args.steps)
-        except Exception as err:  # OOM or compile failure: record, continue
-            msg = str(err)
-            oom = "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg.lower() or "oom" in msg.lower()
+        spec = spec.strip()
+        label = spec.replace(":", ":", 1)
+        proc = subprocess.run(
+            [sys.executable, __file__, "--single", spec, "--steps", str(args.steps)],
+            capture_output=True,
+            text=True,
+            timeout=args.timeout,
+        )
+        row = None
+        for line in reversed(proc.stdout.splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                row = json.loads(line)
+                break
+        if row is None:
+            optimizer_name, policy, batch = spec.split(":")
+            tail = (proc.stderr or proc.stdout).splitlines()[-1:] or [""]
             row = {
                 "optimizer": optimizer_name,
                 "remat_policy": policy,
                 "batch": int(batch),
-                "oom": oom,
-                "error": msg.splitlines()[0][:300],
+                "oom": "RESOURCE_EXHAUSTED" in (proc.stderr or ""),
+                "error": f"subprocess exit {proc.returncode}: {tail[0][:200]}",
             }
-        print(f"[{label}] {json.dumps(row)}", flush=True)
+        print(f"[{spec}] {json.dumps(row)}", flush=True)
         results.append(row)
 
     payload = {"configs": results, "steps_per_dispatch": args.steps}

@@ -69,18 +69,21 @@ def main() -> int:
     parser.add_argument(
         "--optimizer",
         choices=("adam", "adafactor"),
-        default="adam",
+        default="adafactor",
         help="adafactor stores factored second moments (no mu/nu trees): "
         "frees ~5 GB of optimizer HBM at large-v3 dims, enabling bigger "
-        "batches or a lighter remat policy.",
+        "batches or a lighter remat policy. Measured single-chip optimum "
+        "(TRAIN_ABLATION_r03.json): adafactor+dots 294.9 audio-s/s vs "
+        "adam+full 250.6.",
     )
     parser.add_argument(
         "--remat-policy",
         choices=("full", "dots"),
-        default="full",
+        default="dots",
         help="'dots' saves Dense matmul outputs across the remat boundary "
         "(skips the matmul half of the recompute pass, costs ~2 GB bf16 "
-        "activations at batch 4 large-v3).",
+        "activations at batch 4 large-v3). Fits alongside adafactor state; "
+        "OOMs next to adam's mu/nu trees.",
     )
     parser.add_argument("--checkpoint", type=Path, help="Trajectory checkpoint dir.")
     parser.add_argument(
