@@ -646,7 +646,13 @@ class WhisperForTranscription:
 
     def _special(self, token: str) -> int:
         ids = self.tokenizer.convert_tokens_to_ids([token])
-        if ids[0] is None or ids[0] == self.tokenizer.unk_token_id:
+        # Mapping to unk means "missing" — EXCEPT when the requested token IS
+        # the unk token: real Whisper tokenizers alias unk to <|endoftext|>
+        # (HF tokenizer_config.json), so EOT legitimately resolves to unk_id.
+        unk_matches = ids[0] == self.tokenizer.unk_token_id and token != str(
+            getattr(self.tokenizer, "unk_token", "")
+        )
+        if ids[0] is None or unk_matches:
             raise ValueError(f"Tokenizer lacks special token {token}")
         return int(ids[0])
 
