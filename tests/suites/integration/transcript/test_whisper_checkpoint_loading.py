@@ -198,6 +198,24 @@ def test_from_pretrained_dir_builds_working_model(checkpoint_dir):
         assert isinstance(word.word, str) and word.word
 
 
+def test_encoder_backend_loads_staged_checkpoint(tmp_path, monkeypatch):
+    """The accurate profile's encoder backend shares the converter: its
+    staged-HF branch must load without SER_ALLOW_RANDOM_INIT."""
+    monkeypatch.delenv("SER_ALLOW_RANDOM_INIT", raising=False)
+    from ser_tpu._internal.repr.whisper_backend import WhisperEncoderBackend
+
+    cache_root = tmp_path / "model-cache"
+    build_whisper_checkpoint(cache_root / "OpenAI" / "whisper" / "test-tiny")
+    backend = WhisperEncoderBackend(
+        model_id="OpenAI/whisper/test-tiny", cache_root=cache_root
+    )
+    assert backend.feature_dim == TINY.d_model
+    audio = (0.1 * np.random.default_rng(2).standard_normal(16000)).astype(np.float32)
+    encoded = backend.encode_sequence(audio, 16000)
+    assert encoded.backend_id == "jax_whisper_encoder"
+    assert np.isfinite(encoded.embeddings).all()
+
+
 def test_adapter_staged_assets_end_to_end(tmp_path):
     """The production path: cache_root staging → load_model → transcribe."""
     from ser_tpu._internal.transcript.jax_whisper_backend import JaxWhisperTranscriber
