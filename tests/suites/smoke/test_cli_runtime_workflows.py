@@ -6,7 +6,6 @@ real artifacts.
 """
 
 import json
-import os
 import subprocess
 import sys
 from pathlib import Path
@@ -14,21 +13,25 @@ from pathlib import Path
 import pytest
 
 SCRIPTS = Path(__file__).resolve().parents[3] / "scripts"
+HELPERS = Path(__file__).resolve().parents[3] / "tests" / "utils" / "helpers"
 sys.path.insert(0, str(SCRIPTS))
+sys.path.insert(0, str(HELPERS))
 from build_synthetic_ravdess_dataset import build_dataset  # noqa: E402
+from subprocess_env import local_cpu_env  # noqa: E402
 
 
 @pytest.fixture(scope="module")
 def env(tmp_path_factory):
     root = tmp_path_factory.mktemp("cli_smoke")
     build_dataset(root / "dataset", actors=2, repetitions=2, seconds=3.2)
-    env = dict(os.environ)
+    # local_cpu_env scrubs the remote-compile TPU plugin so CLI subprocesses
+    # compile locally regardless of tunnel state.
+    env = local_cpu_env()
     env.update(
         SER_DATASET_FOLDER=str(root / "dataset"),
         SER_MODELS_FOLDER=str(root / "models"),
         SER_TRANSCRIPTS_FOLDER=str(root / "transcripts"),
         SER_TMP_FOLDER=str(root / "tmp"),
-        JAX_PLATFORMS="cpu",
     )
     return root, env
 

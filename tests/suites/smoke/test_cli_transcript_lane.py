@@ -7,7 +7,6 @@ reference ships by default: fast inference + transcription + subtitle
 rendering + persisted transcript, through real subprocesses.
 """
 
-import os
 import subprocess
 import sys
 from pathlib import Path
@@ -18,9 +17,12 @@ SCRIPTS = Path(__file__).resolve().parents[3] / "scripts"
 TRANSCRIPT_SUITE = (
     Path(__file__).resolve().parents[1] / "integration" / "transcript"
 )
+HELPERS = Path(__file__).resolve().parents[3] / "tests" / "utils" / "helpers"
 sys.path.insert(0, str(SCRIPTS))
 sys.path.insert(0, str(TRANSCRIPT_SUITE))
+sys.path.insert(0, str(HELPERS))
 from build_synthetic_ravdess_dataset import build_dataset  # noqa: E402
+from subprocess_env import local_cpu_env  # noqa: E402
 from test_whisper_checkpoint_loading import build_whisper_checkpoint  # noqa: E402
 
 
@@ -29,7 +31,9 @@ def env(tmp_path_factory):
     root = tmp_path_factory.mktemp("cli_transcript")
     build_dataset(root / "dataset", actors=2, repetitions=2, seconds=3.2)
     build_whisper_checkpoint(root / "cache" / "OpenAI" / "whisper" / "test-tiny")
-    env = dict(os.environ)
+    # local_cpu_env scrubs the remote-compile TPU plugin so CLI subprocesses
+    # compile locally regardless of tunnel state.
+    env = local_cpu_env()
     env.update(
         SER_DATASET_FOLDER=str(root / "dataset"),
         SER_MODELS_FOLDER=str(root / "models"),
@@ -37,7 +41,6 @@ def env(tmp_path_factory):
         SER_TMP_FOLDER=str(root / "tmp"),
         SER_MODEL_CACHE_DIR=str(root / "cache"),
         WHISPER_MODEL="test-tiny",
-        JAX_PLATFORMS="cpu",
     )
     result = _run(["--train"], env)
     assert result.returncode == 0, result.stderr
