@@ -236,6 +236,12 @@ class ModelsConfig:
         return self.model_cache_dir / "huggingface"
 
     @property
+    def modelscope_cache_root(self) -> Path:
+        """ModelScope hub cache for the emotion2vec/FunASR family (reference
+        ``config/schema.py:338-341``)."""
+        return self.model_cache_dir / "modelscope" / "hub"
+
+    @property
     def orbax_checkpoint_root(self) -> Path:
         """Root for orbax-persisted JAX encoder/head checkpoints (TPU-native addition)."""
         return self.model_cache_dir / "orbax"

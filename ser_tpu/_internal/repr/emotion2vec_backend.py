@@ -42,11 +42,18 @@ class Emotion2VecBackend(XlsrBackend):
         *,
         model_id: str,
         cache_root: Path,
+        modelscope_cache_root: Path | None = None,
+        hub: str | None = None,
         dtype: str = "float32",
         init: str = "auto",
         config: wav2vec2.Wav2Vec2Config | None = None,
         params: dict | None = None,
     ) -> None:
+        # Set before super().__init__: the base constructor resolves weights.
+        self._modelscope_cache_root = (
+            Path(modelscope_cache_root) if modelscope_cache_root is not None else None
+        )
+        self._hub = resolve_hub(model_id=model_id, hub=hub)
         super().__init__(
             model_id=model_id,
             cache_root=cache_root,
@@ -57,7 +64,24 @@ class Emotion2VecBackend(XlsrBackend):
         )
 
     def _resolve_weights(self, cache_root, model_id, init, config):
-        model_dir = resolve_local_model_dir(Path(cache_root), model_id)
+        # Hub-ordered staging roots (reference ``emotion2vec.py:491-504``:
+        # `iic/*` ids live on ModelScope, others on HF). Zero-egress runtime:
+        # "hub" selects which LOCAL cache root is searched first; the other
+        # stays as fallback for re-staged checkpoints.
+        roots = [Path(cache_root)]
+        if self._modelscope_cache_root is not None:
+            if self._hub == "ms":
+                roots.insert(0, self._modelscope_cache_root)
+            else:
+                roots.append(self._modelscope_cache_root)
+        model_dir = next(
+            (
+                found
+                for root in roots
+                if (found := resolve_local_model_dir(root, model_id)) is not None
+            ),
+            None,
+        )
         allow_random = init == "random" or (
             init == "auto" and os.environ.get("SER_ALLOW_RANDOM_INIT", "") == "1"
         )
@@ -90,14 +114,35 @@ class Emotion2VecBackend(XlsrBackend):
             )
             return cfg, wav2vec2.init_wav2vec2_params(cfg)
         raise RuntimeDependencyError(
-            f"No local weights for restricted backend {model_id!r} under {cache_root}. "
-            "Stage the checkpoint locally after accepting its license "
-            "(`ser configure --enable-backend emotion2vec`)."
+            f"No local weights for restricted backend {model_id!r} under "
+            f"{[str(r) for r in roots]}. Stage the checkpoint locally after "
+            "accepting its license (`ser configure --enable-backend emotion2vec`)."
         )
 
     @property
     def backend_id(self) -> str:
         return "emotion2vec"
 
+    @property
+    def hub(self) -> str:
+        """Selected hub for staging-root search order (``ms`` or ``hf``)."""
+        return self._hub
 
-__all__ = ["Emotion2VecBackend"]
+
+def resolve_hub(*, model_id: str, hub: str | None) -> str:
+    """Normalizes hub selection (reference ``emotion2vec.py:491-504``).
+
+    ``iic/*`` model ids default to ModelScope (where the emotion2vec family
+    is published); everything else defaults to Hugging Face.
+    """
+    if hub is not None:
+        normalized = hub.strip().lower()
+        if normalized in {"ms", "modelscope"}:
+            return "ms"
+        if normalized in {"hf", "huggingface"}:
+            return "hf"
+        raise ValueError("hub must be one of: ms, modelscope, hf, huggingface.")
+    return "ms" if model_id.strip().lower().startswith("iic/") else "hf"
+
+
+__all__ = ["Emotion2VecBackend", "resolve_hub"]

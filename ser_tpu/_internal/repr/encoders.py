@@ -120,6 +120,9 @@ def _build_encoder_backend_uncached(
         return Emotion2VecBackend(
             model_id=model_id,
             cache_root=settings.models.huggingface_cache_root,
+            # FunASR checkpoints stage under the ModelScope hub cache
+            # (reference accurate_research_inference.py passes both roots).
+            modelscope_cache_root=settings.models.modelscope_cache_root,
             dtype=dtype,
         )
     raise RuntimeDependencyError(

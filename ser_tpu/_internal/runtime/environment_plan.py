@@ -43,6 +43,10 @@ def build_runtime_environment_plan(settings: AppConfig) -> RuntimeEnvironmentPla
             "HF_HUB_CACHE": str(hub_cache),
             "HUGGINGFACE_HUB_CACHE": str(hub_cache),
             "HF_HUB_OFFLINE": "1",  # this runtime never downloads at inference time
+            # ModelScope cache for the emotion2vec/FunASR lane (reference
+            # environment_plan.py:89-90 scopes this to the accurate-research
+            # workflow; one flat plan here since every entry is cache-root-only).
+            "MODELSCOPE_CACHE": str(settings.models.modelscope_cache_root),
         }
     )
 

@@ -31,11 +31,18 @@ def ensure_compilation_cache() -> None:
         return
     try:
         import jax
-        # Remote-compile plugins (PALLAS_AXON_REMOTE_COMPILE) route ALL
-        # compiles — including CPU executables — through the remote machine,
-        # whose CPU features differ from the host; caching those locally risks
-        # SIGILL on replay. Disable the persistent cache entirely there.
-        if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1":
+        # Remote-compile plugins route ALL compiles — including CPU
+        # executables — through the remote machine, whose CPU features differ
+        # from the host; caching those locally risks SIGILL on replay.
+        # Disable the persistent cache entirely there. The plugin registers
+        # whenever its pool address is configured (sitecustomize keys off
+        # PALLAS_AXON_POOL_IPS), so gate on that too — a pool-configured
+        # process with the explicit remote-compile flag unset still compiles
+        # remotely and was observed depositing foreign-machine CPU AOT
+        # artifacts into the shared cache.
+        if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1" or os.environ.get(
+            "PALLAS_AXON_POOL_IPS"
+        ):
             logger.debug("Remote-compile plugin active; skipping local XLA cache.")
             return
 

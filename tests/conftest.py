@@ -45,7 +45,9 @@ def _enable_persistent_compile_cache() -> None:
     Skipped under remote-compile plugins: they compile even CPU executables on
     a foreign machine, and caching those locally risks SIGILL on replay.
     """
-    if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1":
+    if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1" or os.environ.get(
+        "PALLAS_AXON_POOL_IPS"
+    ):
         return
     import jax
 

@@ -224,6 +224,47 @@ def test_emotion2vec_hf_layout_fallback(tmp_path, monkeypatch):
     assert backend.feature_dim == TINY.hidden_size
 
 
+def test_emotion2vec_loads_from_modelscope_cache_root(tmp_path, monkeypatch):
+    """A checkpoint staged ONLY under the ModelScope hub cache resolves —
+    the reference passes both roots and `iic/*` ids live on ModelScope
+    (emotion2vec.py:117-131, 491-504); the HF root stays empty here."""
+    monkeypatch.delenv("SER_ALLOW_RANDOM_INIT", raising=False)
+    ms_root = tmp_path / "modelscope" / "hub"
+    build_hf_checkpoint(ms_root / "iic" / "emotion2vec_plus_large")
+    backend = Emotion2VecBackend(
+        model_id="iic/emotion2vec_plus_large",
+        cache_root=tmp_path / "huggingface",  # does not exist
+        modelscope_cache_root=ms_root,
+    )
+    assert backend.hub == "ms"
+    assert backend.feature_dim == TINY.hidden_size
+
+
+def test_emotion2vec_hub_order_and_missing_error_names_both_roots(
+    tmp_path, monkeypatch
+):
+    monkeypatch.delenv("SER_ALLOW_RANDOM_INIT", raising=False)
+    with pytest.raises(RuntimeDependencyError, match="modelscope"):
+        Emotion2VecBackend(
+            model_id="iic/emotion2vec_plus_large",
+            cache_root=tmp_path / "hf",
+            modelscope_cache_root=tmp_path / "modelscope",
+        )
+
+
+def test_emotion2vec_hub_resolution_contract():
+    """Reference emotion2vec.py:491-504: explicit aliases normalize; default
+    follows the `iic/` namespace; unknown hubs fail loudly."""
+    from ser_tpu._internal.repr.emotion2vec_backend import resolve_hub
+
+    assert resolve_hub(model_id="iic/emotion2vec_plus_large", hub=None) == "ms"
+    assert resolve_hub(model_id="other/model", hub=None) == "hf"
+    assert resolve_hub(model_id="other/model", hub="ModelScope") == "ms"
+    assert resolve_hub(model_id="iic/x", hub="HuggingFace") == "hf"
+    with pytest.raises(ValueError, match="hub must be one of"):
+        resolve_hub(model_id="iic/x", hub="zenodo")
+
+
 # --- float32 downgrade semantics ---------------------------------------------
 
 

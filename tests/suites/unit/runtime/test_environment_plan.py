@@ -17,6 +17,15 @@ class TestBuildPlan:
         assert plan.set_vars["HF_HUB_OFFLINE"] == "1"
         assert plan.set_vars["HF_HOME"] == str(settings.models.huggingface_cache_root)
 
+    def test_plan_pins_modelscope_cache_for_research_lane(self):
+        """Reference environment_plan.py:89-90: MODELSCOPE_CACHE rides the plan;
+        the root is <model_cache_dir>/modelscope/hub (schema.py:338-341)."""
+        settings = reload_settings()
+        plan = build_runtime_environment_plan(settings)
+        root = settings.models.modelscope_cache_root
+        assert plan.set_vars["MODELSCOPE_CACHE"] == str(root)
+        assert root == settings.models.model_cache_dir / "modelscope" / "hub"
+
 
 class TestTemporaryProcessEnv:
     def test_sets_and_restores_preexisting_value(self, monkeypatch):

@@ -58,3 +58,16 @@ def test_ensure_compilation_cache_skips_under_remote_compile(monkeypatch):
     before = jax.config.jax_compilation_cache_dir
     jax_runtime.ensure_compilation_cache()
     assert jax.config.jax_compilation_cache_dir == before
+
+
+def test_ensure_compilation_cache_skips_when_pool_configured(monkeypatch):
+    # The plugin's sitecustomize registers off PALLAS_AXON_POOL_IPS alone; a
+    # pool-configured process still compiles remotely even with the explicit
+    # remote-compile flag unset, so the cache gate must cover it too.
+    monkeypatch.setattr(jax_runtime, "_configured", False)
+    monkeypatch.setenv("SER_JAX_CACHE", "1")
+    monkeypatch.delenv("PALLAS_AXON_REMOTE_COMPILE", raising=False)
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+    before = jax.config.jax_compilation_cache_dir
+    jax_runtime.ensure_compilation_cache()
+    assert jax.config.jax_compilation_cache_dir == before
