@@ -30,9 +30,10 @@ MODEL_ID = "synthetic/tiny-xlsr"
 @pytest.fixture(scope="module")
 def env(tmp_path_factory):
     root = tmp_path_factory.mktemp("cli_medium")
-    # Smallest corpus the split ladder accepts: single-core CI hosts spend
-    # most of this test's budget in XLA CPU compiles, not math.
-    build_dataset(root / "dataset", actors=2, repetitions=1, seconds=3.2)
+    # Smallest corpus the split ladder accepts; 1.9 s clips stay in the 2 s
+    # chunk bucket (XLA CPU's conv-frontend lowering is ~quadratic-per-bucket
+    # in wall clock, so clip length directly gates this smoke's budget).
+    build_dataset(root / "dataset", actors=2, repetitions=1, seconds=1.9)
     build_hf_checkpoint(root / "cache" / "huggingface" / MODEL_ID)
     # local_cpu_env: a child inheriting the remote-compile TPU plugin pays
     # minutes per XLA compile (the readiness smoke's SIGALRM budget cannot
