@@ -54,7 +54,7 @@ def _encoder_mfu(config, n_chunks: int, repeats: int, elapsed: float) -> dict:
     }
 
 
-def _bench_accurate() -> tuple[float, str, dict]:
+def _bench_accurate(quant_int8: bool = False) -> tuple[float, str, dict]:
     import jax
     import jax.numpy as jnp
 
@@ -69,7 +69,7 @@ def _bench_accurate() -> tuple[float, str, dict]:
     on_tpu = any(d.platform != "cpu" for d in jax.devices())
     config = WhisperConfig() if on_tpu else WhisperConfig.tiny()
     compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    encoder = WhisperEncoder(config, compute_dtype=compute_dtype)
+    encoder = WhisperEncoder(config, compute_dtype=compute_dtype, quant_int8=quant_int8)
     params = init_whisper_encoder_params(config, seed=0)
 
     seconds = float(os.environ.get("SER_BENCH_SECONDS", "240"))
@@ -701,7 +701,19 @@ def main() -> int:
             fast_value, _ = _bench_fast()
             return {"fast_dsp_audio_s_per_s": round(fast_value, 2)}
 
+        def _int8_extra() -> dict:
+            # Opt-in W8A8 encode lane (dtype: int8 on the whisper backend):
+            # same model, QuantDense projections on the int8 MXU path.
+            int8_value, _, int8_extras = _bench_accurate(quant_int8=True)
+            return {
+                "accurate_encode_int8_audio_s_per_s": round(int8_value, 2),
+                "accurate_encode_int8_mfu_bf16peak": int8_extras.get(
+                    "accurate_encoder_mfu"
+                ),
+            }
+
         lanes = (
+            ("accurate_encode_int8", _int8_extra),
             ("infer_fast", lambda: _bench_infer()[2]),
             ("infer_accurate", lambda: _bench_infer_accurate()[2]),
             ("infer_medium", lambda: _bench_infer_medium()[2]),

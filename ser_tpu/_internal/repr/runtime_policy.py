@@ -21,7 +21,9 @@ from ser_tpu._internal.config.schema import (
 _SUPPORTED_DTYPES: dict[str, tuple[str, ...]] = {
     "handcrafted": ("float32",),
     "jax_xlsr": ("float32", "bfloat16"),
-    "jax_whisper_encoder": ("float32", "bfloat16"),
+    # "int8" = W8A8 projection matmuls on the int8 MXU path (opt-in; the
+    # residual stream and attention stay bf16 — models/quant.py).
+    "jax_whisper_encoder": ("float32", "bfloat16", "int8"),
     "emotion2vec": ("float32", "bfloat16"),
 }
 _DEFAULT_AUTO_DTYPE: dict[str, str] = {
@@ -103,10 +105,19 @@ def resolve_feature_runtime(
     elif dtype_request in ("float16", "fp16", "half"):
         # TPU has no fast fp16 path; clamp to bfloat16 (documented deviation).
         dtype = "bfloat16"
+    elif dtype_request in ("int8", "w8a8"):
+        # Opt-in quantized inference; clamped below for backends without a
+        # quantized path.
+        dtype = "int8"
     else:
         dtype = "float32"
     if dtype not in supported:
-        dtype = supported[0]
+        # int8 requested on a backend without a quantized path degrades to the
+        # fastest supported full-precision dtype, not all the way to f32.
+        if dtype == "int8" and "bfloat16" in supported and device_kind != "cpu":
+            dtype = "bfloat16"
+        else:
+            dtype = supported[0]
 
     return ResolvedFeatureRuntime(backend_id=backend_id, device_kind=device_kind, dtype=dtype)
 

@@ -50,14 +50,19 @@ class WhisperEncoderBackend:
             self._config, self._params = config, params
         else:
             self._config, self._params = self._resolve_weights(cache_root, model_id, init, config)
-        compute = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        # "int8" = W8A8 projection matmuls (models/quant.py), bf16 everywhere
+        # else — measured 1.42x on the projection stream (INT8_MATMUL_r03.json).
+        quant_int8 = dtype == "int8"
+        compute = jnp.bfloat16 if dtype in ("bfloat16", "int8") else jnp.float32
         if compute == jnp.bfloat16:
             # Inference-only: bf16 STORAGE halves HBM residency (XLA hoists
             # the per-op casts either way — identical computed values).
             from ser_tpu.models.param_utils import cast_params_bf16
 
             self._params = cast_params_bf16(self._params)
-        self._encoder = whisper_model.WhisperEncoder(self._config, compute_dtype=compute)
+        self._encoder = whisper_model.WhisperEncoder(
+            self._config, compute_dtype=compute, quant_int8=quant_int8
+        )
 
     def _resolve_weights(self, cache_root, model_id, init, config):
         model_dir = resolve_local_model_dir(Path(cache_root), model_id)

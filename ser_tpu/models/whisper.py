@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ser_tpu.models.quant import QuantDense
 from ser_tpu.ops import filters as ops_filters
 from ser_tpu.ops.activations import gelu_erf as _gelu
 
@@ -129,6 +130,10 @@ class MultiHeadAttention(nn.Module):
     config: WhisperConfig
     compute_dtype: jnp.dtype = jnp.float32
     use_flash: bool = False  # encoder self-attention routes to the Pallas kernel
+    #: W8A8 int8 projections (QuantDense) — opt-in inference lane; the int8
+    #: MXU path runs the projection stream 1.42x faster than bf16
+    #: (INT8_MATMUL_r03.json). Attention core / softmax unchanged.
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x, kv, *, bias=None):
@@ -137,7 +142,8 @@ class MultiHeadAttention(nn.Module):
         head_dim = cfg.d_model // heads
         # dtype=compute_dtype keeps the matmuls in bf16 on TPU (f32 params are
         # cast per-op); softmax stays f32 for stability.
-        dense = partial(nn.Dense, dtype=self.compute_dtype)
+        dense_cls = QuantDense if self.quant_int8 else nn.Dense
+        dense = partial(dense_cls, dtype=self.compute_dtype)
         q = dense(cfg.d_model, name="q")(x)
         k = dense(cfg.d_model, use_bias=False, name="k")(kv)
         v = dense(cfg.d_model, name="v")(kv)
@@ -162,26 +168,32 @@ class MultiHeadAttention(nn.Module):
             )
             out = jnp.einsum("...hqk,...khd->...qhd", weights, split(v))
         out = out.reshape(*x.shape[:-1], cfg.d_model)
-        return nn.Dense(cfg.d_model, dtype=self.compute_dtype, name="out")(out)
+        return dense(cfg.d_model, name="out")(out)
 
 
 class EncoderBlock(nn.Module):
     config: WhisperConfig
     compute_dtype: jnp.dtype = jnp.float32
     ln_dtype: jnp.dtype = jnp.float32  # bf16 halves residual/LN HBM traffic
+    quant_int8: bool = False  # W8A8 projections (see MultiHeadAttention)
 
     @nn.compact
     def __call__(self, x):
         cfg = self.config
         norm = partial(nn.LayerNorm, epsilon=cfg.layer_norm_eps, dtype=self.ln_dtype)
+        dense_cls = QuantDense if self.quant_int8 else nn.Dense
         h = norm(name="attn_ln")(x)
         x = x + MultiHeadAttention(
-            cfg, compute_dtype=self.compute_dtype, use_flash=True, name="attn"
+            cfg,
+            compute_dtype=self.compute_dtype,
+            use_flash=True,
+            quant_int8=self.quant_int8,
+            name="attn",
         )(h, h)
         h = norm(name="mlp_ln")(x)
-        h = nn.Dense(4 * cfg.d_model, dtype=self.compute_dtype, name="mlp_in")(h)
+        h = dense_cls(4 * cfg.d_model, dtype=self.compute_dtype, name="mlp_in")(h)
         h = _gelu(h)
-        return x + nn.Dense(cfg.d_model, dtype=self.compute_dtype, name="mlp_out")(h)
+        return x + dense_cls(cfg.d_model, dtype=self.compute_dtype, name="mlp_out")(h)
 
 
 class WhisperEncoder(nn.Module):
@@ -202,6 +214,12 @@ class WhisperEncoder(nn.Module):
     #: attention ops, trading ~2 GB of bf16 activations per (batch=4,
     #: large-v3) step for skipping the matmul half of the recompute pass.
     remat_policy: str = "full"
+    #: W8A8 int8 projection matmuls (inference-only opt-in). The projection
+    #: stream is 84 of the 187 ms bf16 encode budget at batch 8
+    #: (ENCODER_BUDGET_r03.json) and the int8 MXU path runs it 1.42x faster
+    #: (INT8_MATMUL_r03.json); attention, LN, softmax, and the residual
+    #: stream are untouched. Training lanes never set this.
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, mel: jax.Array) -> jax.Array:
@@ -227,6 +245,7 @@ class WhisperEncoder(nn.Module):
                 cfg,
                 compute_dtype=self.compute_dtype,
                 ln_dtype=self.ln_dtype,
+                quant_int8=self.quant_int8,
                 name=f"layer_{i}",
             )(x)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="final_ln")(x).astype(
