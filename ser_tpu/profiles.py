@@ -305,7 +305,7 @@ def available_profiles() -> dict[str, RuntimeProfile]:
     }
 
 
-def resolve_profile(settings) -> RuntimeProfile:
+def resolve_profile(settings: object) -> RuntimeProfile:
     """Resolves the full profile definition from runtime flags
     (reference ``profiles.py:696-698``)."""
     flags = getattr(settings, "runtime_flags", None)
