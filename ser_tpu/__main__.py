@@ -45,6 +45,17 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--subtitle-path", type=str, default=None)
     parser.add_argument("--subtitle-format", choices=("ass", "srt", "vtt"), default=None)
     parser.add_argument("--disable-timeouts", action="store_true")
+    # Restricted-backend consent flags (reference __main__.py:240-254): both
+    # persist policy-fingerprinted consents pre-command; standalone (no
+    # --train/--file) invocations exit 0 after persisting.
+    parser.add_argument(
+        "--accept-restricted-backends", action="store_true",
+        help="Persist consent for restricted backends required by the active profile.",
+    )
+    parser.add_argument(
+        "--accept-all-restricted-backends", action="store_true",
+        help="Persist consent for all known restricted backends (standalone ok).",
+    )
     parser.add_argument(
         "--preflight", choices=("off", "warn", "strict"), default="warn",
         help="Startup preflight gate mode.",
@@ -401,6 +412,33 @@ def _run_configure(args, settings) -> int:
     return EXIT_OK
 
 
+def _persist_restricted_backend_opt_ins(args, settings) -> int | None:
+    """Pre-command restricted-backend consent persistence.
+
+    Parity surface: reference ``restricted_backends.py:100-141``
+    (``prepare_restricted_backend_opt_in_state``): ``--accept-all-…`` records
+    consent for every known restricted backend, ``--accept-…`` for the active
+    profile's backend only; when neither ``--train`` nor ``--file`` is
+    requested the flags act as a standalone management command and exit 0.
+    """
+    if args.accept_all_restricted_backends:
+        count = restricted_backends.persist_all_restricted_backend_consents()
+        print(f"Recorded consent for {count} restricted backend(s).")
+    if args.accept_restricted_backends:
+        profile = args.profile or resolve_profile_name(
+            medium_profile=settings.runtime_flags.medium_profile,
+            accurate_profile=settings.runtime_flags.accurate_profile,
+            accurate_research_profile=settings.runtime_flags.accurate_research_profile,
+        )
+        backend_id = get_profile_catalog()[profile].backend_id
+        if backend_id in restricted_backends.RESTRICTED_BACKEND_POLICIES:
+            restricted_backends.record_backend_consent(backend_id)
+            print(f"Recorded consent for restricted backend {backend_id!r}.")
+    if not args.train and not args.file:
+        return EXIT_OK
+    return None
+
+
 def _restricted_backend_gate(settings, profile) -> int | None:
     """CLI gate for restricted backends (reference __main__.py:311-325)."""
     spec = get_profile_catalog()[profile]
@@ -569,6 +607,11 @@ def main(argv: list[str] | None = None) -> int:
             output_path=args.output,
             require_pass=args.require_pass,
         )
+
+    if args.accept_all_restricted_backends or args.accept_restricted_backends:
+        code = _persist_restricted_backend_opt_ins(args, settings)
+        if code is not None:
+            return code
 
     if args.calibrate_transcription_runtime:
         if args.profile:

@@ -81,6 +81,19 @@ def record_backend_consent(backend_id: str) -> None:
     path.write_text(json.dumps(consents, indent=2), encoding="utf-8")
 
 
+def persist_all_restricted_backend_consents() -> int:
+    """Persists consent for every known restricted backend; returns the count.
+
+    Parity surface: reference ``restricted_backends.py:109-135`` — the
+    ``--accept-all-restricted-backends`` CLI flag records policy-fingerprinted
+    consent for ALL registered restricted backends in one invocation, usable
+    as a standalone management command.
+    """
+    for backend_id in RESTRICTED_BACKEND_POLICIES:
+        record_backend_consent(backend_id)
+    return len(RESTRICTED_BACKEND_POLICIES)
+
+
 def has_backend_consent(backend_id: str, *, allowed_env: tuple[str, ...] = ()) -> bool:
     """True when consent exists via env allowlist or fingerprint-matched store."""
     policy = RESTRICTED_BACKEND_POLICIES.get(backend_id)
@@ -120,5 +133,6 @@ __all__ = [
     "RestrictedBackendError",
     "ensure_backend_access",
     "has_backend_consent",
+    "persist_all_restricted_backend_consents",
     "record_backend_consent",
 ]

@@ -123,3 +123,44 @@ def test_env_allowlist_grants_restricted_backend_access(tmp_path, monkeypatch):
         )
     )
     restricted_backends.ensure_backend_access("emotion2vec", settings=allowed)
+
+
+def test_persist_all_restricted_backend_consents(tmp_path, monkeypatch):
+    """--accept-all-restricted-backends records every policy's fingerprint
+    (reference restricted_backends.py:109-135)."""
+    monkeypatch.setattr(
+        restricted_backends, "_consent_store_path", lambda: tmp_path / "consents.json"
+    )
+    count = restricted_backends.persist_all_restricted_backend_consents()
+    assert count == len(restricted_backends.RESTRICTED_BACKEND_POLICIES)
+    for backend_id in restricted_backends.RESTRICTED_BACKEND_POLICIES:
+        assert restricted_backends.has_backend_consent(backend_id)
+
+
+def test_cli_accept_all_restricted_is_standalone_exit_zero(tmp_path, monkeypatch):
+    """`ser --accept-all-restricted-backends` with no --train/--file persists
+    consents and exits 0 (reference __main__.py:248-254 standalone semantics)."""
+    import ser_tpu.__main__ as cli
+
+    monkeypatch.setattr(
+        restricted_backends, "_consent_store_path", lambda: tmp_path / "consents.json"
+    )
+    assert cli.main(["--accept-all-restricted-backends"]) == 0
+    assert restricted_backends.has_backend_consent("emotion2vec")
+
+
+def test_cli_accept_restricted_backends_profile_scoped(tmp_path, monkeypatch):
+    """`ser --accept-restricted-backends --profile accurate-research` records
+    consent for the profile's restricted backend only, then exits 0."""
+    import ser_tpu.__main__ as cli
+
+    store = tmp_path / "consents.json"
+    monkeypatch.setattr(restricted_backends, "_consent_store_path", lambda: store)
+    monkeypatch.setenv("SER_ENABLE_ACCURATE_RESEARCH_PROFILE", "1")
+    assert cli.main(["--accept-restricted-backends", "--profile", "accurate-research"]) == 0
+    assert restricted_backends.has_backend_consent("emotion2vec")
+
+    # A profile whose backend is unrestricted records nothing.
+    store.unlink()
+    assert cli.main(["--accept-restricted-backends", "--profile", "fast"]) == 0
+    assert not store.exists()
