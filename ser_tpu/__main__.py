@@ -42,9 +42,20 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--language", type=str, default=None)
     parser.add_argument("--save_transcript", action="store_true")
     parser.add_argument("--no-transcript", action="store_true", dest="no_transcript")
-    parser.add_argument("--subtitle-path", type=str, default=None)
+    # Canonical reference flag name is --subtitle-output (__main__.py:201);
+    # --subtitle-path stays as a compatibility alias.
+    parser.add_argument(
+        "--subtitle-output", "--subtitle-path", type=str, default=None,
+        dest="subtitle_path",
+        help="Write timeline subtitles to the given path (format inferred "
+        "from the suffix when --subtitle-format is omitted).",
+    )
     parser.add_argument("--subtitle-format", choices=("ass", "srt", "vtt"), default=None)
-    parser.add_argument("--disable-timeouts", action="store_true")
+    parser.add_argument(
+        "--disable-timeouts", "--no-timeout", action="store_true",
+        dest="disable_timeouts",
+        help="Disable inference timeout budgets for this CLI invocation.",
+    )
     # Restricted-backend consent flags (reference __main__.py:240-254): both
     # persist policy-fingerprinted consents pre-command; standalone (no
     # --train/--file) invocations exit 0 after persisting.
@@ -65,6 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--prepared-plan", type=str, default=None)
     parser.add_argument("--dataset-recipe", type=str, default=None)
     parser.add_argument(
+        "--strict-dataset-audit",
+        action=argparse.BooleanOptionalAction,
+        default=None,
+        help="Fail training on duplicate content, missing revisions/hashes, "
+        "leakage, or empty classes.",
+    )
+    parser.add_argument(
         "--repair",
         action="store_true",
         help="Purge stale training caches/plans and re-run readiness.",
@@ -75,6 +93,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="Profile transcription candidates (WER + latency) and persist a recommendation.",
     )
     parser.add_argument("--log-level", type=str, default=None)
+    parser.add_argument(
+        "--calibration-iterations", type=int, default=2,
+        help="Number of calibration runs per profile/model candidate.",
+    )
+    parser.add_argument(
+        "--calibration-profiles", type=str,
+        default="accurate,medium,accurate-research,fast",
+        help="Comma-separated profile list for calibration "
+        "(fast,medium,accurate,accurate-research).",
+    )
 
     subparsers = parser.add_subparsers(dest="command")
 
@@ -412,6 +440,32 @@ def _run_configure(args, settings) -> int:
     return EXIT_OK
 
 
+def _apply_dataset_recipe_override(settings, args):
+    """CLI dataset recipe/audit overrides on one immutable settings snapshot.
+
+    Parity surface: reference ``__main__.py:296-308``
+    (``_apply_dataset_recipe_override``): ``--strict-dataset-audit`` /
+    ``--no-strict-dataset-audit`` override the audit mode directly, and a
+    CLI-passed recipe implies strict auditing unless explicitly relaxed.
+    """
+    recipe_arg = args.dataset_recipe if isinstance(args.dataset_recipe, str) else None
+    strict_arg = args.strict_dataset_audit
+    if recipe_arg is None and strict_arg is None:
+        return settings
+    recipe = recipe_arg or settings.dataset.recipe
+    strict = (
+        bool(strict_arg)
+        if isinstance(strict_arg, bool)
+        else True if recipe_arg is not None else settings.dataset.strict_audit
+    )
+    return dataclasses.replace(
+        settings,
+        dataset=dataclasses.replace(
+            settings.dataset, recipe=recipe, strict_audit=strict
+        ),
+    )
+
+
 def _persist_restricted_backend_opt_ins(args, settings) -> int | None:
     """Pre-command restricted-backend consent persistence.
 
@@ -471,20 +525,37 @@ def _preflight_gate(args, settings) -> int | None:
     return None
 
 
-def _run_transcription_calibration(settings) -> int:
+def _run_transcription_calibration(
+    settings, *, iterations: int = 2,
+    profiles_csv: str = "accurate,medium,accurate-research,fast",
+) -> int:
     """Profiles transcription candidates against RAVDESS canonical sentences.
 
     Requires locally staged Whisper assets and a dataset of labeled clips;
-    persists the recommendation consumed by admission control.
+    persists the recommendation consumed by admission control. Candidates are
+    the distinct transcription models the requested profiles resolve to
+    (reference ``--calibration-profiles``); ``iterations`` repeats each
+    candidate's timed runs to widen the latency percentile matrix
+    (reference ``--calibration-iterations``, ``commands.py:223-238``).
     """
     from ser_tpu._internal.data.loader import discover_dataset_files
     from ser_tpu._internal.transcript.calibration import (
         build_calibration_report,
         collect_reference_samples,
+        parse_calibration_profiles,
         profile_candidate_matrix,
         save_calibration_report_v2,
         summarize_subset_coverage,
     )
+
+    if iterations <= 0:
+        logger.error("--calibration-iterations must be a positive integer.")
+        return EXIT_VALIDATION
+    try:
+        profile_names = parse_calibration_profiles(profiles_csv)
+    except ValueError as err:
+        logger.error("%s", err)
+        return EXIT_VALIDATION
     from ser_tpu._internal.transcript.extractor import TranscriptionUnavailableError
     from ser_tpu._internal.transcript.jax_whisper_backend import JaxWhisperTranscriber
 
@@ -509,14 +580,14 @@ def _run_transcription_calibration(settings) -> int:
     candidates = []
     from ser_tpu._internal.transcript.extractor import resolve_transcription_profile
 
-    flags = settings.runtime_flags
-    active_profile = resolve_profile_name(
-        medium_profile=flags.medium_profile,
-        accurate_profile=flags.accurate_profile,
-        accurate_research_profile=flags.accurate_research_profile,
-    )
-    resolved_tx = resolve_transcription_profile(active_profile, settings)
-    for model_name in (resolved_tx.model_name,):
+    # The candidate set is the distinct models the requested profiles
+    # resolve to — profiles sharing one transcription model profile once.
+    model_names: list[str] = []
+    for profile_name in profile_names:
+        resolved_tx = resolve_transcription_profile(profile_name, settings)
+        if resolved_tx.model_name not in model_names:
+            model_names.append(resolved_tx.model_name)
+    for model_name in model_names:
         transcriber = JaxWhisperTranscriber(
             model_name=model_name,
             cache_root=settings.models.whisper_download_root,
@@ -530,6 +601,7 @@ def _run_transcription_calibration(settings) -> int:
                     samples,
                     backend_id="jax_whisper",
                     model_name=model_name,
+                    iterations=iterations,
                 )
             )
         except TranscriptionUnavailableError as err:
@@ -620,7 +692,11 @@ def main(argv: list[str] | None = None) -> int:
             # The profile projection must land BEFORE calibration so the
             # profile's own transcription model/flags are what get profiled.
             settings = apply_cli_profile_override(settings, args.profile)
-        return _run_transcription_calibration(settings)
+        return _run_transcription_calibration(
+            settings,
+            iterations=args.calibration_iterations,
+            profiles_csv=args.calibration_profiles,
+        )
 
     if args.disable_timeouts:
         settings = _disable_timeouts(settings)
@@ -631,11 +707,7 @@ def main(argv: list[str] | None = None) -> int:
         accurate_research_profile=settings.runtime_flags.accurate_research_profile,
     )
 
-    if args.dataset_recipe:
-        settings = dataclasses.replace(
-            settings,
-            dataset=dataclasses.replace(settings.dataset, recipe=args.dataset_recipe),
-        )
+    settings = _apply_dataset_recipe_override(settings, args)
 
     if args.train:
         gate = _restricted_backend_gate(settings, active_profile)

@@ -241,12 +241,23 @@ class CandidateMatrixEntry:
         )
 
 
+def parse_calibration_profiles(raw_profiles: str) -> tuple[str, ...]:
+    """Parses and validates calibration profile names from CLI input.
+
+    Parity surface: reference ``transcript/profiling.py:423-425`` — a thin
+    alias over the CSV normalizer, kept so the CLI owner imports the same
+    symbol name the reference exposes.
+    """
+    return normalize_calibration_profile_csv(raw_profiles)
+
+
 def profile_candidate_matrix(
     transcribe: Callable[[str], list[TranscriptWord]],
     samples: list[tuple[str, str]],
     *,
     backend_id: str,
     model_name: str,
+    iterations: int = 1,
 ) -> CandidateMatrixEntry:
     """Per-sample WER + the full latency percentile matrix for one candidate.
 
@@ -259,6 +270,8 @@ def profile_candidate_matrix(
     """
     if not samples:
         raise ValueError("Need at least one labeled sample to profile.")
+    if iterations <= 0:
+        raise ValueError("Calibration iterations must be a positive integer.")
     try:
         transcribe(samples[0][0])  # warmup (weight load + compile, untimed)
     except Exception as err:  # noqa: BLE001 - reported, not fatal to the run
@@ -276,16 +289,23 @@ def profile_candidate_matrix(
     latencies: list[float] = []
     failed = 0
     last_error: str | None = None
-    for audio_path, reference in samples:
-        try:
-            start = time.perf_counter()
-            words = transcribe(audio_path)
-            latencies.append(time.perf_counter() - start)
-        except Exception as err:  # noqa: BLE001 - counted, surfaced in report
-            failed += 1
-            last_error = f"{type(err).__name__}: {err}"
-            continue
-        wers.append(word_error_rate(reference, " ".join(w.word for w in words)))
+    # Iterations widen the latency percentile matrix (reference
+    # "--calibration-iterations": runs per candidate); WER is deterministic
+    # per clip, so only the first pass contributes accuracy samples.
+    for iteration in range(iterations):
+        for audio_path, reference in samples:
+            try:
+                start = time.perf_counter()
+                words = transcribe(audio_path)
+                latencies.append(time.perf_counter() - start)
+            except Exception as err:  # noqa: BLE001 - counted, surfaced in report
+                failed += 1
+                last_error = f"{type(err).__name__}: {err}"
+                continue
+            if iteration == 0:
+                wers.append(
+                    word_error_rate(reference, " ".join(w.word for w in words))
+                )
     return CandidateMatrixEntry(
         backend_id=backend_id,
         model_name=model_name,
@@ -646,6 +666,7 @@ __all__ = [
     "latency_percentiles",
     "normalize_calibration_profile_csv",
     "parse_ravdess_metadata",
+    "parse_calibration_profiles",
     "profile_candidate_matrix",
     "ravdess_reference_text",
     "recommend_default_candidate",

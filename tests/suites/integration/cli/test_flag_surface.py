@@ -1,0 +1,88 @@
+"""CLI flag-surface parity tests for the top-level parser.
+
+Parity surface: reference ``ser/__main__.py:177-285`` — canonical flag names,
+aliases, defaults, and the dataset recipe/audit override semantics.
+"""
+
+import pytest
+
+import ser_tpu.__main__ as cli
+from ser_tpu._internal.config.settings_builder import build_settings_from_inputs
+from ser_tpu._internal.config.settings_inputs import capture_settings_inputs
+
+
+def _parse(argv):
+    return cli.build_parser().parse_args(argv)
+
+
+def _settings(**env):
+    return build_settings_from_inputs(capture_settings_inputs(env=env))
+
+
+class TestFlagAliases:
+    def test_no_timeout_alias(self):
+        """--no-timeout aliases --disable-timeouts (reference __main__.py:234-238)."""
+        assert _parse(["--no-timeout"]).disable_timeouts is True
+        assert _parse(["--disable-timeouts"]).disable_timeouts is True
+        assert _parse([]).disable_timeouts is False
+
+    def test_subtitle_output_is_canonical_with_path_alias(self):
+        """--subtitle-output is the reference's flag name (__main__.py:201);
+        --subtitle-path is kept as a compatibility alias."""
+        assert _parse(["--subtitle-output", "out.srt"]).subtitle_path == "out.srt"
+        assert _parse(["--subtitle-path", "out.srt"]).subtitle_path == "out.srt"
+
+
+class TestStrictDatasetAudit:
+    def test_tri_state_parse(self):
+        assert _parse([]).strict_dataset_audit is None
+        assert _parse(["--strict-dataset-audit"]).strict_dataset_audit is True
+        assert _parse(["--no-strict-dataset-audit"]).strict_dataset_audit is False
+
+    def test_override_application(self):
+        """Reference __main__.py:296-308: explicit flag wins; a CLI recipe
+        implies strict auditing unless explicitly relaxed."""
+        settings = _settings()
+
+        untouched = cli._apply_dataset_recipe_override(settings, _parse([]))
+        assert untouched is settings
+
+        strict = cli._apply_dataset_recipe_override(
+            settings, _parse(["--strict-dataset-audit"])
+        )
+        assert strict.dataset.strict_audit is True
+
+        recipe_implies = cli._apply_dataset_recipe_override(
+            settings, _parse(["--dataset-recipe", "research-v1"])
+        )
+        assert recipe_implies.dataset.recipe == "research-v1"
+        assert recipe_implies.dataset.strict_audit is True
+
+        relaxed = cli._apply_dataset_recipe_override(
+            settings,
+            _parse(["--dataset-recipe", "research-v1", "--no-strict-dataset-audit"]),
+        )
+        assert relaxed.dataset.recipe == "research-v1"
+        assert relaxed.dataset.strict_audit is False
+
+
+class TestCalibrationFlags:
+    def test_reference_defaults(self):
+        """Defaults match reference __main__.py:273-285."""
+        args = _parse(["--calibrate-transcription-runtime"])
+        assert args.calibration_iterations == 2
+        assert args.calibration_profiles == "accurate,medium,accurate-research,fast"
+
+    @pytest.mark.parametrize(
+        "argv",
+        [
+            ["--calibrate-transcription-runtime", "--calibration-iterations", "0"],
+            ["--calibrate-transcription-runtime", "--calibration-profiles", "turbo"],
+            ["--calibrate-transcription-runtime", "--calibration-profiles", " , "],
+        ],
+    )
+    def test_invalid_calibration_inputs_exit_validation(self, argv, monkeypatch):
+        """Bad knob values exit 2 before any dataset/backend work
+        (reference commands.py:232-234)."""
+        monkeypatch.setenv("SER_DATASET_FOLDER", "/nonexistent-calibration-corpus")
+        assert cli.main(argv) == 2

@@ -383,3 +383,38 @@ class TestReportAndAdmission:
         path = cal.save_calibration_report_v2(payload, tmp_path / "r.json")
         loaded = json.loads(Path(path).read_text())
         assert loaded["accuracy_gate"]["minimum_mean_accuracy"] >= 0.70
+
+
+class TestCalibrationIterations:
+    def test_iterations_widen_latency_matrix_only(self):
+        """--calibration-iterations repeats timed runs; WER stays single-pass
+        (reference commands.py:223-238 iterations_per_profile)."""
+        samples = [(str(_ravdess_name("01", "01")), "kids are talking by the door")] * 3
+        calls = {"n": 0}
+
+        def transcribe(_path):
+            calls["n"] += 1
+            return _words("kids are talking by the door")
+
+        entry = cal.profile_candidate_matrix(
+            transcribe, samples, backend_id="jax_whisper", model_name="tiny",
+            iterations=3,
+        )
+        # 1 warmup + 3 iterations x 3 samples
+        assert calls["n"] == 1 + 9
+        assert entry.evaluated_samples == 3  # WER samples: first pass only
+        assert entry.latency.maximum >= entry.latency.p50 >= entry.latency.minimum
+
+    def test_non_positive_iterations_rejected(self):
+        samples = [(str(_ravdess_name("01", "01")), "kids are talking by the door")]
+        with pytest.raises(ValueError, match="positive"):
+            cal.profile_candidate_matrix(
+                lambda p: _words("kids"), samples,
+                backend_id="jax_whisper", model_name="tiny", iterations=0,
+            )
+
+    def test_parse_calibration_profiles_alias(self):
+        assert cal.parse_calibration_profiles("fast, accurate,fast") == (
+            "fast",
+            "accurate",
+        )
