@@ -139,27 +139,59 @@ def build_parser() -> argparse.ArgumentParser:
     data = subparsers.add_parser("data", help="Dataset operations.")
     data_sub = data.add_subparsers(dest="data_command")
     data_sub.add_parser("list", help="List supported datasets.")
-    data_sub.add_parser("registry", help="Show registered datasets.")
+    registry = data_sub.add_parser(
+        "registry", help="Inspect persisted dataset registry."
+    )
+    registry.add_argument(
+        "--show", action="store_true",
+        help="Show registered dataset roots/manifests/source provenance.",
+    )
+    registry.add_argument(
+        "--format", choices=("text", "json"), default="text",
+        help="Registry output format.",
+    )
+    registry.add_argument(
+        "--strict", action="store_true",
+        help="Return non-zero when registry contains invalid/mismatched entries.",
+    )
     data_sub.add_parser("health", help="Audit registry health.")
+    def _add_acquisition_flags(sub):
+        # Canonical reference flag names (data/cli.py:208-268) first; the
+        # short names stay as compatibility aliases.
+        sub.add_argument("--dataset-root", "--root", type=Path, default=None, dest="root")
+        sub.add_argument(
+            "--manifest-path", "--manifest", type=Path, default=None, dest="manifest"
+        )
+        sub.add_argument(
+            "--labels-csv-path", "--labels-csv", type=Path, default=None,
+            dest="labels_csv",
+        )
+        sub.add_argument(
+            "--audio-base-dir", type=Path, default=None,
+            help="Base directory used to resolve FileName entries in label CSV.",
+        )
+        sub.add_argument(
+            "--source", type=str, default=None, dest="source_repo_id",
+            help="Optional download source id override (provider mirror).",
+        )
+        sub.add_argument(
+            "--source-revision", type=str, default=None,
+            help="Optional download source revision/tag/commit override.",
+        )
+        sub.add_argument("--accept-license", action="store_true")
+        sub.add_argument(
+            "--skip-download", action="store_true", default=False,
+            help="Skip download step (useful when the dataset is already present).",
+        )
+
     prepare = data_sub.add_parser("prepare", help="Prepare one dataset from local files.")
     prepare.add_argument("dataset_id")
-    prepare.add_argument("--root", type=Path, default=None)
-    prepare.add_argument("--manifest", type=Path, default=None)
-    prepare.add_argument("--labels-csv", type=Path, default=None)
-    prepare.add_argument("--accept-license", action="store_true")
-    prepare.add_argument("--skip-download", action="store_true", default=False)
+    _add_acquisition_flags(prepare)
     download = data_sub.add_parser(
         "download", help="Download/prepare one dataset (reference data/cli.py:163)."
     )
     download.add_argument("--dataset", dest="dataset_id", required=True)
-    download.add_argument("--root", type=Path, default=None)
-    download.add_argument("--manifest", type=Path, default=None)
-    download.add_argument("--labels-csv", type=Path, default=None)
-    download.add_argument("--accept-license", action="store_true")
-    download.add_argument(
-        "--skip-download", action="store_true", default=False,
-        help="Skip download step (useful when the dataset is already present).",
-    )
+    _add_acquisition_flags(download)
     uninstall = data_sub.add_parser(
         "uninstall", help="Remove one dataset registry entry and local artifacts."
     )
@@ -240,11 +272,64 @@ def _run_data(args, settings) -> int:
             print(dataset_id)
         return EXIT_OK
     if args.data_command == "registry":
-        for record in api.list_registered_datasets(settings=settings):
-            print(
-                f"{record.dataset_id}: {record.utterance_count} utterances, "
-                f"manifest={record.manifest_path}"
-            )
+        # Reference registry inspection contract (data/cli.py:272-303):
+        # --format json emits entries+issues, --strict exits 2 on any health
+        # issue, text mode lists root/manifest/source-pin per entry.
+        records = api.list_registered_datasets(settings=settings)
+        issues = api.list_dataset_registry_health_issues(settings=settings)
+        strict_block = EXIT_VALIDATION if args.strict and issues else None
+        if args.format == "json":
+            import json as json_module
+
+            payload = {
+                "entries": [
+                    {
+                        "dataset_id": r.dataset_id,
+                        "dataset_root": r.dataset_root,
+                        "manifest_path": r.manifest_path,
+                        "utterance_count": r.utterance_count,
+                        "options": dict(r.options),
+                        "source_repo_id": r.options.get("source_repo_id"),
+                        "source_revision": r.options.get("source_revision"),
+                    }
+                    for r in records
+                ],
+                "issues": [
+                    {
+                        "dataset_id": i.dataset_id,
+                        "code": i.issue_kind,
+                        "message": i.message,
+                    }
+                    for i in issues
+                ],
+            }
+            print(json_module.dumps(payload, indent=2, sort_keys=True))
+            return strict_block if strict_block is not None else EXIT_OK
+        if not records:
+            print("Dataset registry is empty.")
+            return strict_block if strict_block is not None else EXIT_OK
+        for record in records:
+            if args.show:
+                repo_id = record.options.get("source_repo_id")
+                revision = record.options.get("source_revision")
+                source_pin = f"{repo_id}@{revision}" if repo_id and revision else "(none)"
+                print(f"- {record.dataset_id}")
+                print(f"  dataset_root: {record.dataset_root}")
+                print(f"  manifest_path: {record.manifest_path}")
+                print(f"  source_pin: {source_pin}")
+            else:
+                print(
+                    f"{record.dataset_id}: {record.utterance_count} utterances, "
+                    f"manifest={record.manifest_path}"
+                )
+        if issues:
+            print("Registry health issues:")
+            for issue in issues:
+                print(f"- [{issue.dataset_id}] {issue.issue_kind}: {issue.message}")
+            if strict_block is not None:
+                return strict_block
+        else:
+            print("Registry health: ok")
         return EXIT_OK
     if args.data_command == "health":
         issues = api.list_dataset_registry_health_issues(settings=settings)
@@ -262,6 +347,9 @@ def _run_data(args, settings) -> int:
                 dataset_root=args.root,
                 manifest_path=args.manifest,
                 labels_csv_path=args.labels_csv,
+                audio_base_dir=args.audio_base_dir,
+                source_repo_id=args.source_repo_id,
+                source_revision=args.source_revision,
                 accept_license=args.accept_license,
                 skip_download=args.skip_download,
                 settings=settings,

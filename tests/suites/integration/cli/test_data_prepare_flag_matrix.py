@@ -161,3 +161,50 @@ def test_download_catalog_uninstall_verbs(tmp_path):
 
     result = run("uninstall", "--dataset", "ravdess")
     assert result.returncode == 2  # already removed
+
+
+def test_prepare_canonical_reference_flag_names(env, capsys, monkeypatch):
+    """--dataset-root/--manifest-path/--labels-csv-path are the reference's
+    canonical acquisition flag names (data/cli.py:208-231)."""
+    monkeypatch.setenv("SER_DATASET_REGISTRY_ROOT", str(env / "reg"))
+    root = env / "cafe2"
+    _wav(root / "Colère" / "a.wav")
+    manifest = env / "manifests" / "cafe2.jsonl"
+    assert main([
+        "data", "prepare", "cafe",
+        "--dataset-root", str(root),
+        "--manifest-path", str(manifest),
+    ]) == 0
+    assert manifest.is_file()
+
+
+def test_registry_show_strict_and_json(env, capsys, monkeypatch):
+    """Registry inspection contract (reference data/cli.py:272-303): --show
+    prints root/manifest/source-pin, --format json emits entries+issues,
+    --strict exits 2 when health issues exist."""
+    monkeypatch.setenv("SER_DATASET_REGISTRY_ROOT", str(env / "reg"))
+    root = env / "cafe3"
+    _wav(root / "Colère" / "a.wav")
+    assert main(["data", "prepare", "cafe", "--dataset-root", str(root)]) == 0
+    capsys.readouterr()
+
+    assert main(["data", "registry", "--show"]) == 0
+    shown = capsys.readouterr().out
+    assert "dataset_root:" in shown and "source_pin:" in shown
+
+    assert main(["data", "registry", "--format", "json"]) == 0
+    payload = json.loads(capsys.readouterr().out)
+    assert payload["entries"][0]["dataset_id"] == "cafe"
+    assert "issues" in payload
+
+    # Healthy registry: strict passes.
+    assert main(["data", "registry", "--strict"]) == 0
+    capsys.readouterr()
+
+    # Break the registry (remove the dataset root) -> strict exits 2.
+    import shutil
+
+    shutil.rmtree(root)
+    assert main(["data", "registry", "--strict"]) == 2
+    out = capsys.readouterr().out
+    assert "Registry health issues:" in out
