@@ -129,8 +129,30 @@ def build_parser() -> argparse.ArgumentParser:
     )
 
     doctor = subparsers.add_parser("doctor", help="Run environment diagnostics.")
-    doctor.add_argument("--style", choices=("text", "brief", "json"), default="text")
-    doctor.add_argument("--no-transcription-checks", action="store_true")
+    doctor.add_argument(
+        "--profile", choices=PROFILE_NAMES, default=None,
+        help="Profile context for diagnostics "
+        "(reference diagnostics/command.py:33-38).",
+    )
+    # Reference flag name is --format (text|json); --style adds the extra
+    # 'brief' renderer and stays as the alias.
+    doctor.add_argument(
+        "--format", "--style", choices=("text", "brief", "json"), default="text",
+        dest="style", help="Output format for diagnostics findings.",
+    )
+    doctor.add_argument(
+        "--strict", action="store_true",
+        help="Return non-zero exit code when warning or error findings are present.",
+    )
+    doctor.add_argument(
+        "--include-noise-findings", action="store_true",
+        help="Include informational environment-noise findings in output.",
+    )
+    doctor.add_argument(
+        "--skip-transcription-checks", "--no-transcription-checks",
+        action="store_true", dest="no_transcription_checks",
+        help="Skip transcription backend checks.",
+    )
     doctor.add_argument(
         "--training-readiness", action="store_true",
         help="Also run the full training-readiness contract.",
@@ -257,12 +279,21 @@ def _disable_timeouts(settings):
 def _run_doctor(args, settings) -> int:
     from ser_tpu._internal.diagnostics import service
 
+    if args.profile:
+        from ser_tpu._internal.api.runtime import apply_cli_profile_override
+
+        settings = apply_cli_profile_override(settings, args.profile)
     report = service.run_doctor_diagnostics(
         settings=settings,
         include_transcription_checks=not args.no_transcription_checks,
         include_training_readiness=args.training_readiness,
+        include_noise_findings=args.include_noise_findings,
     )
     print(service.render_report(report, style=args.style))
+    if args.strict and report.has_warning_or_higher:
+        # Reference diagnostics/command.py:45-49: strict mode fails on any
+        # warning-or-higher finding, not just errors.
+        return 1
     return EXIT_OK if not report.has_error else 1
 
 

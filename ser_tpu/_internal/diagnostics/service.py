@@ -163,8 +163,15 @@ def run_doctor_diagnostics(
     settings: AppConfig,
     include_transcription_checks: bool = True,
     include_training_readiness: bool = False,
+    include_noise_findings: bool = False,
 ) -> DiagnosticReport:
-    """Runs the full doctor check suite (optionally + training readiness)."""
+    """Runs the full doctor check suite (optionally + training readiness).
+
+    ``include_noise_findings`` mirrors the reference's informational
+    dependency-noise lane (``diagnostics/command.py:51-54``): INFO-level
+    environment details (library versions, native fast-path availability,
+    visible device platforms) that are diagnostic context, not problems.
+    """
     findings: list[DiagnosticFinding] = [_check_accelerator()]
     findings.extend(_check_profiles(settings))
     findings.append(_check_media_tooling())
@@ -174,7 +181,62 @@ def run_doctor_diagnostics(
     findings.append(_check_dataset_registry(settings))
     if include_training_readiness:
         findings.extend(_check_training_readiness(settings))
+    if include_noise_findings:
+        findings.extend(_noise_findings())
     return DiagnosticReport(findings=tuple(findings))
+
+
+def _noise_findings() -> list[DiagnosticFinding]:
+    """INFO-level environment-noise findings (versions, fast paths, devices)."""
+    import jax
+
+    findings = [
+        DiagnosticFinding(
+            code="environment.jax",
+            severity=DiagnosticSeverity.INFO,
+            message=f"jax {jax.__version__}",
+        )
+    ]
+    try:
+        import flax
+
+        findings.append(
+            DiagnosticFinding(
+                code="environment.flax",
+                severity=DiagnosticSeverity.INFO,
+                message=f"flax {flax.__version__}",
+            )
+        )
+    except ImportError:
+        pass
+    try:
+        from ser_tpu._internal.utils import native_audio
+
+        findings.append(
+            DiagnosticFinding(
+                code="environment.native_audio",
+                severity=DiagnosticSeverity.INFO,
+                message=(
+                    "native C++ audio decoder available"
+                    if native_audio.native_decoder_available()
+                    else "native C++ audio decoder unavailable (numpy fallback)"
+                ),
+            )
+        )
+    except Exception:  # noqa: BLE001 - noise lane must never fail doctor
+        pass
+    try:
+        platforms = sorted({d.platform for d in jax.devices()})
+        findings.append(
+            DiagnosticFinding(
+                code="environment.devices",
+                severity=DiagnosticSeverity.INFO,
+                message=f"{len(jax.devices())} device(s), platforms={platforms}",
+            )
+        )
+    except RuntimeError:
+        pass
+    return findings
 
 
 def _check_training_readiness(settings: AppConfig) -> list[DiagnosticFinding]:

@@ -86,3 +86,36 @@ class TestCalibrationFlags:
         (reference commands.py:232-234)."""
         monkeypatch.setenv("SER_DATASET_FOLDER", "/nonexistent-calibration-corpus")
         assert cli.main(argv) == 2
+
+
+class TestDoctorFlags:
+    def test_reference_flag_names_parse(self):
+        """doctor --profile/--format/--strict/--include-noise-findings/
+        --skip-transcription-checks (reference diagnostics/command.py:33-57)."""
+        args = _parse([
+            "doctor", "--profile", "fast", "--format", "json", "--strict",
+            "--include-noise-findings", "--skip-transcription-checks",
+        ])
+        assert args.profile == "fast"
+        assert args.style == "json"
+        assert args.strict is True
+        assert args.include_noise_findings is True
+        assert args.no_transcription_checks is True
+
+    def test_style_alias_still_parses(self):
+        assert _parse(["doctor", "--style", "brief"]).style == "brief"
+
+    def test_doctor_runs_with_noise_findings(self, capsys, monkeypatch, tmp_path):
+        monkeypatch.setenv("SER_TMP_FOLDER", str(tmp_path / "tmp"))
+        monkeypatch.setenv("SER_MODELS_FOLDER", str(tmp_path / "models"))
+        code = cli.main([
+            "doctor", "--format", "json", "--include-noise-findings",
+            "--skip-transcription-checks",
+        ])
+        out = capsys.readouterr().out
+        assert code in (0, 1)
+        import json
+
+        payload = json.loads(out)
+        codes = [f["code"] for f in payload["findings"]]
+        assert "environment.jax" in codes

@@ -204,3 +204,24 @@ def test_report_to_dict_reference_shape():
         "blocking",
         "remediation",
     }
+
+
+def test_noise_findings_are_info_only(monkeypatch):
+    """--include-noise-findings adds INFO-level environment context without
+    changing report severity (reference diagnostics/command.py:51-54)."""
+    from ser_tpu._internal.config.bootstrap import reload_settings
+    from ser_tpu._internal.diagnostics.service import run_doctor_diagnostics
+    from ser_tpu.diagnostics.domain import DiagnosticSeverity
+
+    settings = reload_settings()
+    base = run_doctor_diagnostics(settings=settings, include_transcription_checks=False)
+    noisy = run_doctor_diagnostics(
+        settings=settings,
+        include_transcription_checks=False,
+        include_noise_findings=True,
+    )
+    extra = [f for f in noisy.findings if f.code.startswith("environment.")]
+    assert extra, "noise lane must add environment.* findings"
+    assert all(f.severity is DiagnosticSeverity.INFO for f in extra)
+    assert noisy.has_error == base.has_error
+    assert any(f.code == "environment.jax" for f in extra)
