@@ -53,6 +53,16 @@ class _SerAliasFinder(importlib.abc.MetaPathFinder, importlib.abc.Loader):
     def exec_module(self, module):
         pass
 
+    def get_code(self, fullname):
+        # ``python -m ser`` parity: runpy needs the target's code object to
+        # execute ``ser.__main__`` as a script (reference ships a real
+        # ``ser/__main__.py``; here it resolves to ``ser_tpu.__main__``).
+        target_name = "ser_tpu." + fullname[len(self._PREFIX) :]
+        target_spec = importlib.util.find_spec(target_name)
+        if target_spec is None or target_spec.loader is None:
+            raise ImportError(f"No code object for {fullname!r}")
+        return target_spec.loader.get_code(target_name)
+
 
 if not any(isinstance(finder, _SerAliasFinder) for finder in sys.meta_path):
     sys.meta_path.insert(0, _SerAliasFinder())

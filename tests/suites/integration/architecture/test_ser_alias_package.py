@@ -25,3 +25,19 @@ def test_ser_nested_submodules():
 
     assert OUTPUT_SCHEMA_VERSION == "v1"
     assert InferenceRequest("f.wav", "en").include_transcript is True
+
+
+def test_python_dash_m_ser_runs_cli():
+    """`python -m ser` works like the reference's ser/__main__.py (runpy needs
+    the alias loader's get_code)."""
+    import subprocess
+    import sys
+
+    result = subprocess.run(
+        [sys.executable, "-m", "ser", "--help"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert result.returncode == 0, result.stderr[-400:]
+    assert "usage: ser" in result.stdout
