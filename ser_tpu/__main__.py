@@ -251,12 +251,23 @@ def build_parser() -> argparse.ArgumentParser:
         choices=("medium", "accurate", "accurate-research"),
         default="medium",
     )
-    gate.add_argument("--folds", type=int, default=4)
-    gate.add_argument("--output", type=Path, default=None)
+    # --n-splits is the reference gate's fold knob name
+    # (quality_gate_cli.py:54); --out its report-path name (:131).
+    gate.add_argument("--folds", "--n-splits", type=int, default=4, dest="folds")
+    gate.add_argument("--output", "--out", type=Path, default=None, dest="output")
     gate.add_argument(
         "--require-pass",
         action="store_true",
         help="Exit non-zero (terminal failure) when the gate holds.",
+    )
+    # Threshold overrides (reference quality_gate_cli.py:106-129) projected
+    # onto QualityGateConfig for this invocation.
+    gate.add_argument("--min-uar-delta", type=float, default=None)
+    gate.add_argument("--min-macro-f1-delta", type=float, default=None)
+    gate.add_argument("--max-medium-segments-per-minute", type=float, default=None)
+    gate.add_argument(
+        "--min-medium-median-segment-duration", type=float, default=None,
+        help="Optional lower bound for candidate median segment duration (s).",
     )
     return parser
 
@@ -787,6 +798,20 @@ def main(argv: list[str] | None = None) -> int:
         gate_block = _restricted_backend_gate(settings, args.candidate)
         if gate_block is not None:
             return gate_block
+        overrides = {
+            "min_uar_delta": args.min_uar_delta,
+            "min_macro_f1_delta": args.min_macro_f1_delta,
+            "max_medium_segments_per_minute": args.max_medium_segments_per_minute,
+            "min_medium_median_segment_duration_seconds": (
+                args.min_medium_median_segment_duration
+            ),
+        }
+        overrides = {k: v for k, v in overrides.items() if v is not None}
+        if overrides:
+            settings = dataclasses.replace(
+                settings,
+                quality_gate=dataclasses.replace(settings.quality_gate, **overrides),
+            )
         from ser_tpu._internal.runtime.quality_gate_workflow import (
             run_quality_gate_workflow,
         )

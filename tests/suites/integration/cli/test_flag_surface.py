@@ -119,3 +119,21 @@ class TestDoctorFlags:
         payload = json.loads(out)
         codes = [f["code"] for f in payload["findings"]]
         assert "environment.jax" in codes
+
+
+class TestGateFlags:
+    def test_reference_knob_names_parse(self):
+        """gate --n-splits/--out aliases + threshold overrides
+        (reference quality_gate_cli.py:54,106-131)."""
+        args = _parse([
+            "gate", "--n-splits", "5", "--out", "r.json",
+            "--min-uar-delta", "0.01", "--min-macro-f1-delta", "0.02",
+            "--max-medium-segments-per-minute", "30",
+            "--min-medium-median-segment-duration", "1.5",
+        ])
+        assert args.folds == 5
+        assert str(args.output) == "r.json"
+        assert args.min_uar_delta == 0.01
+        assert args.min_macro_f1_delta == 0.02
+        assert args.max_medium_segments_per_minute == 30.0
+        assert args.min_medium_median_segment_duration == 1.5
