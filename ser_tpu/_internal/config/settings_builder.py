@@ -251,6 +251,34 @@ def build_settings_from_inputs(
         if not math.isfinite(penalty) or not 0.0 <= penalty <= 5.0:
             raise ValueError("WHISPER_LENGTH_PENALTY must be finite and in [0, 5].")
         tx_changes["length_penalty"] = penalty
+    if inputs.hbm_admission_control is not None:
+        tx_changes["hbm_admission_control_enabled"] = inputs.hbm_admission_control
+    if inputs.hbm_admission_min_headroom_mb is not None:
+        if inputs.hbm_admission_min_headroom_mb < 0:
+            raise ValueError("HBM admission min headroom must be >= 0 MB.")
+        tx_changes["hbm_admission_min_headroom_mb"] = inputs.hbm_admission_min_headroom_mb
+    if inputs.hbm_admission_safety_margin_mb is not None:
+        if inputs.hbm_admission_safety_margin_mb < 0:
+            raise ValueError("HBM admission safety margin must be >= 0 MB.")
+        tx_changes["hbm_admission_safety_margin_mb"] = inputs.hbm_admission_safety_margin_mb
+    if inputs.calibration_overrides is not None:
+        tx_changes["calibration_overrides_enabled"] = inputs.calibration_overrides
+    if inputs.calibration_min_confidence is not None:
+        confidence = inputs.calibration_min_confidence.strip().lower()
+        if confidence not in ("low", "medium", "high"):
+            raise ValueError(
+                "Calibration min confidence must be low, medium, or high, got "
+                f"{inputs.calibration_min_confidence!r}."
+            )
+        tx_changes["calibration_min_confidence"] = confidence
+    if inputs.calibration_report_max_age_hours is not None:
+        if inputs.calibration_report_max_age_hours <= 0:
+            raise ValueError("Calibration report max age must be > 0 hours.")
+        tx_changes["calibration_report_max_age_hours"] = (
+            inputs.calibration_report_max_age_hours
+        )
+    if inputs.calibration_report_path is not None:
+        tx_changes["calibration_report_path"] = Path(inputs.calibration_report_path)
     if tx_changes:
         transcription = dataclasses.replace(transcription, **tx_changes)
 

@@ -166,6 +166,17 @@ class ResolvedSettingsInputs:
     whisper_beam_size: int | None = None
     whisper_length_penalty: float | None = None
     separation_model_path: str | None = None
+    # Device-memory admission + calibration overrides. Canonical names are
+    # SER_TRANSCRIPTION_HBM_*; the reference's SER_TRANSCRIPTION_MPS_* names
+    # (settings_inputs parity: MPS admission knobs) are honored as aliases so
+    # reference deployments carry over unchanged.
+    hbm_admission_control: bool | None = None
+    hbm_admission_min_headroom_mb: float | None = None
+    hbm_admission_safety_margin_mb: float | None = None
+    calibration_overrides: bool | None = None
+    calibration_min_confidence: str | None = None
+    calibration_report_max_age_hours: float | None = None
+    calibration_report_path: str | None = None
     # Mesh (TPU-native addition)
     mesh_data_axis_size: int | None = None
     mesh_model_axis_size: int | None = None
@@ -335,6 +346,41 @@ def capture_settings_inputs(env: dict[str, str] | None = None) -> ResolvedSettin
         whisper_beam_size=read_env_int(env, "WHISPER_BEAM_SIZE"),
         whisper_length_penalty=read_env_float(env, "WHISPER_LENGTH_PENALTY"),
         separation_model_path=read_env_str(env, "SER_SEPARATION_MODEL_PATH"),
+        hbm_admission_control=_first(
+            read_env_bool, env,
+            "SER_TRANSCRIPTION_HBM_ADMISSION_CONTROL",
+            "SER_TRANSCRIPTION_MPS_ADMISSION_CONTROL",
+        ),
+        hbm_admission_min_headroom_mb=_first(
+            read_env_float, env,
+            "SER_TRANSCRIPTION_HBM_MIN_HEADROOM_MB",
+            "SER_TRANSCRIPTION_MPS_MIN_HEADROOM_MB",
+        ),
+        hbm_admission_safety_margin_mb=_first(
+            read_env_float, env,
+            "SER_TRANSCRIPTION_HBM_SAFETY_MARGIN_MB",
+            "SER_TRANSCRIPTION_MPS_SAFETY_MARGIN_MB",
+        ),
+        calibration_overrides=_first(
+            read_env_bool, env,
+            "SER_TRANSCRIPTION_HBM_CALIBRATION_OVERRIDES",
+            "SER_TRANSCRIPTION_MPS_CALIBRATION_OVERRIDES",
+        ),
+        calibration_min_confidence=_first(
+            read_env_str, env,
+            "SER_TRANSCRIPTION_HBM_CALIBRATION_MIN_CONFIDENCE",
+            "SER_TRANSCRIPTION_MPS_CALIBRATION_MIN_CONFIDENCE",
+        ),
+        calibration_report_max_age_hours=_first(
+            read_env_float, env,
+            "SER_TRANSCRIPTION_HBM_CALIBRATION_REPORT_MAX_AGE_HOURS",
+            "SER_TRANSCRIPTION_MPS_CALIBRATION_REPORT_MAX_AGE_HOURS",
+        ),
+        calibration_report_path=_first(
+            read_env_str, env,
+            "SER_TRANSCRIPTION_HBM_CALIBRATION_REPORT_PATH",
+            "SER_TRANSCRIPTION_MPS_CALIBRATION_REPORT_PATH",
+        ),
         mesh_data_axis_size=read_env_int(env, "SER_MESH_DATA_AXIS_SIZE"),
         mesh_model_axis_size=read_env_int(env, "SER_MESH_MODEL_AXIS_SIZE"),
         default_language=_first(

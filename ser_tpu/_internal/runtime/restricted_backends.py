@@ -54,6 +54,13 @@ RESTRICTED_BACKEND_POLICIES: dict[str, BackendPolicy] = {
 
 
 def _consent_store_path() -> Path:
+    # Reference license_check.py:89,106-110: SER_RESTRICTED_BACKENDS_CONSENT_FILE
+    # overrides the persisted consent-store location.
+    import os
+
+    explicit = os.environ.get("SER_RESTRICTED_BACKENDS_CONSENT_FILE", "").strip()
+    if explicit:
+        return Path(explicit).expanduser()
     return default_data_root() / "consents" / "restricted_backends.json"
 
 

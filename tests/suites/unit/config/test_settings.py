@@ -213,3 +213,85 @@ def test_manifest_lists_split_on_comma_or_pathsep():
     assert comma.dataset_manifests == (Path("/a.jsonl"), Path("/b.jsonl"))
     colon = capture_settings_inputs(env={"SER_DATASET_MANIFESTS": "/a.jsonl:/b.jsonl"})
     assert colon.dataset_manifests == (Path("/a.jsonl"), Path("/b.jsonl"))
+
+
+class TestAdmissionEnvCapture:
+    """Admission + calibration env knobs (reference SER_TRANSCRIPTION_MPS_*
+    surface; canonical SER_TRANSCRIPTION_HBM_* names with MPS aliases)."""
+
+    def test_hbm_canonical_names(self):
+        settings = build_settings_from_inputs(
+            capture_settings_inputs(env={
+                "SER_TRANSCRIPTION_HBM_ADMISSION_CONTROL": "0",
+                "SER_TRANSCRIPTION_HBM_MIN_HEADROOM_MB": "128",
+                "SER_TRANSCRIPTION_HBM_SAFETY_MARGIN_MB": "64",
+                "SER_TRANSCRIPTION_HBM_CALIBRATION_OVERRIDES": "0",
+                "SER_TRANSCRIPTION_HBM_CALIBRATION_MIN_CONFIDENCE": "medium",
+                "SER_TRANSCRIPTION_HBM_CALIBRATION_REPORT_MAX_AGE_HOURS": "24",
+                "SER_TRANSCRIPTION_HBM_CALIBRATION_REPORT_PATH": "/tmp/cal.json",
+            })
+        )
+        tx = settings.transcription
+        assert tx.hbm_admission_control_enabled is False
+        assert tx.hbm_admission_min_headroom_mb == 128.0
+        assert tx.hbm_admission_safety_margin_mb == 64.0
+        assert tx.calibration_overrides_enabled is False
+        assert tx.calibration_min_confidence == "medium"
+        assert tx.calibration_report_max_age_hours == 24.0
+        assert str(tx.calibration_report_path) == "/tmp/cal.json"
+
+    def test_reference_mps_aliases_honored(self):
+        settings = build_settings_from_inputs(
+            capture_settings_inputs(env={
+                "SER_TRANSCRIPTION_MPS_ADMISSION_CONTROL": "0",
+                "SER_TRANSCRIPTION_MPS_MIN_HEADROOM_MB": "512",
+                "SER_TRANSCRIPTION_MPS_CALIBRATION_MIN_CONFIDENCE": "LOW",
+            })
+        )
+        tx = settings.transcription
+        assert tx.hbm_admission_control_enabled is False
+        assert tx.hbm_admission_min_headroom_mb == 512.0
+        assert tx.calibration_min_confidence == "low"
+
+    def test_canonical_wins_over_alias(self):
+        settings = build_settings_from_inputs(
+            capture_settings_inputs(env={
+                "SER_TRANSCRIPTION_HBM_MIN_HEADROOM_MB": "100",
+                "SER_TRANSCRIPTION_MPS_MIN_HEADROOM_MB": "999",
+            })
+        )
+        assert settings.transcription.hbm_admission_min_headroom_mb == 100.0
+
+    def test_invalid_values_rejected(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="headroom"):
+            build_settings_from_inputs(
+                capture_settings_inputs(
+                    env={"SER_TRANSCRIPTION_HBM_MIN_HEADROOM_MB": "-1"}
+                )
+            )
+        with _pytest.raises(ValueError, match="confidence"):
+            build_settings_from_inputs(
+                capture_settings_inputs(
+                    env={"SER_TRANSCRIPTION_HBM_CALIBRATION_MIN_CONFIDENCE": "huge"}
+                )
+            )
+        with _pytest.raises(ValueError, match="max age"):
+            build_settings_from_inputs(
+                capture_settings_inputs(
+                    env={"SER_TRANSCRIPTION_HBM_CALIBRATION_REPORT_MAX_AGE_HOURS": "0"}
+                )
+            )
+
+
+def test_consent_store_env_override(tmp_path, monkeypatch):
+    """SER_RESTRICTED_BACKENDS_CONSENT_FILE relocates the consent store
+    (reference license_check.py:89,106-110)."""
+    from ser_tpu._internal.runtime import restricted_backends
+
+    target = tmp_path / "my_consents.json"
+    monkeypatch.setenv("SER_RESTRICTED_BACKENDS_CONSENT_FILE", str(target))
+    restricted_backends.record_backend_consent("emotion2vec")
+    assert target.is_file()
+    assert restricted_backends.has_backend_consent("emotion2vec")
