@@ -40,6 +40,14 @@ from ser_tpu.profiles import ProfileName, get_profile_catalog
 logger = get_logger(__name__)
 
 
+def _license_provenance(settings, backend_id: str, profile: str) -> dict:
+    from ser_tpu._internal.runtime.restricted_backends import build_provenance_metadata
+
+    return build_provenance_metadata(
+        settings=settings, backend_id=backend_id, profile=profile
+    )
+
+
 def group_metrics_min_support() -> int:
     """Minimum per-group sample support for corpus/language metrics.
 
@@ -453,7 +461,13 @@ def _train_encoder_profile_model_ready(
         device=runtime.device_kind,
         dtype=runtime.dtype,
         seed=settings.nn.random_state,
-        provenance={"framework": "ser_tpu", "trainer": "encoder_training"},
+        provenance={
+            "framework": "ser_tpu",
+            "trainer": "encoder_training",
+            # License/access facts at training time (reference
+            # license_check.py:427-470 build_provenance_metadata).
+            **_license_provenance(settings, spec.backend_id, profile),
+        },
         evaluation_summary={
             "accuracy": report["accuracy"],
             "uar": report["uar"],

@@ -31,6 +31,14 @@ class TrainingDataError(RuntimeError):
     """Raised when training data cannot support a model fit."""
 
 
+def _license_provenance(settings: AppConfig) -> dict[str, Any]:
+    from ser_tpu._internal.runtime.restricted_backends import build_provenance_metadata
+
+    return build_provenance_metadata(
+        settings=settings, backend_id="handcrafted", profile="fast"
+    )
+
+
 def train_fast_model(*, settings: AppConfig | None = None) -> dict[str, Any]:
     """Trains the fast-profile head end-to-end; returns the training report."""
     settings = settings if settings is not None else reload_settings()
@@ -121,7 +129,12 @@ def _train_fast_model_ready(settings: AppConfig, started: float) -> dict[str, An
         device="cpu",
         dtype="float32",
         seed=settings.nn.random_state,
-        provenance={"framework": "ser_tpu", "trainer": "fast_training"},
+        provenance={
+            "framework": "ser_tpu",
+            "trainer": "fast_training",
+            # Reference license_check.py:427-470 provenance facts.
+            **_license_provenance(settings),
+        },
         evaluation_summary={
             "accuracy": report["accuracy"],
             "uar": report["uar"],
@@ -234,7 +247,11 @@ def train_from_prepared(
         if profile != "fast"
         else spec.model.default_model_id,
         seed=settings.nn.random_state,
-        provenance={"framework": "ser_tpu", "trainer": "prepared_plan"},
+        provenance={
+            "framework": "ser_tpu",
+            "trainer": "prepared_plan",
+            **_license_provenance(settings),
+        },
     )
     if profile == "fast":
         model_path = settings.models.model_file

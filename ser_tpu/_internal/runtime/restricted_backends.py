@@ -88,6 +88,62 @@ def record_backend_consent(backend_id: str) -> None:
     path.write_text(json.dumps(consents, indent=2), encoding="utf-8")
 
 
+def build_provenance_metadata(
+    *, settings: AppConfig, backend_id: str, profile: str
+) -> dict[str, object]:
+    """Machine-readable license/access provenance for artifact+report metadata.
+
+    Parity surface: reference ``license_check.py:427-470``
+    (``build_provenance_metadata``): code revision (``SER_CODE_REVISION``),
+    a dependency fingerprint, and the backend's restricted-access facts at
+    training time, so an artifact records under which policy and consent it
+    was produced.
+    """
+    import os
+
+    policy = RESTRICTED_BACKEND_POLICIES.get(backend_id)
+    allowed_env = settings.runtime_flags.allowed_restricted_backends
+    if policy is None:
+        access_source = "unrestricted"
+        access_allowed = True
+    elif backend_id in allowed_env:
+        access_source = "env_allowlist"
+        access_allowed = settings.runtime_flags.restricted_backends
+    elif _read_consents().get(backend_id) == policy.fingerprint:
+        access_source = "persisted_consent"
+        access_allowed = settings.runtime_flags.restricted_backends
+    else:
+        access_source = "denied"
+        access_allowed = False
+    provenance: dict[str, object] = {
+        "code_revision": os.environ.get("SER_CODE_REVISION", "").strip() or "unknown",
+        "dependency_manifest_fingerprint": _dependency_manifest_fingerprint(),
+        "backend_id": backend_id,
+        "profile": profile,
+        "runtime_restricted_backends_enabled": settings.runtime_flags.restricted_backends,
+        "backend_is_restricted": policy is not None,
+        "backend_access_allowed": access_allowed,
+        "backend_access_source": access_source,
+    }
+    if policy is not None:
+        provenance["backend_license_id"] = policy.license_id
+        provenance["restricted_backend_policy_fingerprint"] = policy.fingerprint
+    return provenance
+
+
+def _dependency_manifest_fingerprint() -> str:
+    """Stable fingerprint of the compute-critical dependency versions."""
+    import importlib
+
+    parts = []
+    for name in ("jax", "jaxlib", "flax", "optax", "numpy"):
+        try:
+            parts.append(f"{name}=={importlib.import_module(name).__version__}")
+        except ImportError:
+            parts.append(f"{name}==absent")
+    return sha256("|".join(parts).encode("utf-8")).hexdigest()[:16]
+
+
 def persist_all_restricted_backend_consents() -> int:
     """Persists consent for every known restricted backend; returns the count.
 
@@ -138,6 +194,7 @@ __all__ = [
     "BackendPolicy",
     "RESTRICTED_BACKEND_POLICIES",
     "RestrictedBackendError",
+    "build_provenance_metadata",
     "ensure_backend_access",
     "has_backend_consent",
     "persist_all_restricted_backend_consents",

@@ -164,3 +164,40 @@ def test_cli_accept_restricted_backends_profile_scoped(tmp_path, monkeypatch):
     store.unlink()
     assert cli.main(["--accept-restricted-backends", "--profile", "fast"]) == 0
     assert not store.exists()
+
+
+def test_build_provenance_metadata_shapes(tmp_path, monkeypatch):
+    """License/access provenance payload (reference license_check.py:427-470):
+    code revision, dependency fingerprint, access facts; restricted backends
+    add license id + policy fingerprint."""
+    monkeypatch.setattr(
+        restricted_backends, "_consent_store_path", lambda: tmp_path / "consents.json"
+    )
+    monkeypatch.setenv("SER_CODE_REVISION", "r3-test")
+
+    unrestricted = restricted_backends.build_provenance_metadata(
+        settings=_settings(), backend_id="handcrafted", profile="fast"
+    )
+    assert unrestricted["code_revision"] == "r3-test"
+    assert unrestricted["backend_is_restricted"] is False
+    assert unrestricted["backend_access_source"] == "unrestricted"
+    assert unrestricted["backend_access_allowed"] is True
+    assert len(unrestricted["dependency_manifest_fingerprint"]) == 16
+
+    denied = restricted_backends.build_provenance_metadata(
+        settings=_settings(), backend_id="emotion2vec", profile="accurate-research"
+    )
+    assert denied["backend_is_restricted"] is True
+    assert denied["backend_access_source"] == "denied"
+    assert denied["backend_access_allowed"] is False
+    assert "restricted_backend_policy_fingerprint" in denied
+
+    restricted_backends.record_backend_consent("emotion2vec")
+    granted = restricted_backends.build_provenance_metadata(
+        settings=_settings(SER_ENABLE_RESTRICTED_BACKENDS="1"),
+        backend_id="emotion2vec",
+        profile="accurate-research",
+    )
+    assert granted["backend_access_source"] == "persisted_consent"
+    assert granted["backend_access_allowed"] is True
+    assert granted["backend_license_id"] == "model-specific-research-license"
