@@ -278,6 +278,10 @@ class TranscriptionConfig:
     beam_size: int = 5
     length_penalty: float = 1.0
     hbm_admission_control_enabled: bool = True
+    #: Hard device OOMs fail over to CPU immediately instead of burning the
+    #: transient retry ladder (reference mps_hard_oom_shortcut_enabled,
+    #: schema.py parity; default on).
+    hbm_hard_oom_shortcut_enabled: bool = True
     hbm_admission_min_headroom_mb: float = 256.0
     hbm_admission_safety_margin_mb: float = 256.0
     calibration_overrides_enabled: bool = True

@@ -253,6 +253,8 @@ def build_settings_from_inputs(
         tx_changes["length_penalty"] = penalty
     if inputs.hbm_admission_control is not None:
         tx_changes["hbm_admission_control_enabled"] = inputs.hbm_admission_control
+    if inputs.hbm_hard_oom_shortcut is not None:
+        tx_changes["hbm_hard_oom_shortcut_enabled"] = inputs.hbm_hard_oom_shortcut
     if inputs.hbm_admission_min_headroom_mb is not None:
         if inputs.hbm_admission_min_headroom_mb < 0:
             raise ValueError("HBM admission min headroom must be >= 0 MB.")

@@ -171,6 +171,7 @@ class ResolvedSettingsInputs:
     # (settings_inputs parity: MPS admission knobs) are honored as aliases so
     # reference deployments carry over unchanged.
     hbm_admission_control: bool | None = None
+    hbm_hard_oom_shortcut: bool | None = None
     hbm_admission_min_headroom_mb: float | None = None
     hbm_admission_safety_margin_mb: float | None = None
     calibration_overrides: bool | None = None
@@ -350,6 +351,11 @@ def capture_settings_inputs(env: dict[str, str] | None = None) -> ResolvedSettin
             read_env_bool, env,
             "SER_TRANSCRIPTION_HBM_ADMISSION_CONTROL",
             "SER_TRANSCRIPTION_MPS_ADMISSION_CONTROL",
+        ),
+        hbm_hard_oom_shortcut=_first(
+            read_env_bool, env,
+            "SER_TRANSCRIPTION_HBM_HARD_OOM_SHORTCUT",
+            "SER_TRANSCRIPTION_MPS_HARD_OOM_SHORTCUT",
         ),
         hbm_admission_min_headroom_mb=_first(
             read_env_float, env,

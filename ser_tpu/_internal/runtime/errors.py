@@ -35,7 +35,19 @@ class InferenceTimeoutError(InferenceError):
 
 
 class TransientInferenceError(InferenceError):
-    """A retryable failure (device hiccup, OOM after release, IO race)."""
+    """A retryable failure (device hiccup, OOM after release, IO race).
+
+    ``hard_oom=True`` marks a deterministic device OOM (the same allocation
+    will fail again on this device) — eligible for the hard-OOM failover
+    shortcut (reference ``stable_whisper_transcribe_runtime.py:20-45``:
+    ``FAILOVER_CPU_NOW`` vs ``RETRY_NEXT_PRECISION`` when disabled).
+    """
+
+    def __init__(
+        self, message: str, *, profile: str | None = None, hard_oom: bool = False
+    ) -> None:
+        super().__init__(message, profile=profile)
+        self.hard_oom = hard_oom
 
 
 class InferenceExecutionError(InferenceError):

@@ -28,6 +28,10 @@ class RetryPolicy:
     max_timeout_retries: int = 0
     max_transient_retries: int = 0
     retry_backoff_seconds: float = 0.0
+    #: Hard device OOMs (deterministic: the allocation will fail again) skip
+    #: the remaining transient retries and run the fallback immediately
+    #: (reference hard-OOM shortcut, SER_TRANSCRIPTION_*_HARD_OOM_SHORTCUT).
+    hard_oom_failover_now: bool = True
 
 
 def run_with_retry_policy(
@@ -57,6 +61,17 @@ def run_with_retry_policy(
                 timeout_budget,
             )
         except TransientInferenceError as err:
+            if (
+                getattr(err, "hard_oom", False)
+                and policy.hard_oom_failover_now
+                and on_exhausted_transient is not None
+            ):
+                # Retrying a deterministic OOM burns the whole backoff ladder
+                # to reach the same fallback; shortcut straight to it.
+                logger.warning(
+                    "Hard device OOM (%s); failing over immediately.", err
+                )
+                return on_exhausted_transient()
             if transient_budget <= 0:
                 if on_exhausted_transient is not None:
                     logger.warning("Transient budget exhausted; running fallback path.")

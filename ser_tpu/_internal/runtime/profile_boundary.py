@@ -220,6 +220,7 @@ def run_profile_inference(
                         raise TransientInferenceError(
                             f"Device OOM during inference{detail}; retry/fallback eligible.",
                             profile=spec.profile,
+                            hard_oom=True,
                         ) from err
                     raise InferenceExecutionError(
                         f"{type(err).__name__}: {err}", profile=spec.profile
@@ -231,6 +232,7 @@ def run_profile_inference(
             max_timeout_retries=runtime.max_timeout_retries,
             max_transient_retries=runtime.max_transient_retries,
             retry_backoff_seconds=runtime.retry_backoff_seconds,
+            hard_oom_failover_now=settings.transcription.hbm_hard_oom_shortcut_enabled,
         )
         return run_with_retry_policy(
             make_attempt("auto"),

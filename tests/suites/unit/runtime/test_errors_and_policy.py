@@ -153,3 +153,95 @@ class TestOomParsing:
         info = parse_device_oom("OOM")
         assert info == DeviceOomInfo()
         assert not info.is_informative
+
+
+class TestHardOomShortcut:
+    """Hard-OOM failover shortcut (reference
+    stable_whisper_transcribe_runtime.py:20-45: FAILOVER_CPU_NOW by default,
+    RETRY_NEXT_PRECISION when the shortcut is disabled)."""
+
+    def test_hard_oom_skips_retry_ladder(self):
+        attempts = {"n": 0}
+
+        def attempt():
+            attempts["n"] += 1
+            raise TransientInferenceError("oom", profile="fast", hard_oom=True)
+
+        fallback_ran = {"v": False}
+
+        def fallback():
+            fallback_ran["v"] = True
+            return "cpu-result"
+
+        result = run_with_retry_policy(
+            attempt,
+            policy=RetryPolicy(max_transient_retries=3, hard_oom_failover_now=True),
+            on_exhausted_transient=fallback,
+            sleep=lambda _s: None,
+        )
+        assert result == "cpu-result"
+        assert attempts["n"] == 1  # no retries burned
+        assert fallback_ran["v"]
+
+    def test_shortcut_disabled_uses_normal_ladder(self):
+        attempts = {"n": 0}
+
+        def attempt():
+            attempts["n"] += 1
+            raise TransientInferenceError("oom", profile="fast", hard_oom=True)
+
+        result = run_with_retry_policy(
+            attempt,
+            policy=RetryPolicy(max_transient_retries=2, hard_oom_failover_now=False),
+            on_exhausted_transient=lambda: "cpu-after-ladder",
+            sleep=lambda _s: None,
+        )
+        assert result == "cpu-after-ladder"
+        assert attempts["n"] == 3  # initial + 2 retries
+
+    def test_soft_transient_unaffected_by_shortcut(self):
+        attempts = {"n": 0}
+
+        def attempt():
+            attempts["n"] += 1
+            if attempts["n"] < 3:
+                raise TransientInferenceError("hiccup", profile="fast")
+            return "ok"
+
+        result = run_with_retry_policy(
+            attempt,
+            policy=RetryPolicy(max_transient_retries=3, hard_oom_failover_now=True),
+            sleep=lambda _s: None,
+        )
+        assert result == "ok"
+        assert attempts["n"] == 3
+
+    def test_hard_oom_without_fallback_respects_budget(self):
+        attempts = {"n": 0}
+
+        def attempt():
+            attempts["n"] += 1
+            raise TransientInferenceError("oom", profile="fast", hard_oom=True)
+
+        import pytest as _pytest
+
+        with _pytest.raises(TransientInferenceError):
+            run_with_retry_policy(
+                attempt,
+                policy=RetryPolicy(max_transient_retries=1, hard_oom_failover_now=True),
+                sleep=lambda _s: None,
+            )
+        assert attempts["n"] == 2
+
+    def test_env_knob_captured(self):
+        from ser_tpu._internal.config.settings_builder import build_settings_from_inputs
+        from ser_tpu._internal.config.settings_inputs import capture_settings_inputs
+
+        on = build_settings_from_inputs(capture_settings_inputs(env={}))
+        assert on.transcription.hbm_hard_oom_shortcut_enabled is True
+        off = build_settings_from_inputs(
+            capture_settings_inputs(
+                env={"SER_TRANSCRIPTION_MPS_HARD_OOM_SHORTCUT": "0"}
+            )
+        )
+        assert off.transcription.hbm_hard_oom_shortcut_enabled is False

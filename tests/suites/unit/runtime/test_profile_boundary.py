@@ -127,10 +127,23 @@ def test_device_oom_converts_to_transient_and_falls_back_to_cpu(tmp_path, monkey
         device_kinds.append(device_kind)
         return _OOMBackend() if device_kind == "auto" else _StubBackend()
 
+    # Default: the hard-OOM shortcut fails over to CPU immediately (a
+    # deterministic OOM would burn the whole retry ladder to the same end).
     settings = _settings(tmp_path, SER_MEDIUM_MAX_TRANSIENT_RETRIES="1")
     result = pb.run_profile_inference(_request(tmp_path), spec=_spec(factory), settings=settings)
     assert result.segments
-    # auto attempt + transient retry on auto + CPU fallback.
+    assert device_kinds == ["auto", "cpu"]
+
+    # Shortcut disabled (reference RETRY_NEXT_PRECISION semantics): the
+    # transient budget is consumed on-device before the CPU fallback.
+    device_kinds.clear()
+    settings = _settings(
+        tmp_path,
+        SER_MEDIUM_MAX_TRANSIENT_RETRIES="1",
+        SER_TRANSCRIPTION_HBM_HARD_OOM_SHORTCUT="0",
+    )
+    result = pb.run_profile_inference(_request(tmp_path), spec=_spec(factory), settings=settings)
+    assert result.segments
     assert device_kinds == ["auto", "auto", "cpu"]
 
 
