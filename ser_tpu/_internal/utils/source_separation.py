@@ -163,13 +163,31 @@ def separate_vocals_auto(
         env_path = os.environ.get("SER_SEPARATION_MODEL_PATH")
         path = Path(env_path) if env_path else None
     if path is not None and Path(path).exists():
+        from ser_tpu.models.demucs_v4 import is_demucs_npz
+
+        key = str(Path(path).resolve())
+        if is_demucs_npz(key):
+            # Converted htdemucs checkpoint (demucs_v4.convert_demucs_checkpoint):
+            # the real-weight demucs v4 lane, matching the reference's
+            # use_demucs separator (stable_whisper.py:272-478).
+            from ser_tpu.models.demucs_v4 import (
+                load_demucs_npz,
+                separate_vocals_demucs,
+            )
+
+            if key not in _NEURAL_PARAM_CACHE:
+                _NEURAL_PARAM_CACHE[key] = load_demucs_npz(key)
+            demucs_params, demucs_config = _NEURAL_PARAM_CACHE[key]
+            return separate_vocals_demucs(
+                audio, sample_rate, params=demucs_params, config=demucs_config
+            )
+
         from ser_tpu.models.separation import (
             SeparatorConfig,
             load_separator_params,
             separate_vocals_neural,
         )
 
-        key = str(Path(path).resolve())
         if key not in _NEURAL_PARAM_CACHE:
             _NEURAL_PARAM_CACHE[key] = load_separator_params(key)
         params, config = _NEURAL_PARAM_CACHE[key]
