@@ -26,6 +26,25 @@ import numpy as np
 
 REALTIME_TARGET = 50.0
 
+# Global wall-clock budget (seconds). The driver runs `python bench.py` under
+# a hard `timeout`; round 3's nine-lane default overshot it (BENCH_r03.json:
+# rc=124, parsed=null — no hardware record at all). The fix: the headline
+# JSON line prints IMMEDIATELY after the headline lane (so a mid-lane kill
+# still leaves a parseable record in stdout), and every extra lane is
+# admitted only while its conservative cost estimate fits the remaining
+# budget — skipped lanes record "<lane>_skipped": "deadline". r02's
+# headline+1-lane run fit the driver budget; this default targets roughly
+# headline+5 lanes with remote-tunnel compile margins.
+_BENCH_START = time.monotonic()
+
+
+def _deadline_seconds() -> float:
+    return float(os.environ.get("SER_BENCH_DEADLINE_SECONDS", "1100"))
+
+
+def _remaining_seconds() -> float:
+    return _deadline_seconds() - (time.monotonic() - _BENCH_START)
+
 
 def _honor_platform_env() -> None:
     """JAX_PLATFORMS=cpu must work for bench subprocesses despite the axon
@@ -400,13 +419,23 @@ def _bench_infer_encoder(profile: str) -> tuple[float, str, dict]:
     return seconds / p50, f"infer_{profile}_audio_seconds_per_second", extras
 
 
-def _bench_transcript() -> tuple[float, str, dict]:
+def _bench_transcript(
+    strategy: str = "greedy", token_budget: int | None = None
+) -> tuple[float, str, dict]:
     """Transcript-lane p50 on a 60 s clip through the KV-cache decoder.
 
-    Deterministic random weights (real model dims on TPU): an honest UPPER
-    bound on decode cost — random logits rarely emit early EOT, so every
-    window decodes to the full token budget.
+    Deterministic random weights (real model dims on TPU). Random logits
+    rarely emit early EOT, so the default full-budget run is an honest UPPER
+    bound on decode cost: every window decodes to the full 448-token budget.
+    ``token_budget`` caps ``max_target_positions`` to bound the REALISTIC
+    decode cost instead: RAVDESS-class speech emits ~1 text token per 0.4 s,
+    so a 30 s window carries ~75 text tokens + prefix + timestamp pairs ≈ 96
+    positions — the "realistic-EOT" lane decodes exactly that many steps.
+    ``strategy="beam"`` runs the beam-5 lane (the reference quality default:
+    faster-whisper transcribes at beam_size=5).
     """
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -436,6 +465,13 @@ def _bench_transcript() -> tuple[float, str, dict]:
 
     on_tpu = any(d.platform != "cpu" for d in jax.devices())
     config = WhisperConfig() if on_tpu else WhisperConfig.tiny()
+    init_config = config  # params are sized by the FULL positional table
+    if token_budget is not None:
+        # Same params, shorter decode loop + KV caches: pos_embed is indexed
+        # per position, so a (448, d) table serves a 96-position budget.
+        config = dataclasses.replace(
+            config, max_target_positions=min(token_budget, config.max_target_positions)
+        )
     tokenizer = BenchTokenizer()
     if not on_tpu:
         tokenizer.SPECIALS = {
@@ -446,10 +482,10 @@ def _bench_transcript() -> tuple[float, str, dict]:
             "<|0.00|>": 210,
         }
         tokenizer.unk_token_id = 199
-    encoder_params = init_whisper_encoder_params(config, seed=0)
-    decoder = WhisperDecoder(config)
-    tokens = np.zeros((1, config.max_target_positions), dtype=np.int32)
-    states = np.zeros((1, CHUNK_FRAMES // 2, config.d_model), dtype=np.float32)
+    encoder_params = init_whisper_encoder_params(init_config, seed=0)
+    decoder = WhisperDecoder(init_config)
+    tokens = np.zeros((1, init_config.max_target_positions), dtype=np.int32)
+    states = np.zeros((1, CHUNK_FRAMES // 2, init_config.d_model), dtype=np.float32)
     decoder_params = decoder.init(jax.random.PRNGKey(0), tokens, states)["params"]
     model = WhisperForTranscription(
         config,
@@ -457,6 +493,7 @@ def _bench_transcript() -> tuple[float, str, dict]:
         decoder_params,
         tokenizer,
         compute_dtype="bfloat16" if on_tpu else "float32",
+        decode_strategy=strategy,
     )
     # Random weights always look degenerate; the retry schedule would 4x the
     # measurement without measuring anything new. One decode = the lane cost.
@@ -474,13 +511,24 @@ def _bench_transcript() -> tuple[float, str, dict]:
         words = model.transcribe_words(audio, use_vad=False)
         latencies.append(time.perf_counter() - start)
     p50 = float(np.percentile(latencies, 50))
+    tag = "transcript" if strategy == "greedy" else f"transcript_{strategy}"
+    if token_budget is not None:
+        tag += "_realistic" if strategy == "greedy" else ""
+        bound = (
+            f"realistic {config.max_target_positions}-token budget per 30 s "
+            "window (~1 text token / 0.4 s + prefix + timestamps)"
+        )
+    else:
+        bound = "full-budget (random weights; real text stops earlier)"
     extras = {
-        "transcript_p50_latency_s": round(p50, 4),
-        "transcript_audio_s_per_s": round(seconds / p50, 2),
-        "decode_bound": "full-budget (random weights; real text stops earlier)",
-        "n_words_sample": len(words),
+        f"{tag}_p50_latency_s": round(p50, 4),
+        f"{tag}_audio_s_per_s": round(seconds / p50, 2),
+        f"{tag}_decode_bound": bound,
+        f"{tag}_n_words_sample": len(words),
     }
-    return seconds / p50, "transcript_lane_audio_seconds_per_second_per_chip", extras
+    if strategy == "beam":
+        extras[f"{tag}_beam_size"] = model.beam_size
+    return seconds / p50, f"{tag}_lane_audio_seconds_per_second_per_chip", extras
 
 
 def _bench_train() -> tuple[float, str, dict]:
@@ -686,12 +734,39 @@ def main() -> int:
     else:
         value, metric, extras = run_headline()
 
-    # The default (accurate-encode) headline also carries EVERY BASELINE.md
-    # lane so each BENCH_r{N}.json is the complete per-profile record:
-    # medium/fast encode throughput, fast + accurate end-to-end infer() p50,
-    # and the transcript-lane p50. Each lane is independent — one failing
+    extras["platform"] = platform
+
+    def emit() -> None:
+        print(
+            json.dumps(
+                {
+                    "metric": metric,
+                    "value": round(value, 2),
+                    "unit": "audio_s/s/chip",
+                    "vs_baseline": round(value / REALTIME_TARGET, 3),
+                    **({"extras": extras} if extras else {}),
+                }
+            ),
+            flush=True,
+        )
+
+    # The headline record prints IMMEDIATELY: if the driver's hard timeout
+    # kills a later lane, stdout already holds a parseable line (round 3's
+    # record was rc=124/parsed=null because the single print sat after every
+    # lane). The enriched line re-prints at the end; the driver parses the
+    # LAST parseable line (BENCH_r01/r02 captures).
+    attach_lanes = profile == "accurate" and os.environ.get("SER_BENCH_SKIP_INFER") != "1"
+    if attach_lanes:
+        emit()
+
+    # The default (accurate-encode) headline also carries the BASELINE.md
+    # lanes so each BENCH_r{N}.json is the complete per-profile record —
+    # but only while the global deadline leaves headroom. Each lane carries a
+    # conservative cost estimate (remote-tunnel compile included, calibrated
+    # against BENCH_local_r03/r04 lane timings); lanes that don't fit record
+    # "<lane>_skipped": "deadline". Each lane is independent — one failing
     # lane records its error and never breaks the headline.
-    if profile == "accurate" and os.environ.get("SER_BENCH_SKIP_INFER") != "1":
+    if attach_lanes:
 
         def _medium_extra() -> dict:
             medium_value, _ = _bench_medium()
@@ -712,34 +787,53 @@ def main() -> int:
                 ),
             }
 
+        def _train_extra() -> dict:
+            # Bound the subprocess by what's actually left (plus a floor so a
+            # just-admitted lane isn't killed mid-compile).
+            return _train_lane_subprocess(
+                timeout_s=max(240.0, _remaining_seconds())
+            )
+
+        # Ordered by information value for the round: the end-to-end fast
+        # path (regression watch), then the transcript lane's three bounds
+        # (full-budget/realistic/beam-5 — the one below-target BASELINE.md
+        # number), then the cheap encode lanes, then the expensive rest.
         lanes = (
-            ("accurate_encode_int8", _int8_extra),
-            ("infer_fast", lambda: _bench_infer()[2]),
-            ("infer_accurate", lambda: _bench_infer_accurate()[2]),
-            ("infer_medium", lambda: _bench_infer_medium()[2]),
-            ("medium_encode", _medium_extra),
-            ("fast_dsp", _fast_extra),
-            ("transcript", lambda: _bench_transcript()[2]),
-            ("train", _train_lane_subprocess),
+            ("infer_fast", 150, lambda: _bench_infer()[2]),
+            ("transcript", 260, lambda: _bench_transcript()[2]),
+            (
+                "transcript_realistic",
+                200,
+                lambda: _bench_transcript(token_budget=96)[2],
+            ),
+            (
+                "transcript_beam",
+                300,
+                lambda: _bench_transcript("beam", token_budget=96)[2],
+            ),
+            ("medium_encode", 150, _medium_extra),
+            ("fast_dsp", 60, _fast_extra),
+            ("infer_accurate", 300, lambda: _bench_infer_accurate()[2]),
+            ("infer_medium", 240, lambda: _bench_infer_medium()[2]),
+            ("train", 700, _train_extra),
+            ("accurate_encode_int8", 300, _int8_extra),
         )
-        for lane_name, lane in lanes:
+        lane_seconds: dict = {}
+        for lane_name, estimate, lane in lanes:
+            if _remaining_seconds() < estimate:
+                extras[f"{lane_name}_skipped"] = "deadline"
+                continue
+            lane_start = time.monotonic()
             try:
                 extras.update(lane())
             except Exception as err:  # headline must never break on a lane
                 extras[f"{lane_name}_error"] = f"{type(err).__name__}: {err}"
-    extras["platform"] = platform
+            lane_seconds[lane_name] = round(time.monotonic() - lane_start, 1)
+        extras["lane_seconds"] = lane_seconds
+        extras["deadline_seconds"] = _deadline_seconds()
+        extras["elapsed_seconds"] = round(time.monotonic() - _BENCH_START, 1)
 
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(value, 2),
-                "unit": "audio_s/s/chip",
-                "vs_baseline": round(value / REALTIME_TARGET, 3),
-                **({"extras": extras} if extras else {}),
-            }
-        )
-    )
+    emit()
     return 0
 
 

@@ -46,7 +46,11 @@ class InferenceResult:
 
 
 def to_legacy_emotion_segments(result: InferenceResult) -> list[EmotionSegment]:
-    """Converts detailed inference output to legacy emotion segments."""
+    """Projects an :class:`InferenceResult` down to bare ``EmotionSegment`` rows.
+
+    Pure projection — no smoothing or re-merging happens here; the legacy
+    surface simply drops frame-level detail and confidences.
+    """
     return [
         EmotionSegment(
             emotion=segment.emotion,

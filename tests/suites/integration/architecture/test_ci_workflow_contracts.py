@@ -46,3 +46,26 @@ def test_tpu_validation_lane_targets_self_hosted_tpu():
     rendered = (WORKFLOWS / "tpu-validation.yml").read_text(encoding="utf-8")
     assert "bench.py" in rendered
     assert "gate --candidate" in rendered
+
+
+def test_publish_workflow_gates_before_upload():
+    """Release publish parity (reference python-publish[-testpypi].yml).
+
+    CI verification of the release commit must precede the build; the build
+    must twine-check and wheel-smoke before any upload; uploads use OIDC
+    (id-token) with prereleases routed to TestPyPI and releases to PyPI.
+    """
+    publish = _load("python-publish.yml")
+    jobs = publish["jobs"]
+    assert set(jobs) == {"verify-ci", "build", "publish-testpypi", "publish-pypi"}
+    assert jobs["build"]["needs"] == "verify-ci"
+    assert jobs["publish-pypi"]["needs"] == "build"
+    assert jobs["publish-testpypi"]["needs"] == "build"
+    assert "prerelease == true" in jobs["publish-testpypi"]["if"]
+    assert "prerelease == false" in jobs["publish-pypi"]["if"]
+    for job in ("publish-testpypi", "publish-pypi"):
+        assert jobs[job]["permissions"] == {"id-token": "write"}
+    rendered = (WORKFLOWS / "python-publish.yml").read_text(encoding="utf-8")
+    assert "verify_ci_release.py" in rendered
+    assert "twine check --strict" in rendered
+    assert "smoke_test_wheel_install.sh" in rendered
