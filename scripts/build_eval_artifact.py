@@ -55,12 +55,36 @@ def _fast_profile_eval(settings, emotion_map) -> dict:
     }
 
 
+def _gate_payload(decision, settings) -> dict:
+    return {
+        "baseline": dataclasses.asdict(decision.baseline),
+        "candidate": dataclasses.asdict(decision.candidate),
+        "candidate_stability": (
+            dataclasses.asdict(decision.candidate_stability)
+            if decision.candidate_stability
+            else None
+        ),
+        "promote": decision.promote,
+        "reasons": list(decision.reasons),
+        "thresholds": dataclasses.asdict(settings.quality_gate),
+    }
+
+
 def main() -> int:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--round", type=int, default=3)
-    parser.add_argument("--candidate", default="medium")
-    parser.add_argument("--actors", type=int, default=4)
-    parser.add_argument("--repetitions", type=int, default=3)
+    parser.add_argument("--round", type=int, default=4)
+    parser.add_argument(
+        "--candidates",
+        default="medium,accurate,accurate-research",
+        help="comma-separated candidate profiles to gate against the fast baseline",
+    )
+    parser.add_argument("--actors", type=int, default=6)
+    parser.add_argument("--repetitions", type=int, default=2)
+    parser.add_argument(
+        "--easy-corpus",
+        action="store_true",
+        help="use the separable CI corpus instead of the hard confusable-pair one",
+    )
     parser.add_argument("--output", default=None)
     args = parser.parse_args()
 
@@ -73,14 +97,21 @@ def main() -> int:
 
     workdir = Path(tempfile.mkdtemp(prefix="ser_eval_"))
     dataset_root = workdir / "ravdess"
-    files = build_dataset(dataset_root, actors=args.actors, repetitions=args.repetitions)
+    hard = not args.easy_corpus
+    files = build_dataset(
+        dataset_root, actors=args.actors, repetitions=args.repetitions, hard=hard
+    )
 
     # Tiny deterministic-random encoders: accuracy through the REAL encode
     # path without staged checkpoints. The fast profile needs no weights.
+    # accurate-research is license-gated — grant the emotion2vec consent the
+    # way a research deployment would (env allowlist).
     os.environ["SER_ALLOW_RANDOM_INIT"] = "1"
     os.environ["SER_DATASET_FOLDER"] = str(dataset_root)
     os.environ["SER_MODELS_FOLDER"] = str(workdir / "models")
     os.environ["SER_TMP_FOLDER"] = str(workdir / "tmp")
+    os.environ["SER_ENABLE_RESTRICTED_BACKENDS"] = "1"
+    os.environ["SER_ALLOWED_RESTRICTED_BACKENDS"] = "emotion2vec"
     settings = reload_settings()
 
     # Fit + stage a fast-profile artifact so api.infer works end to end.
@@ -89,50 +120,66 @@ def main() -> int:
     run_training(profile="fast", settings=settings)
     fast_eval = _fast_profile_eval(settings, dict(settings.emotions))
 
-    gate_decision = evaluate_candidate_gate(
-        settings=settings, candidate=args.candidate, folds=3
-    )
+    gates: dict = {}
+    for candidate in [name.strip() for name in args.candidates.split(",") if name.strip()]:
+        try:
+            # Stage the candidate's head artifact FIRST: the stability lane
+            # runs full backend-hook inference, which needs a loadable
+            # artifact — without it candidate_stability degrades to null
+            # (the round-3 gap).
+            run_training(profile=candidate, settings=settings)
+            decision = evaluate_candidate_gate(
+                settings=settings, candidate=candidate, folds=3
+            )
+            gates[candidate] = _gate_payload(decision, settings)
+        except Exception as err:  # noqa: BLE001 — record, keep other rows
+            gates[candidate] = {"error": f"{type(err).__name__}: {err}"}
 
     payload = {
         "round": args.round,
         "generated_at_unix": time.time(),
         "corpus": {
-            "kind": "synthetic-ravdess",
+            "kind": "synthetic-ravdess-hard" if hard else "synthetic-ravdess",
             "actors": args.actors,
             "repetitions": args.repetitions,
             "clips": len(files),
             "note": (
-                "Deterministic sine-harmonic clips with per-emotion fundamentals; "
-                "encoder profiles use tiny deterministic-random weights "
+                (
+                    "Confusable-pair corpus: emotion pairs share fundamentals and "
+                    "differ only in spectral tilt + tremolo rate, under per-actor "
+                    "F0 scaling and a 0.02-0.25 noise-level spread — built so the "
+                    "fast profile CANNOT saturate and gate deltas are "
+                    "discriminative. "
+                    if hard
+                    else "Deterministic sine-harmonic clips with per-emotion fundamentals. "
+                )
+                + "Encoder profiles use tiny deterministic-random weights "
                 "(zero-egress runtime), so encoder-profile numbers measure the "
                 "PIPELINE (real encode -> window -> pool -> head -> fold eval), "
                 "not pretrained-representation quality."
             ),
         },
         "fast_profile": fast_eval,
-        "quality_gate": {
-            "baseline": dataclasses.asdict(gate_decision.baseline),
-            "candidate": dataclasses.asdict(gate_decision.candidate),
-            "candidate_stability": (
-                dataclasses.asdict(gate_decision.candidate_stability)
-                if gate_decision.candidate_stability
-                else None
-            ),
-            "promote": gate_decision.promote,
-            "reasons": list(gate_decision.reasons),
-            "thresholds": dataclasses.asdict(settings.quality_gate),
-        },
+        "quality_gates": gates,
     }
     output = Path(args.output) if args.output else repo_root / f"EVAL_r{args.round:02d}.json"
     output.write_text(json.dumps(payload, indent=2), encoding="utf-8")
     print(f"wrote {output}")
     print(
         f"fast: UAR {fast_eval['uar']:.3f} macro-F1 {fast_eval['macro_f1']:.3f} "
-        f"over {fast_eval['clips']} clips; gate[{args.candidate}]: "
-        f"{'PROMOTE' if gate_decision.promote else 'HOLD'} "
-        f"(baseline UAR {gate_decision.baseline.uar:.3f}, "
-        f"candidate UAR {gate_decision.candidate.uar:.3f})"
+        f"over {fast_eval['clips']} clips"
     )
+    for candidate, row in gates.items():
+        if "error" in row:
+            print(f"gate[{candidate}]: ERROR {row['error']}")
+        else:
+            stability = row["candidate_stability"]
+            print(
+                f"gate[{candidate}]: {'PROMOTE' if row['promote'] else 'HOLD'} "
+                f"(baseline UAR {row['baseline']['uar']:.3f}, candidate UAR "
+                f"{row['candidate']['uar']:.3f}, stability "
+                f"{'null' if stability is None else stability})"
+            )
     return 0
 
 

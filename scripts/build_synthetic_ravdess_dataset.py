@@ -23,20 +23,55 @@ import numpy as np
 EMOTION_CODES = ("01", "02", "03", "04", "05", "06", "07", "08")
 _BASE_FREQS = {code: 150.0 + 45.0 * i for i, code in enumerate(EMOTION_CODES)}
 
+# Hard-mode acoustics: per-emotion fundamentals collapse to PER-PAIR
+# fundamentals (neutral/calm, happy/sad, angry/fearful, disgust/surprised
+# share F0), so class separation must come from the subtler within-pair cues
+# (spectral tilt and tremolo rate), under per-actor F0 scaling (speaker
+# variation dominates the easy cue under speaker-grouped folds) and a wide
+# per-clip SNR spread. Purpose: an evaluation corpus that a feature pipeline
+# cannot saturate — fast-profile UAR lands meaningfully below 1.0 so the
+# quality gate's promotion deltas measure something (VERDICT r03 weak #2).
+_HARD_PAIR_FREQS = {code: 150.0 + 90.0 * (i // 2) for i, code in enumerate(EMOTION_CODES)}
+_HARD_TILT = {code: (0.9 if i % 2 == 0 else 0.45) for i, code in enumerate(EMOTION_CODES)}
+_HARD_TREMOLO_HZ = {code: (3.0 if i % 2 == 0 else 5.5) for i, code in enumerate(EMOTION_CODES)}
+
 
 def synthesize_clip(
-    emotion_code: str, seed: int, sample_rate: int, seconds: float
+    emotion_code: str,
+    seed: int,
+    sample_rate: int,
+    seconds: float,
+    *,
+    hard: bool = False,
+    actor: int = 0,
 ) -> np.ndarray:
     """One deterministic synthetic utterance for an emotion code."""
     rng = np.random.default_rng(seed)
     t = np.arange(int(seconds * sample_rate)) / sample_rate
-    base = _BASE_FREQS[emotion_code] * (1.0 + 0.02 * rng.standard_normal())
+    if hard:
+        actor_rng = np.random.default_rng(90_000 + actor)
+        actor_scale = float(actor_rng.uniform(0.82, 1.25))
+        base = _HARD_PAIR_FREQS[emotion_code] * actor_scale * (
+            1.0 + 0.03 * rng.standard_normal()
+        )
+        tilt = _HARD_TILT[emotion_code]
+        amplitudes = [(h, 0.6 * tilt ** (h - 1)) for h in (1, 2, 3, 4)]
+        tremolo = 1.0 + 0.35 * np.sin(
+            2 * np.pi * _HARD_TREMOLO_HZ[emotion_code] * t + rng.uniform(0, 2 * np.pi)
+        )
+        noise_level = float(rng.uniform(0.02, 0.25))
+    else:
+        base = _BASE_FREQS[emotion_code] * (1.0 + 0.02 * rng.standard_normal())
+        amplitudes = [(1, 0.6), (2, 0.25), (3, 0.1)]
+        tremolo = 1.0
+        noise_level = 0.01
     signal = np.zeros_like(t)
-    for harmonic, amplitude in ((1, 0.6), (2, 0.25), (3, 0.1)):
+    for harmonic, amplitude in amplitudes:
         signal += amplitude * np.sin(2 * np.pi * base * harmonic * t + rng.uniform(0, 2 * np.pi))
+    signal = signal * tremolo
     # Amplitude envelope (attack/decay) so clips aren't pure stationary tones.
     envelope = np.minimum(1.0, t / 0.2) * np.minimum(1.0, (seconds - t) / 0.2)
-    signal = signal * envelope + 0.01 * rng.standard_normal(t.size)
+    signal = signal * envelope + noise_level * rng.standard_normal(t.size)
     return (0.8 * signal / np.max(np.abs(signal))).astype(np.float32)
 
 
@@ -47,8 +82,15 @@ def build_dataset(
     repetitions: int = 2,
     sample_rate: int = 16000,
     seconds: float = 3.2,
+    hard: bool = False,
 ) -> list[Path]:
-    """Writes the synthetic corpus; returns the generated file paths."""
+    """Writes the synthetic corpus; returns the generated file paths.
+
+    ``hard=True`` generates the confusable-pair evaluation variant (shared
+    pair fundamentals, per-actor F0 scaling, SNR spread) — see
+    :func:`synthesize_clip`. The default stays the easily separable corpus
+    CI's train+infer smoke relies on.
+    """
     from ser_tpu._internal.utils.audio_io import write_wav
 
     written: list[Path] = []
@@ -60,7 +102,9 @@ def build_dataset(
                 # RAVDESS fields: modality-vocal-emotion-intensity-statement-rep-actor
                 name = f"03-01-{code}-01-01-{repetition:02d}-{actor:02d}.wav"
                 seed = actor * 1000 + int(code) * 10 + repetition
-                clip = synthesize_clip(code, seed, sample_rate, seconds)
+                clip = synthesize_clip(
+                    code, seed, sample_rate, seconds, hard=hard, actor=actor
+                )
                 path = actor_dir / name
                 write_wav(path, clip, sample_rate)
                 written.append(path)
@@ -74,6 +118,12 @@ def main() -> None:
     parser.add_argument("--repetitions", type=int, default=2)
     parser.add_argument("--sample-rate", type=int, default=16000)
     parser.add_argument("--seconds", type=float, default=3.2)
+    parser.add_argument(
+        "--hard",
+        action="store_true",
+        help="confusable-pair evaluation variant (shared pair F0s, per-actor "
+        "F0 scaling, SNR spread) — for discriminative accuracy artifacts",
+    )
     args = parser.parse_args()
     written = build_dataset(
         args.output_dir,
@@ -81,6 +131,7 @@ def main() -> None:
         repetitions=args.repetitions,
         sample_rate=args.sample_rate,
         seconds=args.seconds,
+        hard=args.hard,
     )
     print(f"Wrote {len(written)} synthetic RAVDESS files under {args.output_dir}")
 
