@@ -811,7 +811,7 @@ def main() -> int:
                 300,
                 lambda: _bench_transcript("beam", token_budget=96)[2],
             ),
-            ("medium_encode", 150, _medium_extra),
+            ("medium_encode", 220, _medium_extra),
             ("fast_dsp", 60, _fast_extra),
             ("infer_accurate", 300, lambda: _bench_infer_accurate()[2]),
             ("infer_medium", 240, lambda: _bench_infer_medium()[2]),

@@ -17,6 +17,8 @@ Bridges variable-length audio onto the fixed-shape jitted program in
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -115,6 +117,64 @@ def _batched_features(
         **_flag_kwargs(flags),
     )
     return np.asarray(out)[:true_batch]
+
+
+def _clip_framed_features(
+    audio: np.ndarray,
+    starts: np.ndarray,
+    lengths: np.ndarray,
+    frame_length: int,
+    sample_rate: int,
+    flags: FeatureFlags,
+) -> np.ndarray:
+    """Device-framed feature batch: ships the RAW clip, gathers frames on TPU.
+
+    The overlapping frame matrix is ~3× the clip's bytes (3 s frames, 1 s
+    stride); ``dsp.handcrafted_features_clip`` rebuilds it on device from
+    one clip transfer. The clip buffer pads to the next power of two and the
+    row count to the usual batch bucket, so arbitrary durations reuse
+    O(log n) compiled programs. ``SER_FAST_DEVICE_FRAMING=0`` restores the
+    host-framed path (A/B lever; numerics are bit-identical).
+    """
+    import jax
+
+    needed = int(starts.max()) + frame_length
+    clip = np.zeros(_next_pow2(needed), dtype=np.float32)
+    clip[: audio.size] = audio[: clip.size]
+
+    true_rows = starts.size
+    bucket = _next_pow2(true_rows)
+    n_devices = len(jax.devices())
+    if n_devices > 1:
+        bucket = max(bucket, n_devices)
+        if bucket % n_devices:
+            bucket = ((bucket // n_devices) + 1) * n_devices
+    if bucket != true_rows:
+        # Padded rows gather from offset 0 with length frame_length; their
+        # outputs are discarded below.
+        starts = np.pad(starts, (0, bucket - true_rows))
+        lengths = np.pad(lengths, (0, bucket - true_rows), constant_values=frame_length)
+
+    clip_dev = jnp.asarray(clip, dtype=jnp.float32)
+    starts_dev = jnp.asarray(starts, dtype=jnp.int32)
+    lengths_dev = jnp.asarray(lengths, dtype=jnp.int32)
+    if n_devices > 1:
+        from ser_tpu.parallel.mesh import build_mesh
+        from ser_tpu.parallel.sharding import batch_sharding
+
+        mesh = build_mesh()
+        starts_dev = jax.device_put(starts_dev, batch_sharding(mesh, 1))
+        lengths_dev = jax.device_put(lengths_dev, batch_sharding(mesh, 1))
+
+    out = dsp.handcrafted_features_clip(
+        clip_dev,
+        starts_dev,
+        lengths_dev,
+        frame_length=frame_length,
+        sr=sample_rate,
+        **_flag_kwargs(flags),
+    )
+    return np.asarray(out)[:true_rows]
 
 
 def _features_small(audio: np.ndarray, sample_rate: int, flags: FeatureFlags) -> np.ndarray:
@@ -243,8 +303,19 @@ def extract_frame_features(
         # duration (an hour of 3 s frames is thousands of rows; the STFT
         # window gather alone would be tens of GB). Chunks re-use one
         # compiled program per (chunk_rows, frame_length) shape.
+        device_framing = os.environ.get("SER_FAST_DEVICE_FRAMING", "1").strip() != "0"
         for chunk_start in range(0, bulk_idx.size, _MAX_DEVICE_ROWS):
             chunk = bulk_idx[chunk_start : chunk_start + _MAX_DEVICE_ROWS]
+            if device_framing:
+                features[chunk] = _clip_framed_features(
+                    audio,
+                    starts[chunk].astype(np.int32),
+                    lengths[chunk].astype(np.int32),
+                    frame_length,
+                    sample_rate,
+                    flags,
+                )
+                continue
             frames = np.zeros((chunk.size, frame_length), dtype=np.float32)
             for row, i in enumerate(chunk):
                 frames[row, : lengths[i]] = audio[starts[i] : ends[i]]

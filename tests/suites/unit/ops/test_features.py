@@ -142,3 +142,24 @@ def test_frame_extraction_chunks_match_single_batch(monkeypatch):
     chunked, s2, e2 = feats.extract_frame_features(audio, 16000)
     np.testing.assert_array_equal(full, chunked)
     np.testing.assert_array_equal(s1, s2)
+
+
+def test_device_framed_features_bitwise_match_host_framed(monkeypatch):
+    """SER_FAST_DEVICE_FRAMING ships the raw clip and gathers frames on
+    device; the frame rows it rebuilds must be bit-identical to the
+    host-assembled path, so the feature outputs must be too."""
+    import os
+
+    from ser_tpu.ops.features import extract_frame_features
+
+    rng = np.random.default_rng(17)
+    audio = (0.2 * rng.standard_normal(int(7.3 * 16000))).astype(np.float32)
+
+    monkeypatch.setenv("SER_FAST_DEVICE_FRAMING", "1")
+    dev_feats, dev_starts, dev_ends = extract_frame_features(audio, 16000)
+    monkeypatch.setenv("SER_FAST_DEVICE_FRAMING", "0")
+    host_feats, host_starts, host_ends = extract_frame_features(audio, 16000)
+
+    np.testing.assert_array_equal(dev_feats, host_feats)
+    np.testing.assert_array_equal(dev_starts, host_starts)
+    np.testing.assert_array_equal(dev_ends, host_ends)
