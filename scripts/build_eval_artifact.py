@@ -112,6 +112,13 @@ def main() -> int:
     os.environ["SER_TMP_FOLDER"] = str(workdir / "tmp")
     os.environ["SER_ENABLE_RESTRICTED_BACKENDS"] = "1"
     os.environ["SER_ALLOWED_RESTRICTED_BACKENDS"] = "emotion2vec"
+    # Stability runs full backend-hook inference, and hooks gate on the
+    # profile enable flags; without them candidate_stability is null.
+    os.environ["SER_ENABLE_MEDIUM_PROFILE"] = "1"
+    os.environ["SER_ENABLE_ACCURATE_PROFILE"] = "1"
+    os.environ["SER_ENABLE_ACCURATE_RESEARCH_PROFILE"] = "1"
+    # Single-core CPU first-compiles blow the default 120 s smoke deadline.
+    os.environ.setdefault("SER_TRAINING_SMOKE_TIMEOUT_SECONDS", "900")
     settings = reload_settings()
 
     # Fit + stage a fast-profile artifact so api.infer works end to end.
