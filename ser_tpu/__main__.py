@@ -723,6 +723,7 @@ def _run_transcription_calibration(
             cache_root=settings.models.whisper_download_root,
             use_vad=settings.transcription.use_vad,
             use_demucs=settings.transcription.use_demucs,
+            separation_model_path=settings.transcription.separation_model_path,
         )
         try:
             candidates.append(

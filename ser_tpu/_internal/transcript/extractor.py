@@ -83,6 +83,7 @@ def _build_transcriber(resolved: TranscriptionProfile, settings: AppConfig):
         decode_strategy=resolved.decode_strategy,
         beam_size=resolved.beam_size,
         length_penalty=resolved.length_penalty,
+        separation_model_path=settings.transcription.separation_model_path,
     )
 
 

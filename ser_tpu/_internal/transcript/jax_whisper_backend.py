@@ -33,6 +33,7 @@ class JaxWhisperTranscriber:
         decode_strategy: str = "greedy",
         beam_size: int = 5,
         length_penalty: float = 1.0,
+        separation_model_path: Path | None = None,
     ) -> None:
         self._model_name = model_name
         self._cache_root = Path(cache_root)
@@ -41,6 +42,7 @@ class JaxWhisperTranscriber:
         self._decode_strategy = decode_strategy
         self._beam_size = beam_size
         self._length_penalty = length_penalty
+        self._separation_model_path = separation_model_path
         self._model = None
 
     def _assets_dir(self) -> Path | None:
@@ -159,7 +161,11 @@ class JaxWhisperTranscriber:
                 separate_vocals_auto,
             )
 
-            audio16k = spectral_gate_denoise(separate_vocals_auto(audio16k, 16000))
+            audio16k = spectral_gate_denoise(
+                separate_vocals_auto(
+                    audio16k, 16000, model_path=self._separation_model_path
+                )
+            )
         return self._model.transcribe_words(
             audio16k, language=language, use_vad=self._use_vad
         )

@@ -143,21 +143,24 @@ def separate_vocals_auto(
     sample_rate: int,
     *,
     settings=None,
+    model_path=None,
 ) -> np.ndarray:
     """Routes the demucs lane: neural separator when staged, REPET-SIM else.
 
     The reference's ``use_demucs`` runs the demucs v4 neural separator
-    (``stable_whisper.py:272-478``); here the demucs-class flax U-Net
+    (``stable_whisper.py:272-478``); here a staged converted htdemucs
+    checkpoint (``models/demucs_v4``) or in-house flax U-Net
     (:mod:`ser_tpu.models.separation`) takes the lane whenever a checkpoint
-    is staged at ``transcription.separation_model_path`` /
+    is staged via ``model_path`` (explicit, e.g. plumbed from the
+    transcriber), ``settings.transcription.separation_model_path``, or
     ``SER_SEPARATION_MODEL_PATH`` — zero-egress environments without staged
     weights keep the weight-free REPET-SIM separator above.
     """
     import os
     from pathlib import Path
 
-    path = None
-    if settings is not None:
+    path = Path(model_path) if model_path is not None else None
+    if path is None and settings is not None:
         path = settings.transcription.separation_model_path
     if path is None:
         env_path = os.environ.get("SER_SEPARATION_MODEL_PATH")

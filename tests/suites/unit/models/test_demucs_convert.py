@@ -122,3 +122,20 @@ def test_lane_routes_staged_demucs_npz(tmp_path, monkeypatch):
     out = source_separation.separate_vocals_auto(audio, 16000, settings=None)
     assert out.shape == audio.shape
     assert np.all(np.isfinite(out))
+
+
+def test_explicit_model_path_routes_demucs(tmp_path, monkeypatch):
+    """The transcriber plumbs TranscriptionConfig.separation_model_path as an
+    explicit argument (it holds no settings object); that argument must take
+    the demucs lane without any env staging."""
+    from ser_tpu._internal.utils import source_separation
+
+    params = dm.convert_demucs_state_dict(synthetic_state_dict(CFG, seed=13), CFG)
+    staged = tmp_path / "sep.npz"
+    dm.save_demucs_npz(params, staged, config=CFG)
+    monkeypatch.delenv("SER_SEPARATION_MODEL_PATH", raising=False)
+    rng = np.random.default_rng(5)
+    audio = (0.1 * rng.standard_normal(4000)).astype(np.float32)
+    out = source_separation.separate_vocals_auto(audio, 16000, model_path=staged)
+    assert out.shape == audio.shape
+    assert str(staged.resolve()) in source_separation._NEURAL_PARAM_CACHE
