@@ -27,13 +27,48 @@ def test_feature_batch_shards_across_devices_and_stays_exact():
 
 
 def test_bulk_frames_actually_shard_over_the_data_axis(monkeypatch):
-    """The device array entering the batched DSP program must carry a
-    NamedSharding over the mesh data axis (VERDICT: inspect .sharding)."""
+    """The arrays entering the framed DSP program must carry NamedShardings
+    over the mesh data axis (VERDICT: inspect .sharding). Default path:
+    device framing — the per-frame starts/lengths shard over the data axis
+    while the raw clip is replicated for the gather."""
     import numpy as np
 
     from ser_tpu.ops import features as features_mod
     from ser_tpu.ops import dsp as dsp_mod
 
+    captured = {}
+    original = dsp_mod.handcrafted_features_clip
+
+    def capturing(clip, starts, lengths, **kwargs):
+        captured["starts_sharding"] = starts.sharding
+        captured["lengths_sharding"] = lengths.sharding
+        return original(clip, starts, lengths, **kwargs)
+
+    monkeypatch.setattr(dsp_mod, "handcrafted_features_clip", capturing)
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    audio = (0.2 * rng.standard_normal(sr * 9)).astype(np.float32)  # 8+ frames
+    features_mod.extract_frame_features(audio, sr)
+
+    import jax.sharding as shd
+
+    starts_sharding = captured["starts_sharding"]
+    assert isinstance(starts_sharding, shd.NamedSharding)
+    assert starts_sharding.spec[0] is not None  # batch dim is sharded
+    assert len(starts_sharding.mesh.devices.flatten()) == 8
+    assert captured["lengths_sharding"].spec == starts_sharding.spec
+
+
+def test_bulk_frames_shard_over_the_data_axis_host_framed(monkeypatch):
+    """SER_FAST_DEVICE_FRAMING=0 path: the host-assembled frame matrix itself
+    must enter the batch program sharded over the data axis."""
+    import numpy as np
+
+    from ser_tpu.ops import features as features_mod
+    from ser_tpu.ops import dsp as dsp_mod
+
+    monkeypatch.setenv("SER_FAST_DEVICE_FRAMING", "0")
     captured = {}
     original = dsp_mod.handcrafted_features_batch
 
@@ -46,7 +81,7 @@ def test_bulk_frames_actually_shard_over_the_data_axis(monkeypatch):
 
     sr = 16000
     rng = np.random.default_rng(0)
-    audio = (0.2 * rng.standard_normal(sr * 9)).astype(np.float32)  # 8+ frames
+    audio = (0.2 * rng.standard_normal(sr * 9)).astype(np.float32)
     features_mod.extract_frame_features(audio, sr)
 
     import jax.sharding as shd
