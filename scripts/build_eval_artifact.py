@@ -118,7 +118,7 @@ def main() -> int:
     os.environ["SER_ENABLE_ACCURATE_PROFILE"] = "1"
     os.environ["SER_ENABLE_ACCURATE_RESEARCH_PROFILE"] = "1"
     # Single-core CPU first-compiles blow the default 120 s smoke deadline.
-    os.environ.setdefault("SER_TRAINING_SMOKE_TIMEOUT_SECONDS", "900")
+    os.environ.setdefault("SER_TRAINING_SMOKE_TIMEOUT_SECONDS", "600")
     settings = reload_settings()
 
     # Fit + stage a fast-profile artifact so api.infer works end to end.
