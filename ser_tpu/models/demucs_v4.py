@@ -487,11 +487,13 @@ def demucs_forward(params: dict, mix: jax.Array, config: DemucsV4Config) -> jax.
         b, 2 * cfg.audio_channels, cfg.freq_bins, z.shape[-1]
     )
     mean = mag.mean(axis=(1, 2, 3), keepdims=True)
-    std = mag.std(axis=(1, 2, 3), keepdims=True)
+    # ddof=1: torch .std() is the UNBIASED estimator — the constant cancels
+    # in the spec-output rescale but shifts the network's input scale.
+    std = mag.std(axis=(1, 2, 3), keepdims=True, ddof=1)
     x = (mag - mean) / (_EPS + std)
 
     meant = mix.mean(axis=(1, 2), keepdims=True)
-    stdt = mix.std(axis=(1, 2), keepdims=True)
+    stdt = mix.std(axis=(1, 2), keepdims=True, ddof=1)
     xt = (mix - meant) / (_EPS + stdt)
 
     saved, saved_t, lengths_t = [], [], []
