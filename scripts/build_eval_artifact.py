@@ -8,8 +8,9 @@ REAL encoder (tiny config, deterministic random init — zero-egress runtime),
 and records everything with the active ``QualityGateConfig`` thresholds
 (reference ``config/schema.py:577-584``).
 
-Usage: python scripts/build_eval_artifact.py [--round N] [--candidate medium]
-       [--actors 4] [--repetitions 3] [--output EVAL_rN.json]
+Usage: python scripts/build_eval_artifact.py [--round N]
+       [--candidates medium,accurate,accurate-research] [--actors 6]
+       [--repetitions 2] [--easy-corpus] [--output EVAL_rN.json]
 """
 
 from __future__ import annotations

@@ -21,6 +21,10 @@ from __future__ import annotations
 
 import numpy as np
 
+from ser_tpu._internal.utils.logger import get_logger
+
+logger = get_logger(__name__)
+
 _EPS = 1e-10
 
 
@@ -165,35 +169,46 @@ def separate_vocals_auto(
     if path is None:
         env_path = os.environ.get("SER_SEPARATION_MODEL_PATH")
         path = Path(env_path) if env_path else None
-    if path is not None and Path(path).exists():
-        from ser_tpu.models.demucs_v4 import is_demucs_npz
-
+    if path is not None and not Path(path).exists():
+        # An explicitly configured checkpoint that isn't there must not
+        # SILENTLY degrade the lane the user asked for — say so once.
+        logger.warning(
+            "Configured separation checkpoint %s does not exist; the "
+            "use_demucs lane falls back to the weight-free REPET-SIM "
+            "separator.",
+            path,
+        )
+        path = None
+    if path is not None:
         key = str(Path(path).resolve())
-        if is_demucs_npz(key):
+        cached = _NEURAL_PARAM_CACHE.get(key)
+        if cached is None:
+            # The format sniff (np.load + zip scan) runs once per checkpoint;
+            # subsequent calls route from the cache tag alone.
+            from ser_tpu.models.demucs_v4 import is_demucs_npz, load_demucs_npz
+
+            if is_demucs_npz(key):
+                cached = ("demucs_v4", load_demucs_npz(key))
+            else:
+                from ser_tpu.models.separation import load_separator_params
+
+                cached = ("spec_unet", load_separator_params(key))
+            _NEURAL_PARAM_CACHE[key] = cached
+        kind, payload = cached
+        if kind == "demucs_v4":
             # Converted htdemucs checkpoint (demucs_v4.convert_demucs_checkpoint):
             # the real-weight demucs v4 lane, matching the reference's
             # use_demucs separator (stable_whisper.py:272-478).
-            from ser_tpu.models.demucs_v4 import (
-                load_demucs_npz,
-                separate_vocals_demucs,
-            )
+            from ser_tpu.models.demucs_v4 import separate_vocals_demucs
 
-            if key not in _NEURAL_PARAM_CACHE:
-                _NEURAL_PARAM_CACHE[key] = load_demucs_npz(key)
-            demucs_params, demucs_config = _NEURAL_PARAM_CACHE[key]
+            demucs_params, demucs_config = payload
             return separate_vocals_demucs(
                 audio, sample_rate, params=demucs_params, config=demucs_config
             )
 
-        from ser_tpu.models.separation import (
-            SeparatorConfig,
-            load_separator_params,
-            separate_vocals_neural,
-        )
+        from ser_tpu.models.separation import SeparatorConfig, separate_vocals_neural
 
-        if key not in _NEURAL_PARAM_CACHE:
-            _NEURAL_PARAM_CACHE[key] = load_separator_params(key)
-        params, config = _NEURAL_PARAM_CACHE[key]
+        params, config = payload
         config = config or SeparatorConfig(sample_rate=sample_rate)
         if config.sample_rate != sample_rate:
             raise ValueError(

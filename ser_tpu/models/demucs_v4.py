@@ -766,20 +766,20 @@ def _listify(node):
 
 
 def load_demucs_npz(path) -> tuple[dict, DemucsV4Config]:
-    archive = np.load(path)
     nested: dict = {}
     config: DemucsV4Config | None = None
-    for flat_key in archive.files:
-        if flat_key == _CONFIG_KEY:
-            record = json.loads(bytes(archive[flat_key]).decode("utf-8"))
-            record["sources"] = tuple(record["sources"])
-            config = DemucsV4Config(**record)
-            continue
-        node = nested
-        *parents, leaf = [part for part in flat_key.split("/") if part]
-        for parent in parents:
-            node = node.setdefault(parent, {})
-        node[leaf] = jnp.asarray(archive[flat_key])
+    with np.load(path) as archive:
+        for flat_key in archive.files:
+            if flat_key == _CONFIG_KEY:
+                record = json.loads(bytes(archive[flat_key]).decode("utf-8"))
+                record["sources"] = tuple(record["sources"])
+                config = DemucsV4Config(**record)
+                continue
+            node = nested
+            *parents, leaf = [part for part in flat_key.split("/") if part]
+            for parent in parents:
+                node = node.setdefault(parent, {})
+            node[leaf] = jnp.asarray(archive[flat_key])
     if config is None:
         raise ValueError(f"{path} carries no bundled demucs config record.")
     return _listify(nested), config
@@ -850,9 +850,18 @@ def separate_vocals_demucs(
         starts.append(max(0, length - segment))
     padded = np.pad(work, (0, max(0, starts[-1] + segment - length)))
     batch = np.stack([padded[s : s + segment] for s in starts])
+    # Pow2 row bucket: the forward is jitted on the segment count, and an
+    # unbucketed batch would recompile the full model per distinct audio
+    # duration (remote-tunnel compiles take minutes; the persistent cache is
+    # disabled). Padded rows are all-zero and discarded after the call.
+    bucket = 1 << max(0, (len(starts) - 1).bit_length())
+    if bucket != len(starts):
+        batch = np.pad(batch, ((0, bucket - len(starts)), (0, 0)))
     stereo = np.repeat(batch[:, None, :], cfg.audio_channels, axis=1)
 
-    out = np.asarray(_compiled_forward(params, jnp.asarray(stereo), cfg))
+    out = np.asarray(_compiled_forward(params, jnp.asarray(stereo), cfg))[
+        : len(starts)
+    ]
     vocals_index = cfg.sources.index("vocals")
     vocal = out[:, vocals_index].mean(axis=1)  # downmix stems to mono
 

@@ -90,12 +90,8 @@ def _batched_features(
     import jax
 
     true_batch = frames.shape[0]
-    bucket = _next_pow2(true_batch)
     n_devices = len(jax.devices())
-    if n_devices > 1:
-        bucket = max(bucket, n_devices)
-        if bucket % n_devices:
-            bucket = ((bucket // n_devices) + 1) * n_devices
+    bucket = _row_bucket(true_batch, n_devices)
     if bucket != true_batch:
         frames = np.pad(frames, ((0, bucket - true_batch), (0, 0)))
         lengths = np.pad(lengths, (0, bucket - true_batch), constant_values=frames.shape[1])
@@ -103,12 +99,7 @@ def _batched_features(
     frames_dev = jnp.asarray(frames, dtype=jnp.float32)
     lengths_dev = jnp.asarray(lengths, dtype=jnp.int32)
     if n_devices > 1:
-        from ser_tpu.parallel.mesh import build_mesh
-        from ser_tpu.parallel.sharding import batch_sharding
-
-        mesh = build_mesh()
-        frames_dev = jax.device_put(frames_dev, batch_sharding(mesh, 2))
-        lengths_dev = jax.device_put(lengths_dev, batch_sharding(mesh, 1))
+        frames_dev, lengths_dev = _shard_batch_rows([frames_dev, lengths_dev])
 
     out = dsp.handcrafted_features_batch(
         frames_dev,
@@ -117,6 +108,29 @@ def _batched_features(
         **_flag_kwargs(flags),
     )
     return np.asarray(out)[:true_batch]
+
+
+def _row_bucket(true_rows: int, n_devices: int) -> int:
+    """Pow2 row bucket, rounded up to a device-count multiple when sharding."""
+    bucket = _next_pow2(true_rows)
+    if n_devices > 1:
+        bucket = max(bucket, n_devices)
+        if bucket % n_devices:
+            bucket = ((bucket // n_devices) + 1) * n_devices
+    return bucket
+
+
+def _shard_batch_rows(arrays):
+    """Places 1-leading-axis device arrays over the mesh data axis."""
+    import jax
+
+    from ser_tpu.parallel.mesh import build_mesh
+    from ser_tpu.parallel.sharding import batch_sharding
+
+    mesh = build_mesh()
+    return [
+        jax.device_put(array, batch_sharding(mesh, array.ndim)) for array in arrays
+    ]
 
 
 def _clip_framed_features(
@@ -131,24 +145,26 @@ def _clip_framed_features(
 
     The overlapping frame matrix is ~3× the clip's bytes (3 s frames, 1 s
     stride); ``dsp.handcrafted_features_clip`` rebuilds it on device from
-    one clip transfer. The clip buffer pads to the next power of two and the
-    row count to the usual batch bucket, so arbitrary durations reuse
+    one clip transfer. Each chunk's window is REBASED to its own first
+    frame, so a chunk ships only the ~chunk-span slice of audio (an
+    absolute-offset buffer would re-ship the whole clip prefix per chunk —
+    quasi-quadratic for hour-long files). The slice pads to the next power
+    of two and rows to the usual batch bucket, so arbitrary durations reuse
     O(log n) compiled programs. ``SER_FAST_DEVICE_FRAMING=0`` restores the
     host-framed path (A/B lever; numerics are bit-identical).
     """
     import jax
 
-    needed = int(starts.max()) + frame_length
-    clip = np.zeros(_next_pow2(needed), dtype=np.float32)
-    clip[: audio.size] = audio[: clip.size]
+    offset = int(starts.min())
+    span = int(starts.max()) - offset + frame_length
+    clip = np.zeros(_next_pow2(span), dtype=np.float32)
+    window = audio[offset : offset + span]
+    clip[: window.size] = window
+    starts = starts - offset
 
     true_rows = starts.size
-    bucket = _next_pow2(true_rows)
     n_devices = len(jax.devices())
-    if n_devices > 1:
-        bucket = max(bucket, n_devices)
-        if bucket % n_devices:
-            bucket = ((bucket // n_devices) + 1) * n_devices
+    bucket = _row_bucket(true_rows, n_devices)
     if bucket != true_rows:
         # Padded rows gather from offset 0 with length frame_length; their
         # outputs are discarded below.
@@ -159,12 +175,7 @@ def _clip_framed_features(
     starts_dev = jnp.asarray(starts, dtype=jnp.int32)
     lengths_dev = jnp.asarray(lengths, dtype=jnp.int32)
     if n_devices > 1:
-        from ser_tpu.parallel.mesh import build_mesh
-        from ser_tpu.parallel.sharding import batch_sharding
-
-        mesh = build_mesh()
-        starts_dev = jax.device_put(starts_dev, batch_sharding(mesh, 1))
-        lengths_dev = jax.device_put(lengths_dev, batch_sharding(mesh, 1))
+        starts_dev, lengths_dev = _shard_batch_rows([starts_dev, lengths_dev])
 
     out = dsp.handcrafted_features_clip(
         clip_dev,

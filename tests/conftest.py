@@ -76,19 +76,32 @@ def pytest_runtest_logreport(report):
         _OBSERVED_SKIPS.append((report.nodeid, reason))
 
 
-def pytest_sessionfinish(session, exitstatus):
-    unexpected = [
+def _unexpected_skips() -> list[tuple[str, str]]:
+    return [
         (nodeid, reason)
         for nodeid, reason in _OBSERVED_SKIPS
         if not any(reason.startswith(prefix) for prefix in _EXPECTED_SKIP_REASON_PREFIXES)
     ]
-    if unexpected:
-        lines = "\n".join(f"  {nodeid}: {reason!r}" for nodeid, reason in unexpected)
+
+
+def pytest_sessionfinish(session, exitstatus):
+    # No raise here: an exception in sessionfinish would abort the OTHER
+    # sessionfinish hookimpls (terminal summary, junitxml, cacheprovider).
+    # Flipping exitstatus is enough — wrap_session reads it afterwards.
+    if _unexpected_skips() and session.exitstatus == 0:
         session.exitstatus = 1
-        raise pytest.UsageError(
+
+
+def pytest_terminal_summary(terminalreporter):
+    unexpected = _unexpected_skips()
+    if unexpected:
+        terminalreporter.section("unexpected skips", sep="=", red=True)
+        terminalreporter.write_line(
             "Unexpected skip reasons (extend the expected-skip contract in "
-            f"tests/conftest.py deliberately, or fix the skip):\n{lines}"
+            "tests/conftest.py deliberately, or fix the skip):"
         )
+        for nodeid, reason in unexpected:
+            terminalreporter.write_line(f"  {nodeid}: {reason!r}")
 
 
 def _enable_persistent_compile_cache() -> None:
