@@ -829,7 +829,12 @@ def main() -> int:
             except Exception as err:  # headline must never break on a lane
                 extras[f"{lane_name}_error"] = f"{type(err).__name__}: {err}"
             lane_seconds[lane_name] = round(time.monotonic() - lane_start, 1)
-        extras["lane_seconds"] = lane_seconds
+            extras["lane_seconds"] = lane_seconds
+            # Re-emit after EVERY lane: stdout's last line is then a fresh
+            # parseable record no matter when a driver-side kill lands
+            # (lane prints go to stderr / are redirected, so stdout stays a
+            # clean sequence of JSON lines).
+            emit()
         extras["deadline_seconds"] = _deadline_seconds()
         extras["elapsed_seconds"] = round(time.monotonic() - _BENCH_START, 1)
 
