@@ -110,8 +110,8 @@ class TestSeparationRouting:
         import ser_tpu._internal.utils.denoise as denoise_mod
         import ser_tpu._internal.utils.source_separation as separation_mod
 
-        def fake_separate(audio, sr):
-            calls.append("separate")
+        def fake_separate(audio, sr, *, model_path=None):
+            calls.append(f"separate:{model_path}")
             return audio
 
         def fake_gate(audio, **kwargs):
@@ -121,7 +121,12 @@ class TestSeparationRouting:
         monkeypatch.setattr(separation_mod, "separate_vocals_auto", fake_separate)
         monkeypatch.setattr(denoise_mod, "spectral_gate_denoise", fake_gate)
 
-        backend = _backend(tmp_path, use_demucs=True, use_vad=False)
+        backend = _backend(
+            tmp_path,
+            use_demucs=True,
+            use_vad=False,
+            separation_model_path=tmp_path / "sep.npz",
+        )
 
         class _FakeModel:
             @staticmethod
@@ -131,7 +136,12 @@ class TestSeparationRouting:
 
         backend._model = _FakeModel()
         assert backend.transcribe(self._wav(tmp_path), language="en") == []
-        assert calls == ["separate", "gate", "decode:16000:en:False"]
+        # The configured separation checkpoint path is plumbed into the lane.
+        assert calls == [
+            f"separate:{tmp_path / 'sep.npz'}",
+            "gate",
+            "decode:16000:en:False",
+        ]
 
     def test_plain_lane_skips_separation(self, tmp_path, monkeypatch):
         calls: list[str] = []
