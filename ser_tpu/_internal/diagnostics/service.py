@@ -139,6 +139,108 @@ def _check_model_artifacts(settings: AppConfig) -> DiagnosticFinding:
     )
 
 
+def _staged_weight_finding(profile: str, settings: AppConfig) -> DiagnosticFinding:
+    """Validates one profile's staged encoder checkpoint before first contact.
+
+    HF-format checkpoints (medium wav2vec2, accurate whisper) are matched
+    against config-derived tensor name/shape manifests — safetensors header
+    reads only, no tensor loads (:mod:`ser_tpu.models.checkpoint_audit`);
+    the reference validates the same load-info at model load
+    (``hf_whisper.py:444-485``). The FunASR emotion2vec layout reports
+    staging presence (its converter runs a consumed-key audit at load).
+    """
+    from pathlib import Path
+
+    from ser_tpu._internal.repr.encoder_backend import resolve_local_model_dir
+    from ser_tpu._internal.repr.encoders import resolved_model_id
+
+    code = f"models.staged.{profile}"
+    model_id = resolved_model_id(profile, settings)
+    cache_root = Path(settings.models.huggingface_cache_root)
+    model_dir = resolve_local_model_dir(cache_root, model_id)
+    if model_dir is None and profile == "accurate-research":
+        model_dir = resolve_local_model_dir(
+            Path(settings.models.modelscope_cache_root), model_id
+        )
+    if model_dir is None:
+        return DiagnosticFinding(
+            code=code,
+            severity=DiagnosticSeverity.WARNING,
+            message=(
+                f"No staged weights for {model_id!r} under {cache_root} — "
+                "profile runs require staging (SER_ALLOW_RANDOM_INIT=1 covers "
+                "tests/benchmarks only)."
+            ),
+            remediation=(f"Stage the {model_id} checkpoint under {cache_root}.",),
+        )
+    try:
+        if profile == "accurate-research":
+            # FunASR/data2vec layout (emotion2vec family): the structure is
+            # inferred from the state dict itself, so the converter's
+            # consumed-key audit (emotion2vec_convert) IS the validation —
+            # doctor reports staging presence.
+            return DiagnosticFinding(
+                code=code,
+                severity=DiagnosticSeverity.INFO,
+                message=(
+                    f"Staged checkpoint for {model_id!r} at {model_dir} "
+                    "(emotion2vec layout is audited at load)."
+                ),
+            )
+        from ser_tpu.models.checkpoint_audit import read_checkpoint_shapes
+
+        shapes = read_checkpoint_shapes(model_dir)
+        if profile == "medium":
+            from ser_tpu.models import wav2vec2
+            from ser_tpu.models.checkpoint_audit import wav2vec2_manifest
+
+            manifest = wav2vec2_manifest(wav2vec2.config_from_hf_dir(model_dir))
+        else:
+            from ser_tpu.models.checkpoint_audit import whisper_manifest
+            from ser_tpu.models.whisper import whisper_config_from_hf_dir
+
+            manifest = whisper_manifest(
+                whisper_config_from_hf_dir(model_dir), component="model"
+            )
+        validation = manifest.validate(shapes)
+    except (OSError, ValueError, KeyError) as err:
+        return DiagnosticFinding(
+            code=code,
+            severity=DiagnosticSeverity.WARNING,
+            message=f"Staged checkpoint at {model_dir} unreadable: {err}",
+            remediation=("Re-stage the checkpoint; it appears corrupt.",),
+        )
+    if validation.ok:
+        return DiagnosticFinding(
+            code=code,
+            severity=DiagnosticSeverity.INFO,
+            message=(
+                f"Staged weights for {model_id!r} at {model_dir} match the "
+                f"expected {manifest.model} manifest ({len(shapes)} tensors)."
+            ),
+        )
+    return DiagnosticFinding(
+        code=code,
+        severity=DiagnosticSeverity.WARNING,
+        message=(
+            f"Staged weights for {model_id!r} at {model_dir} do not match the "
+            f"expected {manifest.model} layout: {validation.summary()}."
+        ),
+        remediation=(
+            "Verify the staged checkpoint is the published model (layout "
+            "variants are refused at load).",
+        ),
+    )
+
+
+def _check_staged_encoder_weights(settings: AppConfig) -> list[DiagnosticFinding]:
+    """Staged-weight readiness per encoder profile (medium/accurate/research)."""
+    return [
+        _staged_weight_finding(profile, settings)
+        for profile in ("medium", "accurate", "accurate-research")
+    ]
+
+
 def _check_dataset_registry(settings: AppConfig) -> DiagnosticFinding:
     from ser_tpu._internal.data.registry import audit_registry_health
 
@@ -178,6 +280,7 @@ def run_doctor_diagnostics(
     if include_transcription_checks:
         findings.append(_check_transcription_assets(settings))
     findings.append(_check_model_artifacts(settings))
+    findings.extend(_check_staged_encoder_weights(settings))
     findings.append(_check_dataset_registry(settings))
     if include_training_readiness:
         findings.extend(_check_training_readiness(settings))

@@ -17,7 +17,10 @@ from __future__ import annotations
 import os
 from pathlib import Path
 
-from ser_tpu._internal.repr.encoder_backend import resolve_local_model_dir
+from ser_tpu._internal.repr.encoder_backend import (
+    random_init_seed,
+    resolve_local_model_dir,
+)
 from ser_tpu._internal.repr.wav2vec2_backend import XlsrBackend
 from ser_tpu._internal.runtime.errors import RuntimeDependencyError
 from ser_tpu._internal.utils.logger import get_logger
@@ -112,7 +115,9 @@ class Emotion2VecBackend(XlsrBackend):
             logger.warning(
                 "No local weights for %s; deterministic random init (test mode).", model_id
             )
-            return cfg, wav2vec2.init_wav2vec2_params(cfg)
+            return cfg, wav2vec2.init_wav2vec2_params(
+                cfg, seed=random_init_seed("emotion2vec", model_id)
+            )
         raise RuntimeDependencyError(
             f"No local weights for restricted backend {model_id!r} under "
             f"{[str(r) for r in roots]}. Stage the checkpoint locally after "

@@ -27,6 +27,7 @@ from ser_tpu._internal.repr.backend import (
 )
 from ser_tpu._internal.repr.encoder_backend import (
     chunked_encode,
+    random_init_seed,
     resolve_local_model_dir,
 )
 from ser_tpu._internal.runtime.errors import RuntimeDependencyError
@@ -89,7 +90,9 @@ class XlsrBackend:
                 "(benchmark/test mode).",
                 model_id,
             )
-            return cfg, wav2vec2.init_wav2vec2_params(cfg)
+            return cfg, wav2vec2.init_wav2vec2_params(
+                cfg, seed=random_init_seed("jax_xlsr", model_id)
+            )
         raise RuntimeDependencyError(
             f"No local weights for {model_id!r} under {cache_root}. Pre-download the "
             "HF checkpoint there, or set SER_ALLOW_RANDOM_INIT=1 for test mode."

@@ -22,7 +22,10 @@ from ser_tpu._internal.repr.backend import (
     PoolingWindow,
     overlap_frame_mask,
 )
-from ser_tpu._internal.repr.encoder_backend import resolve_local_model_dir
+from ser_tpu._internal.repr.encoder_backend import (
+    random_init_seed,
+    resolve_local_model_dir,
+)
 from ser_tpu._internal.runtime.errors import RuntimeDependencyError
 from ser_tpu._internal.utils.audio_io import resample_audio
 from ser_tpu._internal.utils.logger import get_logger
@@ -87,7 +90,9 @@ class WhisperEncoderBackend:
             logger.warning(
                 "No local weights for %s; deterministic random init (test mode).", model_id
             )
-            return cfg, whisper_model.init_whisper_encoder_params(cfg)
+            return cfg, whisper_model.init_whisper_encoder_params(
+                cfg, seed=random_init_seed("jax_whisper_encoder", model_id)
+            )
         raise RuntimeDependencyError(
             f"No local weights for {model_id!r} under {cache_root}. Pre-download the "
             "HF checkpoint there, or set SER_ALLOW_RANDOM_INIT=1 for test mode."

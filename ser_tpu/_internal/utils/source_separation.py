@@ -141,6 +141,11 @@ def separate_vocals(
 #: (resolved path → loaded params) — checkpoints load once per process.
 _NEURAL_PARAM_CACHE: dict[str, dict] = {}
 
+#: Missing-checkpoint paths already warned about — the degradation to
+#: REPET-SIM is reported once per process per path, not once per audio
+#: window of a long transcription run.
+_MISSING_WARNED: set[str] = set()
+
 
 def separate_vocals_auto(
     audio: np.ndarray,
@@ -172,12 +177,15 @@ def separate_vocals_auto(
     if path is not None and not Path(path).exists():
         # An explicitly configured checkpoint that isn't there must not
         # SILENTLY degrade the lane the user asked for — say so once.
-        logger.warning(
-            "Configured separation checkpoint %s does not exist; the "
-            "use_demucs lane falls back to the weight-free REPET-SIM "
-            "separator.",
-            path,
-        )
+        missing_key = str(path)
+        if missing_key not in _MISSING_WARNED:
+            _MISSING_WARNED.add(missing_key)
+            logger.warning(
+                "Configured separation checkpoint %s does not exist; the "
+                "use_demucs lane falls back to the weight-free REPET-SIM "
+                "separator.",
+                path,
+            )
         path = None
     if path is not None:
         key = str(Path(path).resolve())

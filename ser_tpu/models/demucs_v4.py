@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -556,17 +557,19 @@ _compiled_forward = jax.jit(demucs_forward, static_argnums=(2,))
 # --------------------------------------------------------------------------- #
 
 
-def _take(state: dict, name: str) -> np.ndarray:
+def _take(state, name: str) -> np.ndarray:
     if name not in state:
         raise KeyError(f"Missing demucs weight {name!r}.")
-    return np.asarray(state[name], dtype=np.float32)
+    return np.asarray(state.take(name), dtype=np.float32)
 
 
 def _conv_entry(state, base) -> dict:
-    entry = {"weight": _take(state, f"{base}.weight")}
-    if f"{base}.bias" in state:
-        entry["bias"] = _take(state, f"{base}.bias")
-    return entry
+    # Every conv/linear in the published htdemucs layout carries a bias; a
+    # missing one is a doctored/truncated checkpoint, not a variant.
+    return {
+        "weight": _take(state, f"{base}.weight"),
+        "bias": _take(state, f"{base}.bias"),
+    }
 
 
 def _norm_entry(state, base) -> dict:
@@ -619,9 +622,15 @@ def convert_demucs_state_dict(state: dict, config: DemucsV4Config) -> dict:
     """Published htdemucs ``state_dict`` → the functional param tree above.
 
     Accepts numpy arrays or torch tensors as values (tensors are detached via
-    ``np.asarray``); raises ``KeyError`` naming the first missing weight.
+    ``np.asarray``); raises ``KeyError`` naming the first missing weight. A
+    checkpoint variant whose extra submodules only ADD keys (dconv attn/lstm
+    branches, non-Identity norms) refuses the load instead of converting into
+    a forward that omits those weights (consumed-key audit, mirroring the
+    reference's load-info validation ``hf_whisper.py:444-485``).
     """
-    state = {key: value for key, value in state.items()}
+    from ser_tpu.models.checkpoint_audit import AuditedState, unconsumed_key_error
+
+    state = AuditedState(state)
     cfg = config
     params: dict = {
         "freq_emb": {"weight": _take(state, "freq_emb.embedding.weight")},
@@ -673,11 +682,135 @@ def convert_demucs_state_dict(state: dict, config: DemucsV4Config) -> dict:
             )
         )
     params["crosstransformer"] = transformer
+    leftovers = state.unconsumed()
+    if leftovers:
+        raise unconsumed_key_error(leftovers, model="demucs v4")
     return params
 
 
+#: Structural constructor kwargs whose values the JAX forward hardcodes.
+#: htdemucs ships with exactly these (Identity norms below ``norm_starts``,
+#: encoder-only DConv, GLU rewrites, 3-context decoder rewrite, cac output,
+#: pre-norm sin-embedding dense transformer); a checkpoint recording a
+#: DIFFERENT value would need forward-path branches this port does not
+#: implement, so conversion must refuse it rather than produce wrong audio.
+_ASSUMED_STRUCTURAL_KWARGS: dict[str, tuple] = {
+    "cac": (True,),
+    "rewrite": (True,),
+    "multi_freqs": ((), [], None),
+    "norm_groups": (4,),
+    "dconv_mode": (1,),
+    "context": (1,),
+    "context_enc": (0,),
+    "channels_time": (None,),
+    "wiener_iters": (0,),
+    "end_iters": (0,),
+    "wiener_residual": (False,),
+    "t_gelu": (True,),
+    "t_norm_first": (True,),
+    "t_norm_out": (True,),
+    "t_emb": ("sin",),
+    "t_cross_first": (False,),
+    "t_layer_scale": (True,),
+    "t_sparse_self_attn": (False,),
+    "t_sparse_cross_attn": (False,),
+    "t_max_period": (10000.0, 10000),
+    "t_weight_pos_embed": (1.0, 1),
+    "time_stride": (2,),
+}
+
+#: Kwargs consumed by :func:`config_from_checkpoint_kwargs` below.
+_CONSUMED_KWARGS = frozenset(
+    {
+        "sources",
+        "audio_channels",
+        "channels",
+        "growth",
+        "depth",
+        "nfft",
+        "bottom_channels",
+        "t_layers",
+        "t_heads",
+        "t_hidden_scale",
+        "kernel_size",
+        "stride",
+        "dconv_depth",
+        "dconv_comp",
+        "freq_emb",
+        "emb_scale",
+        "samplerate",
+        "segment",
+    }
+)
+
+#: Training-/init-time kwargs with no effect on the trained forward pass
+#: (dropout is inactive at eval, rescale/emb_smooth/dconv_init only shape
+#: initialization, cape/sparse knobs are dead when their modes are off).
+_BENIGN_KWARGS = frozenset(
+    {
+        "rescale",
+        "emb_smooth",
+        "use_train_segment",
+        "t_dropout",
+        "t_weight_decay",
+        "t_lr",
+        "t_cape_mean_normalize",
+        "t_cape_augment",
+        "t_cape_glob_loc_scale",
+        "t_sin_random_shift",
+        "t_max_positions",
+        "t_mask_type",
+        "t_mask_random_seed",
+        "t_sparse_attn_window",
+        "t_global_window",
+        "t_sparsity",
+        "t_auto_sparsity",
+        "multi_freqs_depth",
+        "dconv_init",
+        "norm_starts",
+    }
+)
+
+
 def config_from_checkpoint_kwargs(kwargs: dict) -> DemucsV4Config:
-    """Builds a config from a checkpoint's recorded constructor kwargs."""
+    """Builds a config from a checkpoint's recorded constructor kwargs.
+
+    Structural kwargs the forward hardcodes are cross-checked: a variant
+    recording e.g. ``dconv_mode=3`` or ``cac=False`` raises instead of
+    silently converting into a different architecture. ``norm_starts`` is
+    validated against ``depth`` (Identity norms assume no enc/dec layer ever
+    reaches the GroupNorm regime); wholly unknown kwargs log a warning.
+    """
+    for name, accepted in _ASSUMED_STRUCTURAL_KWARGS.items():
+        if name in kwargs and kwargs[name] not in accepted:
+            raise ValueError(
+                f"Checkpoint kwarg {name}={kwargs[name]!r} differs from the "
+                f"structure this port implements (expected one of {accepted}); "
+                "refusing to convert into a mismatched architecture."
+            )
+    depth = int(kwargs.get("depth", 4))
+    norm_starts = int(kwargs.get("norm_starts", 4))
+    if norm_starts < depth:
+        raise ValueError(
+            f"Checkpoint kwarg norm_starts={norm_starts} < depth={depth}: "
+            "layers past norm_starts use GroupNorm, which this port's "
+            "Identity-norm encoder/decoder stack does not implement."
+        )
+    unknown = sorted(
+        name
+        for name in kwargs
+        if name not in _CONSUMED_KWARGS
+        and name not in _BENIGN_KWARGS
+        and name not in _ASSUMED_STRUCTURAL_KWARGS
+    )
+    if unknown:
+        from ser_tpu._internal.utils.logger import get_logger
+
+        get_logger(__name__).warning(
+            "Unrecognized demucs checkpoint kwargs %s ignored; verify the "
+            "converted output against the source model.",
+            ", ".join(unknown),
+        )
     mapping = {
         "sources": tuple(kwargs.get("sources", DemucsV4Config.sources)),
         "audio_channels": kwargs.get("audio_channels", 2),
@@ -849,22 +982,20 @@ def separate_vocals_demucs(
     if not starts or starts[-1] + segment < length:
         starts.append(max(0, length - segment))
     padded = np.pad(work, (0, max(0, starts[-1] + segment - length)))
-    batch = np.stack([padded[s : s + segment] for s in starts])
-    # Pow2 row bucket: the forward is jitted on the segment count, and an
-    # unbucketed batch would recompile the full model per distinct audio
-    # duration (remote-tunnel compiles take minutes; the persistent cache is
-    # disabled). Padded rows are all-zero and discarded after the call.
-    bucket = 1 << max(0, (len(starts) - 1).bit_length())
-    if bucket != len(starts):
-        batch = np.pad(batch, ((0, bucket - len(starts)), (0, 0)))
-    stereo = np.repeat(batch[:, None, :], cfg.audio_channels, axis=1)
 
-    out = np.asarray(_compiled_forward(params, jnp.asarray(stereo), cfg))[
-        : len(starts)
-    ]
+    # Bounded per-dispatch batch: device memory must stay flat in clip
+    # duration (an hour of 44.1 kHz audio is ~600 overlapped segments — one
+    # batched forward over all of them would OOM a single chip on the first
+    # encoder activation alone), and the jitted forward must see ONE row
+    # count for long clips so new durations never recompile the full model
+    # (remote-tunnel compiles take minutes; the persistent cache is
+    # disabled). Short clips still round up pow2 below the cap, so at most
+    # log2(cap)+1 shapes ever compile per process. Padded rows are all-zero
+    # and discarded after each call.
+    max_rows = max(1, int(os.environ.get("SER_DEMUCS_MAX_DEVICE_ROWS", "8")))
+    chunk_rows = min(max_rows, 1 << max(0, (len(starts) - 1).bit_length()))
+
     vocals_index = cfg.sources.index("vocals")
-    vocal = out[:, vocals_index].mean(axis=1)  # downmix stems to mono
-
     # Published triangular transition weight.
     weight = np.concatenate(
         [np.arange(1, segment // 2 + 1), np.arange(segment - segment // 2, 0, -1)]
@@ -872,9 +1003,19 @@ def separate_vocals_demucs(
     weight = weight / weight.max()
     acc = np.zeros(padded.size, dtype=np.float64)
     norm = np.zeros(padded.size, dtype=np.float64)
-    for row, start in enumerate(starts):
-        acc[start : start + segment] += vocal[row] * weight
-        norm[start : start + segment] += weight
+    for chunk_base in range(0, len(starts), chunk_rows):
+        chunk = starts[chunk_base : chunk_base + chunk_rows]
+        batch = np.stack([padded[s : s + segment] for s in chunk])
+        if len(chunk) < chunk_rows:
+            batch = np.pad(batch, ((0, chunk_rows - len(chunk)), (0, 0)))
+        stereo = np.repeat(batch[:, None, :], cfg.audio_channels, axis=1)
+        out = np.asarray(_compiled_forward(params, jnp.asarray(stereo), cfg))[
+            : len(chunk)
+        ]
+        vocal = out[:, vocals_index].mean(axis=1)  # downmix stems to mono
+        for row, start in enumerate(chunk):
+            acc[start : start + segment] += vocal[row] * weight
+            norm[start : start + segment] += weight
     blended = (acc / np.maximum(norm, 1e-8))[:length].astype(np.float32)
 
     if sample_rate != cfg.sample_rate:

@@ -370,13 +370,26 @@ def config_from_hf_dir(model_dir) -> Wav2Vec2Config:
 
 
 def load_hf_wav2vec2_params(model_dir, config: Wav2Vec2Config) -> dict:
-    """Converts a local HF wav2vec2 checkpoint into this module's param tree."""
-    sd = _torch_state_dict(model_dir)
+    """Converts a local HF wav2vec2 checkpoint into this module's param tree.
+
+    Load-info discipline mirrors the reference's checkpoint validation
+    (``hf_whisper.py:444-485``): missing weights raise by name, and any
+    tensor the conversion never consumed (an adapter stack, an unexpected
+    norm, a renamed layout) refuses the load instead of silently dropping
+    weights — see :mod:`ser_tpu.models.checkpoint_audit`.
+    """
+    from ser_tpu.models.checkpoint_audit import (
+        WAV2VEC2_IGNORED,
+        AuditedState,
+        unconsumed_key_error,
+    )
+
+    sd = AuditedState(_torch_state_dict(model_dir))
 
     def t(name):  # torch tensor by name, with wav2vec2. prefix tolerance
         for key in (name, f"wav2vec2.{name}"):
             if key in sd:
-                return np.asarray(sd[key])
+                return sd.take(key)
         raise KeyError(f"Missing weight {name!r} in checkpoint.")
 
     params: dict = {"feature_encoder": {}, "pos_embed": {}}
@@ -460,6 +473,24 @@ def load_hf_wav2vec2_params(model_dir, config: Wav2Vec2Config) -> dict:
                 "bias": t(f"{base}.feed_forward.output_dense.bias"),
             },
         }
+
+    ignore_exact = tuple(
+        variant
+        for entry in WAV2VEC2_IGNORED
+        if not entry.endswith(".")
+        for variant in (entry, f"wav2vec2.{entry}")
+    )
+    ignore_prefixes = tuple(
+        variant
+        for entry in WAV2VEC2_IGNORED
+        if entry.endswith(".")
+        for variant in (entry, f"wav2vec2.{entry}")
+    )
+    leftovers = sd.unconsumed(
+        ignore_exact=ignore_exact, ignore_prefixes=ignore_prefixes
+    )
+    if leftovers:
+        raise unconsumed_key_error(leftovers, model="wav2vec2")
     return params
 
 

@@ -397,13 +397,22 @@ def _attention_params(t, base_hf: str) -> dict:
 
 
 def load_hf_whisper_encoder_params(model_dir, config: WhisperConfig) -> dict:
-    """Converts a local HF Whisper checkpoint's encoder weights."""
-    sd = _hf_tensors(model_dir)
+    """Converts a local HF Whisper checkpoint's encoder weights.
+
+    Load-info discipline mirrors the reference's checkpoint validation
+    (``hf_whisper.py:444-485``): missing weights raise by name, and encoder
+    tensors the conversion never consumed refuse the load instead of being
+    silently dropped (:mod:`ser_tpu.models.checkpoint_audit`). The fixed
+    sinusoidal position table is recomputed, not loaded.
+    """
+    from ser_tpu.models.checkpoint_audit import AuditedState, unconsumed_key_error
+
+    sd = AuditedState(_hf_tensors(model_dir))
 
     def t(name):
         for key in (name, f"model.{name}"):
             if key in sd:
-                return np.asarray(sd[key])
+                return sd.take(key)
         raise KeyError(f"Missing weight {name!r}.")
 
     params: dict = {
@@ -435,17 +444,34 @@ def load_hf_whisper_encoder_params(model_dir, config: WhisperConfig) -> dict:
             "mlp_in": {"kernel": t(f"{base}.fc1.weight").T, "bias": t(f"{base}.fc1.bias")},
             "mlp_out": {"kernel": t(f"{base}.fc2.weight").T, "bias": t(f"{base}.fc2.bias")},
         }
+
+    leftovers = sd.unconsumed(
+        scope_prefixes=("encoder.", "model.encoder."),
+        ignore_exact=(
+            "encoder.embed_positions.weight",
+            "model.encoder.embed_positions.weight",
+        ),
+    )
+    if leftovers:
+        raise unconsumed_key_error(leftovers, model="whisper encoder")
     return params
 
 
 def load_hf_whisper_decoder_params(model_dir, config: WhisperConfig) -> dict:
-    """Converts a local HF Whisper checkpoint's decoder weights."""
-    sd = _hf_tensors(model_dir)
+    """Converts a local HF Whisper checkpoint's decoder weights.
+
+    Same consumed-key audit as the encoder loader, scoped to the decoder
+    subtree (``proj_out`` is HF's tied output head — recognized, never
+    loaded separately).
+    """
+    from ser_tpu.models.checkpoint_audit import AuditedState, unconsumed_key_error
+
+    sd = AuditedState(_hf_tensors(model_dir))
 
     def t(name):
         for key in (name, f"model.{name}"):
             if key in sd:
-                return np.asarray(sd[key])
+                return sd.take(key)
         raise KeyError(f"Missing weight {name!r}.")
 
     params: dict = {
@@ -476,6 +502,10 @@ def load_hf_whisper_decoder_params(model_dir, config: WhisperConfig) -> dict:
             "mlp_in": {"kernel": t(f"{base}.fc1.weight").T, "bias": t(f"{base}.fc1.bias")},
             "mlp_out": {"kernel": t(f"{base}.fc2.weight").T, "bias": t(f"{base}.fc2.bias")},
         }
+
+    leftovers = sd.unconsumed(scope_prefixes=("decoder.", "model.decoder."))
+    if leftovers:
+        raise unconsumed_key_error(leftovers, model="whisper decoder")
     return params
 
 

@@ -67,13 +67,28 @@ _EXPECTED_SKIP_REASON_PREFIXES = (
 _OBSERVED_SKIPS: list[tuple[str, str]] = []
 
 
+def _record_skip(report) -> None:
+    reason = ""
+    if isinstance(report.longrepr, tuple):
+        reason = str(report.longrepr[2])
+    elif report.longrepr is not None:
+        reason = str(report.longrepr)
+    reason = reason.removeprefix("Skipped: ")
+    _OBSERVED_SKIPS.append((report.nodeid, reason))
+
+
 def pytest_runtest_logreport(report):
     if report.skipped and not hasattr(report, "wasxfail"):
-        reason = ""
-        if isinstance(report.longrepr, tuple):
-            reason = str(report.longrepr[2])
-        reason = reason.removeprefix("Skipped: ")
-        _OBSERVED_SKIPS.append((report.nodeid, reason))
+        _record_skip(report)
+
+
+def pytest_collectreport(report):
+    # Collection-time skips (module-level pytest.importorskip /
+    # pytest.skip(allow_module_level=True)) never reach
+    # pytest_runtest_logreport — exactly the silently-missing-dependency
+    # case the contract exists to catch — so they go through the same gate.
+    if report.skipped:
+        _record_skip(report)
 
 
 def _unexpected_skips() -> list[tuple[str, str]]:
