@@ -82,6 +82,12 @@ def main() -> int:
     parser.add_argument("--actors", type=int, default=6)
     parser.add_argument("--repetitions", type=int, default=2)
     parser.add_argument(
+        "--stability-seconds",
+        type=float,
+        default=45.0,
+        help="duration of each long-transition stability clip",
+    )
+    parser.add_argument(
         "--easy-corpus",
         action="store_true",
         help="use the separable CI corpus instead of the hard confusable-pair one",
@@ -101,6 +107,18 @@ def main() -> int:
     hard = not args.easy_corpus
     files = build_dataset(
         dataset_root, actors=args.actors, repetitions=args.repetitions, hard=hard
+    )
+
+    # Long-transition stability corpus (VERDICT r04 weak #1): 3.2 s training
+    # clips produce exactly one segment each, collapsing segments/minute and
+    # median duration to constants. Stability is measured on 45 s clips with
+    # scripted crossfaded emotion excursions instead, so the metrics vary per
+    # candidate and the thresholds can actually fail.
+    from build_synthetic_ravdess_dataset import build_stability_corpus
+
+    stability_root = workdir / "stability"
+    stability_files = build_stability_corpus(
+        stability_root, actors=2, seconds=args.stability_seconds
     )
 
     # Tiny deterministic-random encoders: accuracy through the REAL encode
@@ -128,6 +146,16 @@ def main() -> int:
     run_training(profile="fast", settings=settings)
     fast_eval = _fast_profile_eval(settings, dict(settings.emotions))
 
+    from ser_tpu._internal.data import loader
+
+    emotion_map = dict(settings.emotions)
+    stability_pairs = []
+    for path in sorted(str(p) for p in stability_files):
+        code = loader.extract_ravdess_emotion_code(Path(path).name)
+        label = emotion_map.get(code or "")
+        if label:
+            stability_pairs.append((path, label))
+
     gates: dict = {}
     for candidate in [name.strip() for name in args.candidates.split(",") if name.strip()]:
         try:
@@ -137,11 +165,47 @@ def main() -> int:
             # (the round-3 gap).
             run_training(profile=candidate, settings=settings)
             decision = evaluate_candidate_gate(
-                settings=settings, candidate=candidate, folds=3
+                settings=settings,
+                candidate=candidate,
+                folds=3,
+                stability_corpus=stability_pairs,
             )
             gates[candidate] = _gate_payload(decision, settings)
         except Exception as err:  # noqa: BLE001 — record, keep other rows
             gates[candidate] = {"error": f"{type(err).__name__}: {err}"}
+
+    # Negative control (VERDICT r04 weak #1): a deliberately churning
+    # candidate — smoothing/hysteresis/short-segment merge disabled, 0.5 s
+    # pooling — must be HELD on stability grounds, demonstrating the
+    # thresholds CAN fail on this corpus. Reference stability contract:
+    # profile_quality_gate.py:412-491.
+    try:
+        churn_runtime = dataclasses.replace(
+            settings.medium_runtime,
+            pool_window_size_seconds=0.5,
+            pool_window_stride_seconds=0.5,
+            post_smoothing_window_frames=1,
+            post_hysteresis_enter_confidence=0.0,
+            post_hysteresis_exit_confidence=0.0,
+            post_min_segment_duration_seconds=0.0,
+        )
+        churn_settings = dataclasses.replace(settings, medium_runtime=churn_runtime)
+        decision = evaluate_candidate_gate(
+            settings=churn_settings,
+            candidate="medium",
+            folds=3,
+            stability_corpus=stability_pairs,
+        )
+        control = _gate_payload(decision, churn_settings)
+        control["negative_control"] = (
+            "medium with smoothing window 1, hysteresis 0/0, no short-segment "
+            "merge, 0.5 s pooling — expected HOLD on temporal stability"
+        )
+        gates["medium-churn-negative-control"] = control
+    except Exception as err:  # noqa: BLE001 — record, keep other rows
+        gates["medium-churn-negative-control"] = {
+            "error": f"{type(err).__name__}: {err}"
+        }
 
     payload = {
         "round": args.round,
@@ -151,6 +215,12 @@ def main() -> int:
             "actors": args.actors,
             "repetitions": args.repetitions,
             "clips": len(files),
+            "stability_corpus": {
+                "clips": len(stability_files),
+                "clip_seconds": args.stability_seconds,
+                "kind": "long transition clips (scripted crossfaded emotion "
+                "excursions; filename carries the dominant label)",
+            },
             "note": (
                 (
                     "Confusable-pair corpus: emotion pairs share fundamentals and "

@@ -75,6 +75,97 @@ def synthesize_clip(
     return (0.8 * signal / np.max(np.abs(signal))).astype(np.float32)
 
 
+def synthesize_transition_clip(
+    emotion_code: str,
+    seed: int,
+    sample_rate: int,
+    seconds: float,
+    *,
+    hard: bool = True,
+    actor: int = 0,
+    n_excursions: int = 2,
+    excursion_seconds: float = 6.0,
+) -> np.ndarray:
+    """One LONG clip dominated by ``emotion_code`` with scripted excursions.
+
+    The stability corpus (VERDICT r04 weak #1): every 3.2 s clip yields
+    exactly one segment, collapsing segments/minute and median duration to
+    constants no candidate can fail. Here the clip alternates
+    label-emotion spans with ``n_excursions`` crossfaded spans of OTHER
+    emotions (≥4 s each, deterministic schedule), so a stable candidate
+    tracks the scripted structure while a churning one over-segments — the
+    temporal-stability thresholds (reference
+    ``profile_quality_gate.py:412-491``) can genuinely vary and fail.
+    """
+    rng = np.random.default_rng(seed)
+    others = [code for code in EMOTION_CODES if code != emotion_code]
+    # Deterministic excursion emotions, spread across the wheel.
+    excursions = [others[(seed + 3 * i) % len(others)] for i in range(n_excursions)]
+
+    spans: list[tuple[str, float]] = []
+    label_time = seconds - n_excursions * excursion_seconds
+    label_span = label_time / (n_excursions + 1)
+    if label_span < 2.0:
+        raise ValueError(
+            f"{seconds} s is too short for {n_excursions} excursions of "
+            f"{excursion_seconds} s with >=2 s label spans."
+        )
+    for code in excursions:
+        spans.append((emotion_code, label_span))
+        spans.append((code, excursion_seconds))
+    spans.append((emotion_code, label_span))
+
+    crossfade = int(0.25 * sample_rate)
+    pieces: list[np.ndarray] = []
+    for index, (code, span_seconds) in enumerate(spans):
+        piece = synthesize_clip(
+            code,
+            seed * 101 + index,
+            sample_rate,
+            span_seconds + 0.25,
+            hard=hard,
+            actor=actor,
+        )
+        pieces.append(piece)
+    clip = pieces[0]
+    for piece in pieces[1:]:
+        ramp = np.linspace(0.0, 1.0, crossfade, dtype=np.float32)
+        head, tail = clip[:-crossfade], clip[-crossfade:]
+        clip = np.concatenate(
+            [head, tail * (1.0 - ramp) + piece[:crossfade] * ramp, piece[crossfade:]]
+        )
+    clip = clip[: int(seconds * sample_rate)]
+    return (0.8 * clip / np.max(np.abs(clip))).astype(np.float32)
+
+
+def build_stability_corpus(
+    output_dir: Path,
+    *,
+    actors: int = 2,
+    sample_rate: int = 16000,
+    seconds: float = 45.0,
+    emotion_codes: tuple[str, ...] = ("03", "04", "05", "08"),
+    hard: bool = True,
+) -> list[Path]:
+    """Long transition clips (RAVDESS names carry the DOMINANT emotion)."""
+    from ser_tpu._internal.utils.audio_io import write_wav
+
+    written: list[Path] = []
+    for actor in range(1, actors + 1):
+        actor_dir = output_dir / f"Actor_{actor:02d}"
+        actor_dir.mkdir(parents=True, exist_ok=True)
+        for code in emotion_codes:
+            name = f"03-01-{code}-01-01-01-{actor:02d}.wav"
+            seed = 50_000 + actor * 100 + int(code)
+            clip = synthesize_transition_clip(
+                code, seed, sample_rate, seconds, hard=hard, actor=actor
+            )
+            path = actor_dir / name
+            write_wav(path, clip, sample_rate)
+            written.append(path)
+    return written
+
+
 def build_dataset(
     output_dir: Path,
     *,
@@ -124,15 +215,30 @@ def main() -> None:
         help="confusable-pair evaluation variant (shared pair F0s, per-actor "
         "F0 scaling, SNR spread) — for discriminative accuracy artifacts",
     )
-    args = parser.parse_args()
-    written = build_dataset(
-        args.output_dir,
-        actors=args.actors,
-        repetitions=args.repetitions,
-        sample_rate=args.sample_rate,
-        seconds=args.seconds,
-        hard=args.hard,
+    parser.add_argument(
+        "--long-clips",
+        action="store_true",
+        help="stability corpus: long clips with scripted crossfaded emotion "
+        "transitions (use --seconds 45); filenames carry the dominant emotion",
     )
+    args = parser.parse_args()
+    if args.long_clips:
+        written = build_stability_corpus(
+            args.output_dir,
+            actors=args.actors,
+            sample_rate=args.sample_rate,
+            seconds=args.seconds if args.seconds > 3.2 else 45.0,
+            hard=args.hard or True,
+        )
+    else:
+        written = build_dataset(
+            args.output_dir,
+            actors=args.actors,
+            repetitions=args.repetitions,
+            sample_rate=args.sample_rate,
+            seconds=args.seconds,
+            hard=args.hard,
+        )
     print(f"Wrote {len(written)} synthetic RAVDESS files under {args.output_dir}")
 
 

@@ -24,10 +24,20 @@ def mean_std_pool(
     encoded: EncodedSequence,
     windows: Sequence[PoolingWindow],
 ) -> PooledFeatureMatrix:
-    """Pools encoded frames into per-window mean+std vectors, shape (W, 2*D)."""
+    """Pools encoded frames into per-window mean+std vectors, shape (W, 2*D).
+
+    Embeddings still living on device (the ``SER_DEVICE_POOLING=1`` encode
+    lane) pool on device and fetch only the (W, 2D) result — see
+    :mod:`ser_tpu._internal.pool.device_pool`. Host numpy embeddings take
+    the bit-stable float64 parity path below.
+    """
     feature_dim = int(encoded.embeddings.shape[1])
     if not windows:
         return np.empty((0, feature_dim * 2), dtype=np.float64)
+    if not isinstance(encoded.embeddings, np.ndarray):
+        from ser_tpu._internal.pool.device_pool import device_mean_std_pool
+
+        return device_mean_std_pool(encoded, windows)
 
     rows: list[NDArray[np.float64]] = []
     for window in windows:

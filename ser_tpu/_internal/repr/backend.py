@@ -71,7 +71,17 @@ class EncodedSequence:
             ("frame_start_seconds", self.frame_start_seconds),
             ("frame_end_seconds", self.frame_end_seconds),
         ):
-            if not np.all(np.isfinite(array)):
+            if isinstance(array, np.ndarray):
+                finite = bool(np.all(np.isfinite(array)))
+            else:
+                # Device-resident embeddings (SER_DEVICE_POOLING lane): reduce
+                # on device and fetch ONE scalar — np.isfinite here would pull
+                # the whole frame matrix across the tunnel, the exact transfer
+                # the lane exists to avoid.
+                import jax.numpy as jnp
+
+                finite = bool(jnp.isfinite(array).all())
+            if not finite:
                 raise ValueError(f"EncodedSequence {name} contain non-finite values.")
         for name, times in (
             ("frame_start_seconds", self.frame_start_seconds),

@@ -16,6 +16,7 @@ from pathlib import Path
 
 import numpy as np
 
+from ser_tpu._internal.pool.device_pool import device_pooling_enabled
 from ser_tpu._internal.repr.backend import EncodedSequence
 from ser_tpu._internal.utils.audio_io import resample_audio
 from ser_tpu._internal.utils.jax_runtime import ensure_compilation_cache
@@ -196,31 +197,84 @@ def chunked_encode(
         lengths[row] = length
 
     sharded_batch, sharded_lengths, true_rows = shard_chunk_batch(batch, lengths)
-    embeddings_batch = np.asarray(encode_batch(sharded_batch, sharded_lengths))[:true_rows]
-    if not _valid_frames_finite(embeddings_batch, lengths, frames_for_length):
-        # Reference behavior: retry in float32 after a non-finite result.
-        logger.warning("Non-finite embeddings from %s; retrying in float32.", backend_id)
-        retry_encode = (
-            float32_encode_batch() if float32_encode_batch is not None else encode_batch
-        )
-        embeddings_batch = np.asarray(retry_encode(batch, lengths))
-        if not _valid_frames_finite(embeddings_batch, lengths, frames_for_length):
-            raise ValueError(f"Backend {backend_id} produced non-finite embeddings.")
 
-    all_embeddings, starts_s, ends_s = [], [], []
-    for row, (start, length) in enumerate(chunks):
-        n_valid = max(1, frames_for_length(length))
-        valid = embeddings_batch[row, :n_valid]
+    n_valids = [max(1, frames_for_length(length)) for _, length in chunks]
+    starts_s, ends_s = [], []
+    for (start, length), n_valid in zip(chunks, n_valids):
         chunk_start = start / ENCODER_SAMPLE_RATE
-        chunk_duration = length / ENCODER_SAMPLE_RATE
-        frame_duration = chunk_duration / n_valid
+        frame_duration = (length / ENCODER_SAMPLE_RATE) / n_valid
         frame_starts = chunk_start + frame_duration * np.arange(n_valid)
-        all_embeddings.append(valid)
         starts_s.append(frame_starts)
         ends_s.append(frame_starts + frame_duration)
 
+    device_embeddings = None
+    embeddings_batch = None
+    if device_pooling_enabled():
+        # SER_DEVICE_POOLING lane: keep the frame matrix ON DEVICE — the
+        # accurate serving path is fetch-bound (INFER_ACCURATE_r04: 15.4 MB
+        # of frames at tunnel bandwidth dwarfs the 50 ms encode), and
+        # mean_std_pool pools device-resident embeddings in place, fetching
+        # only (n_windows, 2*dim). The finite gate reduces on device and
+        # fetches one scalar; a non-finite result falls back to the host
+        # float32 retry path below (rare, and exactness matters more there).
+        import jax.numpy as jnp
+
+        raw = encode_batch(sharded_batch, sharded_lengths)[:true_rows]
+        f_max = int(raw.shape[1])
+        valid_idx = np.concatenate(
+            [row * f_max + np.arange(n_valid) for row, n_valid in enumerate(n_valids)]
+        )
+        gathered = jnp.take(
+            raw.reshape(-1, raw.shape[-1]), jnp.asarray(valid_idx), axis=0
+        ).astype(jnp.float32)
+        if bool(jnp.isfinite(gathered).all()):
+            device_embeddings = gathered
+        else:
+            logger.warning(
+                "Non-finite embeddings from %s; retrying in float32.", backend_id
+            )
+            retry_encode = (
+                float32_encode_batch()
+                if float32_encode_batch is not None
+                else encode_batch
+            )
+            embeddings_batch = np.asarray(retry_encode(batch, lengths))
+            if not _valid_frames_finite(embeddings_batch, lengths, frames_for_length):
+                raise ValueError(
+                    f"Backend {backend_id} produced non-finite embeddings."
+                )
+    else:
+        embeddings_batch = np.asarray(encode_batch(sharded_batch, sharded_lengths))[
+            :true_rows
+        ]
+        if not _valid_frames_finite(embeddings_batch, lengths, frames_for_length):
+            # Reference behavior: retry in float32 after a non-finite result.
+            logger.warning(
+                "Non-finite embeddings from %s; retrying in float32.", backend_id
+            )
+            retry_encode = (
+                float32_encode_batch()
+                if float32_encode_batch is not None
+                else encode_batch
+            )
+            embeddings_batch = np.asarray(retry_encode(batch, lengths))
+            if not _valid_frames_finite(embeddings_batch, lengths, frames_for_length):
+                raise ValueError(
+                    f"Backend {backend_id} produced non-finite embeddings."
+                )
+
+    if device_embeddings is not None:
+        embeddings = device_embeddings
+    else:
+        embeddings = np.concatenate(
+            [
+                embeddings_batch[row, :n_valid]
+                for row, n_valid in enumerate(n_valids)
+            ]
+        ).astype(np.float32)
+
     return EncodedSequence(
-        embeddings=np.concatenate(all_embeddings).astype(np.float32),
+        embeddings=embeddings,
         frame_start_seconds=np.concatenate(starts_s).astype(np.float64),
         frame_end_seconds=np.concatenate(ends_s).astype(np.float64),
         backend_id=backend_id,

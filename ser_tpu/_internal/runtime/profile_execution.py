@@ -29,6 +29,13 @@ type PoolingStrategy = Literal["mean", "mean_std"]
 
 
 def _mean_pool(encoded: EncodedSequence, windows: list[PoolingWindow]) -> np.ndarray:
+    if not isinstance(encoded.embeddings, np.ndarray):
+        # Device-resident embeddings (SER_DEVICE_POOLING encode lane): the
+        # mean half of the device pool is exactly the mean pooling.
+        from ser_tpu._internal.pool.device_pool import device_mean_std_pool
+
+        pooled = device_mean_std_pool(encoded, windows)
+        return pooled[:, : pooled.shape[1] // 2]
     rows = []
     for window in windows:
         mask = overlap_frame_mask(encoded, window)

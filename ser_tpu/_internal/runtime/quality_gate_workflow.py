@@ -36,9 +36,22 @@ logger = get_logger(__name__)
 
 
 def evaluate_candidate_gate(
-    *, settings: AppConfig, candidate: str, folds: int = 4, stability_clips: int = 6
+    *,
+    settings: AppConfig,
+    candidate: str,
+    folds: int = 4,
+    stability_clips: int = 6,
+    stability_corpus: list[tuple[str, str]] | None = None,
 ) -> QualityGateDecision:
-    """Runs both profile evaluations and returns the gate decision."""
+    """Runs both profile evaluations and returns the gate decision.
+
+    ``stability_corpus`` — optional (file_path, label) pairs measured INSTEAD
+    of the first training clips for temporal stability. The reference's
+    stability contract (``profile_quality_gate.py:412-491``) exists to catch
+    label churn on LONG audio; a corpus of uniform short clips yields one
+    segment per clip and constant metrics no candidate can fail, so callers
+    building discriminative evidence pass long transition clips here.
+    """
     from ser_tpu._internal.data import loader
     from ser_tpu._internal.pool import mean_std_pool, temporal_pooling_windows
     from ser_tpu._internal.repr.encoders import build_encoder_backend
@@ -116,11 +129,17 @@ def evaluate_candidate_gate(
         hooks = build_backend_hooks(settings)
         backend_id = get_profile_catalog()[candidate].backend_id
         if backend_id in hooks:
+            if stability_corpus is not None:
+                stability_sample = list(stability_corpus)
+            else:
+                stability_sample = [
+                    (clip.file_path, clip.label) for clip in clips[:stability_clips]
+                ]
             segment_lists = [
                 hooks[backend_id](
-                    InferenceRequest(file_path=clip.file_path, language="en")
+                    InferenceRequest(file_path=file_path, language="en")
                 ).segments
-                for clip in clips[:stability_clips]
+                for file_path, _ in stability_sample
             ]
             stability = temporal_stability_of(segment_lists)
             # Full-pipeline agreement over the stability sample: the
@@ -131,8 +150,8 @@ def evaluate_candidate_gate(
             )
 
             agreement = [
-                duration_weighted_clip_label(segments) == clip.label
-                for clip, segments in zip(clips[:stability_clips], segment_lists)
+                duration_weighted_clip_label(segments) == label
+                for (_, label), segments in zip(stability_sample, segment_lists)
             ]
             if agreement:
                 logger.info(

@@ -957,9 +957,10 @@ def separate_vocals_demucs(
 
     The published inference recipe around one forward: resample to the
     model's rate, mono → stereo, cut ``segment_seconds`` windows at
-    ``overlap`` fractional overlap, run every window in ONE batched device
-    call, blend with the published triangular weight, take the ``vocals``
-    stem, downmix, resample back.
+    ``overlap`` fractional overlap, run the windows in bounded fixed-shape
+    device batches (``SER_DEMUCS_MAX_DEVICE_ROWS`` per dispatch), blend with
+    the published triangular weight, take the ``vocals`` stem, downmix,
+    resample back.
     """
     from math import gcd
 

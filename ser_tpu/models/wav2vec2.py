@@ -72,15 +72,24 @@ class Wav2Vec2Config:
 
     @classmethod
     def tiny(cls) -> "Wav2Vec2Config":
-        """Small config for tests and sharding dry-runs."""
+        """Small config for tests and sharding dry-runs.
+
+        Keeps the PRODUCTION conv stack strides (320-sample frames, 20 ms at
+        16 kHz) at tiny widths: an earlier 2-layer stack (stride 10) left
+        frame counts ~32x production, making attention quadratic in
+        waveform length — a 2 s clip cost seconds and a 30 s clip gigabytes
+        on the CPU test mesh, and pooled windows saw 1600 frames where
+        production sees 50. Matching the production frame rate keeps
+        tiny-config behavior representative AND cheap.
+        """
         return cls(
             hidden_size=64,
             num_hidden_layers=2,
             num_attention_heads=4,
             intermediate_size=128,
-            conv_dim=(32, 32),
-            conv_kernel=(10, 3),
-            conv_stride=(5, 2),
+            conv_dim=(32, 32, 32, 32, 32, 32, 32),
+            conv_kernel=(10, 3, 3, 3, 3, 2, 2),
+            conv_stride=(5, 2, 2, 2, 2, 2, 2),
             num_conv_pos_embeddings=16,
             num_conv_pos_embedding_groups=4,
         )

@@ -265,12 +265,29 @@ def test_demucs_benign_and_matching_kwargs_accepted(caplog):
     assert cfg.depth == 4 and cfg.channels == 48
 
 
-def test_demucs_unknown_kwarg_warns(caplog):
-    import logging
+def test_demucs_unknown_kwarg_warns(monkeypatch):
+    # The repo logger may have propagation configured off by earlier tests
+    # (configure_logging), so capture the warning at the logger object.
+    from ser_tpu._internal.utils import logger as logger_mod
 
-    with caplog.at_level(logging.WARNING):
-        config_from_checkpoint_kwargs({"mystery_knob": 7})
-    assert any("mystery_knob" in record.message for record in caplog.records)
+    records: list[str] = []
+    real_get = logger_mod.get_logger
+
+    def capture_get(name):
+        log = real_get(name)
+
+        class _Capture:
+            def warning(self, msg, *args):
+                records.append(msg % args if args else msg)
+
+            def __getattr__(self, attr):
+                return getattr(log, attr)
+
+        return _Capture()
+
+    monkeypatch.setattr(logger_mod, "get_logger", capture_get)
+    config_from_checkpoint_kwargs({"mystery_knob": 7})
+    assert any("mystery_knob" in message for message in records)
 
 
 # --------------------------------------------------------------------------- #
