@@ -806,11 +806,10 @@ def main() -> int:
         # the old estimates).
         lanes = (
             ("infer_fast", 120, lambda: _bench_infer()[2]),
-            ("train", 600, _train_extra),
-            ("transcript", 200, lambda: _bench_transcript()[2]),
+            ("train", 400, _train_extra),
             (
                 "transcript_realistic",
-                130,
+                150,
                 lambda: _bench_transcript(token_budget=96)[2],
             ),
             (
@@ -818,10 +817,14 @@ def main() -> int:
                 130,
                 lambda: _bench_transcript("beam", token_budget=96)[2],
             ),
+            ("infer_accurate", 100, lambda: _bench_infer_accurate()[2]),
+            ("infer_medium", 100, lambda: _bench_infer_medium()[2]),
             ("medium_encode", 200, _medium_extra),
             ("fast_dsp", 30, _fast_extra),
-            ("infer_accurate", 120, lambda: _bench_infer_accurate()[2]),
-            ("infer_medium", 120, lambda: _bench_infer_medium()[2]),
+            # The full-budget transcript bound is the costliest lane (~260 s
+            # measured r05) and its number is stable across r03/r04/local
+            # records — it yields the deadline to the serving lanes above.
+            ("transcript", 270, lambda: _bench_transcript()[2]),
             ("accurate_encode_int8", 150, _int8_extra),
         )
         lane_seconds: dict = {}

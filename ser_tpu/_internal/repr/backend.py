@@ -71,17 +71,15 @@ class EncodedSequence:
             ("frame_start_seconds", self.frame_start_seconds),
             ("frame_end_seconds", self.frame_end_seconds),
         ):
-            if isinstance(array, np.ndarray):
-                finite = bool(np.all(np.isfinite(array)))
-            else:
-                # Device-resident embeddings (SER_DEVICE_POOLING lane): reduce
-                # on device and fetch ONE scalar — np.isfinite here would pull
-                # the whole frame matrix across the tunnel, the exact transfer
-                # the lane exists to avoid.
-                import jax.numpy as jnp
-
-                finite = bool(jnp.isfinite(array).all())
-            if not finite:
+            if not isinstance(array, np.ndarray):
+                # Device-resident embeddings (SER_DEVICE_POOLING lane): the
+                # producing encode lane already ran the finite gate as part
+                # of its fused gather (chunked_encode), and re-reducing here
+                # costs a full tunnel round trip per construction —
+                # measured enough to erase the lane's win. Host numpy
+                # producers keep the check below.
+                continue
+            if not np.all(np.isfinite(array)):
                 raise ValueError(f"EncodedSequence {name} contain non-finite values.")
         for name, times in (
             ("frame_start_seconds", self.frame_start_seconds),

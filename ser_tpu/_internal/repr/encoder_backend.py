@@ -32,6 +32,25 @@ _CHUNK_BUCKETS_SECONDS = (1, 2, 4, 8, 15, 30)
 ensure_compilation_cache()
 
 
+def _gather_valid_finite(raw, valid_idx: np.ndarray):
+    """One jitted program: valid-frame gather + f32 cast + finite reduction.
+
+    Returns ``(gathered (T, D) f32 on device, finite scalar)``. Fused so the
+    SER_DEVICE_POOLING lane pays one dispatch and one scalar sync instead of
+    three round trips.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def fused(raw, idx):
+        flat = raw.reshape(-1, raw.shape[-1])
+        gathered = jnp.take(flat, idx, axis=0).astype(jnp.float32)
+        return gathered, jnp.isfinite(gathered).all()
+
+    return fused(raw, jnp.asarray(valid_idx))
+
+
 def random_init_seed(backend_id: str, model_id: str) -> int:
     """Deterministic per-(backend, model) seed for random-init test mode.
 
@@ -217,17 +236,17 @@ def chunked_encode(
         # only (n_windows, 2*dim). The finite gate reduces on device and
         # fetches one scalar; a non-finite result falls back to the host
         # float32 retry path below (rare, and exactness matters more there).
-        import jax.numpy as jnp
-
         raw = encode_batch(sharded_batch, sharded_lengths)[:true_rows]
         f_max = int(raw.shape[1])
         valid_idx = np.concatenate(
             [row * f_max + np.arange(n_valid) for row, n_valid in enumerate(n_valids)]
         )
-        gathered = jnp.take(
-            raw.reshape(-1, raw.shape[-1]), jnp.asarray(valid_idx), axis=0
-        ).astype(jnp.float32)
-        if bool(jnp.isfinite(gathered).all()):
+        # ONE fused dispatch for gather + finite reduction: every extra
+        # device round trip costs ~70 ms over the tunnel — two separate
+        # dispatches plus a standalone isfinite sync erased the lane's win
+        # in the first A/B measurement.
+        gathered, finite = _gather_valid_finite(raw, valid_idx)
+        if bool(finite):
             device_embeddings = gathered
         else:
             logger.warning(
