@@ -89,20 +89,34 @@ def main() -> int:
 
     @partial(jax.jit, static_argnames=("mode",))
     def beam_variant(params, encoder_states, mode):
-        """One full decode pass with beam-machinery groups toggled by mode."""
+        """One full decode pass with beam-machinery groups toggled by mode.
+
+        ``stacked`` mode carries the caches as (L, rows, ...) arrays and
+        reorders with TWO large gathers (the production layout since the
+        r05 fix); the other modes keep per-layer tuples (the pre-fix
+        layout, 2*L launch-bound gathers) so the A/B is same-process.
+        """
         cross_k, cross_v = wd._precompute_cross_kv(
             params, encoder_states, cfg.decoder_layers, n_heads, cdt
         )
         qkv_fused = wd._fuse_qkv_params(params, cfg.decoder_layers, cfg.d_model)
         tokens = jnp.zeros((rows, max_len), dtype=jnp.int32)
-        self_k = tuple(
-            jnp.zeros((rows, n_heads, head_dim, max_len), dtype=cdt)
-            for _ in range(cfg.decoder_layers)
-        )
-        self_v = tuple(
-            jnp.zeros((rows, n_heads, max_len, head_dim), dtype=cdt)
-            for _ in range(cfg.decoder_layers)
-        )
+        if mode == "stacked":
+            self_k = jnp.zeros(
+                (cfg.decoder_layers, rows, n_heads, head_dim, max_len), dtype=cdt
+            )
+            self_v = jnp.zeros(
+                (cfg.decoder_layers, rows, n_heads, max_len, head_dim), dtype=cdt
+            )
+        else:
+            self_k = tuple(
+                jnp.zeros((rows, n_heads, head_dim, max_len), dtype=cdt)
+                for _ in range(cfg.decoder_layers)
+            )
+            self_v = tuple(
+                jnp.zeros((rows, n_heads, max_len, head_dim), dtype=cdt)
+                for _ in range(cfg.decoder_layers)
+            )
         scores = jnp.tile(
             jnp.asarray([0.0] + [-1e9] * (k_beams - 1), dtype=jnp.float32), batch
         )
@@ -120,8 +134,8 @@ def main() -> int:
                 qkv_fused,
                 cross_k,
                 cross_v,
-                list(self_k),
-                list(self_v),
+                self_k if mode == "stacked" else list(self_k),
+                self_v if mode == "stacked" else list(self_v),
                 token_ids,
                 position,
                 config=cfg,
@@ -134,6 +148,12 @@ def main() -> int:
                     jnp.int32
                 )
                 parent_rows = None
+                new_scores = scores
+            elif mode == "stacked":
+                next_token = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(
+                    jnp.int32
+                )
+                parent_rows = (jnp.arange(rows, dtype=jnp.int32) + 1) % rows
                 new_scores = scores
             elif mode == "no_bookkeeping":
                 # Keep the cache reorder (rotating non-identity parents so the
@@ -169,11 +189,17 @@ def main() -> int:
 
             if parent_rows is not None:
                 tokens = jnp.take(tokens, parent_rows, axis=0)
-                new_k = [jnp.take(k, parent_rows, axis=0) for k in new_k]
-                new_v = [jnp.take(v, parent_rows, axis=0) for v in new_v]
+                if mode == "stacked":
+                    new_k = jnp.take(new_k, parent_rows, axis=1)
+                    new_v = jnp.take(new_v, parent_rows, axis=1)
+                else:
+                    new_k = [jnp.take(k, parent_rows, axis=0) for k in new_k]
+                    new_v = [jnp.take(v, parent_rows, axis=0) for v in new_v]
             tokens = jax.lax.dynamic_update_slice(
                 tokens, next_token[:, None], (0, position + 1)
             )
+            if mode == "stacked":
+                return position + 1, tokens, new_scores, new_k, new_v
             return position + 1, tokens, new_scores, tuple(new_k), tuple(new_v)
 
         state = (jnp.asarray(0, jnp.int32), tokens, scores, self_k, self_v)
@@ -207,7 +233,7 @@ def main() -> int:
         "rows": rows,
         "per_token_ms": {},
     }
-    for mode in ("beam_full", "no_reorder", "no_bookkeeping", "step_only"):
+    for mode in ("beam_full", "no_reorder", "no_bookkeeping", "stacked", "step_only"):
         cost = measure(mode)
         results["per_token_ms"][mode] = round(cost, 3)
         print(f"{mode:>16s}: {cost:7.3f} ms/token")
@@ -226,6 +252,17 @@ def main() -> int:
             3,
         ),
     }
+    if "stacked" in per and "no_bookkeeping" in per:
+        # Same-process A/B of the reorder layouts (both use rotating
+        # parents, no bookkeeping): tuple-of-layers vs stacked caches.
+        results["reorder_layout_ab_ms"] = {
+            "tuple_caches": per["no_bookkeeping"],
+            "stacked_caches": per["stacked"],
+            "stacked_win_ms_per_token": round(
+                per["no_bookkeeping"] - per["stacked"], 3
+            ),
+        }
+        print("reorder layout A/B:", results["reorder_layout_ab_ms"])
     print("decomposition:", results["decomposition_ms"])
 
     out = args.out

@@ -295,8 +295,17 @@ def _decoder_token_step(
 
     if fused and beams != 1:
         raise ValueError("fused decode kernels support greedy (beams == 1) only.")
-    self_k = list(self_k)
-    self_v = list(self_v)
+    # Stacked-cache support — (L, rows, H, Dh, Smax) / (L, rows, H, Smax,
+    # Dh) — exists for the beam ablation harness ONLY: collapsing the beam
+    # reorder to two large gathers MEASURED 1.8 ms/token SLOWER than the
+    # per-layer tuple layout on v5e (10.53 vs 8.70, DECODE_ABLATION_r05 —
+    # the per-layer update into the stacked buffer costs more than the 2*L
+    # small gathers it saves), so production loops keep tuples. Numerics
+    # are identical either way (same update/read ops).
+    stacked = not isinstance(self_k, (list, tuple))
+    if not stacked:
+        self_k = list(self_k)
+        self_v = list(self_v)
     align_rows: list[jax.Array | None] = [None] * len(align_spec)
     x = params["tok_embed"][token_ids] + params["pos_embed"][position]
     x = x[:, None, :]  # (rows, 1, d)
@@ -378,14 +387,24 @@ def _decoder_token_step(
         # Caches hold K as (rows, H, Dh, Smax) and V as (rows, H, Smax, Dh);
         # the new column/row insertions move only size-1 axes (free), and the
         # attend contracts with no per-step cache transposition.
-        self_k[i] = jax.lax.dynamic_update_slice(
-            self_k[i], k_new[:, 0][..., None], (0, 0, 0, position)
-        )
-        self_v[i] = jax.lax.dynamic_update_slice(
-            self_v[i], jnp.swapaxes(v_new, 1, 2), (0, 0, position, 0)
-        )
+        if stacked:
+            self_k = jax.lax.dynamic_update_slice(
+                self_k, k_new[:, 0][..., None][None], (i, 0, 0, 0, position)
+            )
+            self_v = jax.lax.dynamic_update_slice(
+                self_v, jnp.swapaxes(v_new, 1, 2)[None], (i, 0, 0, position, 0)
+            )
+            k_cache, v_cache = self_k[i], self_v[i]
+        else:
+            self_k[i] = jax.lax.dynamic_update_slice(
+                self_k[i], k_new[:, 0][..., None], (0, 0, 0, position)
+            )
+            self_v[i] = jax.lax.dynamic_update_slice(
+                self_v[i], jnp.swapaxes(v_new, 1, 2), (0, 0, position, 0)
+            )
+            k_cache, v_cache = self_k[i], self_v[i]
         out = _attend_self_step(
-            q, self_k[i], self_v[i], bias_row=self_bias_row, compute_dtype=cdt
+            q, k_cache, v_cache, bias_row=self_bias_row, compute_dtype=cdt
         )
         x = x + _dense(lp["attn"]["out"], out.reshape(rows, 1, -1), cdt)
 
@@ -828,7 +847,11 @@ def beam_decode_kv_cache(
             n_finished,
         ) = jax.lax.cond(generating, beam_update, prefix_update)
 
-        # Reorder every per-beam carry to follow the surviving parents.
+        # Reorder every per-beam carry to follow the surviving parents. The
+        # cache reorder is ~2.1-2.3 of the ~9.2-9.7 ms beam token on v5e;
+        # the obvious layout fix (stacked caches, two large gathers) was
+        # built and MEASURED 1.8 ms/token slower — negative result recorded
+        # in DECODE_ABLATION_r05.json, so the per-layer tuple gathers stay.
         tokens = jnp.take(tokens, parent_rows, axis=0)
         lengths = jnp.take(lengths, parent_rows, axis=0)
         max_ts = jnp.take(max_ts, parent_rows, axis=0)
