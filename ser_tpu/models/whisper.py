@@ -594,11 +594,22 @@ class WhisperForTranscription:
         decode_strategy: str = "greedy",
         beam_size: int = 5,
         length_penalty: float = 1.0,
+        decode_int8: bool | None = None,
     ) -> None:
         from ser_tpu.models.whisper_decode import default_alignment_spec
 
         if decode_strategy not in ("greedy", "beam"):
             raise ValueError(f"Unknown decode strategy {decode_strategy!r}")
+        # Opt-in int8 decode weight stream (SER_DECODE_INT8=1): the decode
+        # step is weight-bandwidth-bound, and pre-quantized int8 weights
+        # halve its ~1.5 GB/token HBM stream (whisper_decode.
+        # quantize_decode_weights). Never a default — W8A8 perturbs logits
+        # (~token-level changes possible); measured lane, ADR 0005 policy.
+        if decode_int8 is None:
+            import os
+
+            decode_int8 = os.environ.get("SER_DECODE_INT8", "") == "1"
+        self.decode_int8 = bool(decode_int8)
 
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
         self.config = config
@@ -762,6 +773,7 @@ class WhisperForTranscription:
                 compute_dtype=self.compute_dtype,
                 suppress_tokens=self.suppress_tokens,
                 timestamp_begin=timestamp_begin,
+                quant_int8=self.decode_int8,
                 qkv_fused=qkv_fused,
             )
             align = None
@@ -788,6 +800,7 @@ class WhisperForTranscription:
                 rng_seed=rng_seed,
                 suppress_tokens=self.suppress_tokens,
                 timestamp_begin=timestamp_begin,
+                quant_int8=self.decode_int8,
                 qkv_fused=qkv_fused,
             )
         matrix = None

@@ -41,6 +41,76 @@ def _dense(p: dict, x: jax.Array, dtype) -> jax.Array:
     return y
 
 
+# --------------------------------------------------------------------------- #
+# Int8 decode weight stream (SER_DECODE_INT8=1 opt-in)
+#
+# The decode step is WEIGHT-BANDWIDTH-bound: ~1.5 GB of layer weights stream
+# from HBM per token at large-v3/batch 2 (DECODE_ABLATION_r03), and every
+# structural XLA/Pallas lever is measured-exhausted at bf16. Pre-quantized
+# int8 weights halve that stream. Unlike the encoder's QuantDense (which
+# re-quantizes inside the program — fine when compute-bound), decode
+# quantizes ONCE per dispatch outside the while_loop, so the loop reads only
+# int8 tensors. Symmetric per-output-channel scales; activations quantize
+# per token (A8) so the matmuls ride the int8 MXU path.
+# --------------------------------------------------------------------------- #
+
+
+def _quantize_kernel(kernel) -> tuple[jax.Array, jax.Array]:
+    """(K, N) weights → (int8 (K, N), f32 per-output-channel scale (N,))."""
+    wf = jnp.asarray(kernel, jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=0), 1e-8) / 127.0
+    return jnp.round(wf / scale).astype(jnp.int8), scale
+
+
+def _quant_entry(p: dict) -> dict:
+    w8, scale = _quantize_kernel(p["kernel"])
+    return {"w8": w8, "scale": scale, "bias": p.get("bias")}
+
+
+def quantize_decode_weights(params: dict, qkv_fused: list[dict], n_layers: int) -> dict:
+    """Pre-quantizes the decode step's matmul stream (per dispatch, once).
+
+    Covers the bandwidth-dominant weights: fused QKV, attention/cross output
+    projections, cross Q, both MLP matmuls, and the vocab projection
+    (``tok_embed`` transposed — at large-v3 that single matrix is 133 MB of
+    the per-token stream). Layer norms, embeddings lookups, and attention
+    cores stay in the bf16/f32 path.
+    """
+    quant: dict = {"layers": []}
+    for i in range(n_layers):
+        lp = params[f"layer_{i}"]
+        quant["layers"].append(
+            {
+                "qkv": _quant_entry(qkv_fused[i]),
+                "attn_out": _quant_entry(lp["attn"]["out"]),
+                "cross_q": _quant_entry(lp["cross"]["q"]),
+                "cross_out": _quant_entry(lp["cross"]["out"]),
+                "mlp_in": _quant_entry(lp["mlp_in"]),
+                "mlp_out": _quant_entry(lp["mlp_out"]),
+            }
+        )
+    emb = jnp.asarray(params["tok_embed"], jnp.float32)
+    w8, scale = _quantize_kernel(emb.T)
+    quant["vocab"] = {"w8": w8, "scale": scale, "bias": None}
+    return quant
+
+
+def _dense_int8(q: dict, x: jax.Array, dtype) -> jax.Array:
+    """W8A8 matmul with per-token activation scales (QuantDense numerics)."""
+    xf = x.astype(jnp.float32)
+    ascale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
+    a8 = jnp.round(xf / ascale).astype(jnp.int8)
+    out = jax.lax.dot_general(
+        a8,
+        q["w8"],
+        (((a8.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * (ascale * q["scale"])
+    if q["bias"] is not None:
+        out = out + q["bias"].astype(jnp.float32)
+    return out.astype(dtype)
+
+
 def _layer_norm(p: dict, x: jax.Array, eps: float) -> jax.Array:
     """flax ``nn.LayerNorm`` numerics (fast-variance form) in float32."""
     x32 = x.astype(jnp.float32)
@@ -263,6 +333,7 @@ def _decoder_token_step(
     align_spec: tuple[tuple[int, int], ...] = (),
     beams: int = 1,
     fused: bool = False,
+    quant: dict | None = None,
 ):
     """One decoder forward for the token at ``position`` over cached state.
 
@@ -295,6 +366,8 @@ def _decoder_token_step(
 
     if fused and beams != 1:
         raise ValueError("fused decode kernels support greedy (beams == 1) only.")
+    if fused and quant is not None:
+        raise ValueError("int8 decode weights are XLA-path only (fused=False).")
     # Stacked-cache support — (L, rows, H, Dh, Smax) / (L, rows, H, Smax,
     # Dh) — exists for the beam ablation harness ONLY: collapsing the beam
     # reorder to two large gathers MEASURED 1.8 ms/token SLOWER than the
@@ -379,8 +452,13 @@ def _decoder_token_step(
 
     for i in range(cfg.decoder_layers):
         lp = params[f"layer_{i}"]
+        ql = quant["layers"][i] if quant is not None else None
         h = _layer_norm(lp["attn_ln"], x, eps)
-        qkv = _dense(qkv_fused[i], h, cdt)
+        qkv = (
+            _dense_int8(ql["qkv"], h, cdt)
+            if ql is not None
+            else _dense(qkv_fused[i], h, cdt)
+        )
         q = _split_heads(qkv[..., :d_model], n_heads)
         k_new = _split_heads(qkv[..., d_model : 2 * d_model], n_heads)
         v_new = _split_heads(qkv[..., 2 * d_model :], n_heads)
@@ -406,10 +484,20 @@ def _decoder_token_step(
         out = _attend_self_step(
             q, k_cache, v_cache, bias_row=self_bias_row, compute_dtype=cdt
         )
-        x = x + _dense(lp["attn"]["out"], out.reshape(rows, 1, -1), cdt)
+        out_flat = out.reshape(rows, 1, -1)
+        x = x + (
+            _dense_int8(ql["attn_out"], out_flat, cdt)
+            if ql is not None
+            else _dense(lp["attn"]["out"], out_flat, cdt)
+        )
 
         h = _layer_norm(lp["cross_ln"], x, eps)
-        q = _split_heads(_dense(lp["cross"]["q"], h, cdt), n_heads)
+        q_proj = (
+            _dense_int8(ql["cross_q"], h, cdt)
+            if ql is not None
+            else _dense(lp["cross"]["q"], h, cdt)
+        )
+        q = _split_heads(q_proj, n_heads)
         if beams > 1:
             out, weights = _attend_cross_step_beamed(
                 q, cross_k[i], cross_v[i], beams=beams, compute_dtype=cdt
@@ -419,14 +507,26 @@ def _decoder_token_step(
         for slot, (layer_index, head_index) in enumerate(align_spec):
             if layer_index == i:
                 align_rows[slot] = weights[:, head_index][:, None, :]  # (rows,1,S)
-        x = x + _dense(lp["cross"]["out"], out.reshape(rows, 1, -1), cdt)
+        out_flat = out.reshape(rows, 1, -1)
+        x = x + (
+            _dense_int8(ql["cross_out"], out_flat, cdt)
+            if ql is not None
+            else _dense(lp["cross"]["out"], out_flat, cdt)
+        )
 
         h = _layer_norm(lp["mlp_ln"], x, eps)
-        h = gelu_erf(_dense(lp["mlp_in"], h, cdt))
-        x = x + _dense(lp["mlp_out"], h, cdt)
+        if ql is not None:
+            h = gelu_erf(_dense_int8(ql["mlp_in"], h, cdt))
+            x = x + _dense_int8(ql["mlp_out"], h, cdt)
+        else:
+            h = gelu_erf(_dense(lp["mlp_in"], h, cdt))
+            x = x + _dense(lp["mlp_out"], h, cdt)
 
     x = _layer_norm(params["final_ln"], x, eps)
-    logits = jnp.einsum("bqd,vd->bqv", x, params["tok_embed"])[:, 0]
+    if quant is not None:
+        logits = _dense_int8(quant["vocab"], x, jnp.float32)[:, 0]
+    else:
+        logits = jnp.einsum("bqd,vd->bqv", x, params["tok_embed"])[:, 0]
     return logits.astype(jnp.float32), self_k, self_v, align_rows
 
 
@@ -441,6 +541,7 @@ def _decoder_token_step(
         "suppress_tokens",
         "timestamp_begin",
         "fused",
+        "quant_int8",
     ),
 )
 def greedy_decode_kv_cache(
@@ -458,6 +559,7 @@ def greedy_decode_kv_cache(
     suppress_tokens: tuple[int, ...] = (),
     timestamp_begin: int | None = None,
     fused: bool = False,
+    quant_int8: bool = False,
     qkv_fused: list[dict] | None = None,
 ):
     """Batched greedy decode over cached attention state, one dispatch total.
@@ -507,6 +609,10 @@ def greedy_decode_kv_cache(
     cross_k, cross_v = _precompute_cross_kv(params, encoder_states, n_layers, n_heads, cdt)
     if qkv_fused is None:
         qkv_fused = _fuse_qkv_params(params, n_layers, d_model)
+    # SER_DECODE_INT8 lane: quantize the weight stream ONCE per dispatch,
+    # outside the loop — the step is weight-bandwidth-bound and int8 halves
+    # the ~1.5 GB/token it reads (see quantize_decode_weights).
+    quant = quantize_decode_weights(params, qkv_fused, n_layers) if quant_int8 else None
 
     tokens = jnp.full((batch, max_len), eot, dtype=jnp.int32)
     tokens = tokens.at[:, :prefix_len].set(prefix[None, :prefix_len])
@@ -554,6 +660,7 @@ def greedy_decode_kv_cache(
             compute_dtype=cdt,
             align_spec=align_spec,
             fused=fused,
+            quant=quant,
         )
         for slot, row in enumerate(align_rows):
             align[slot] = jax.lax.dynamic_update_slice(
@@ -620,6 +727,7 @@ def greedy_decode_kv_cache(
         "compute_dtype",
         "suppress_tokens",
         "timestamp_begin",
+        "quant_int8",
     ),
 )
 def beam_decode_kv_cache(
@@ -635,6 +743,7 @@ def beam_decode_kv_cache(
     compute_dtype=jnp.float32,
     suppress_tokens: tuple[int, ...] = (),
     timestamp_begin: int | None = None,
+    quant_int8: bool = False,
     qkv_fused: list[dict] | None = None,
 ):
     """Batched beam-search decode over cached attention state, one dispatch.
@@ -678,6 +787,7 @@ def beam_decode_kv_cache(
     cross_k, cross_v = _precompute_cross_kv(params, encoder_states, n_layers, n_heads, cdt)
     if qkv_fused is None:
         qkv_fused = _fuse_qkv_params(params, n_layers, cfg.d_model)
+    quant = quantize_decode_weights(params, qkv_fused, n_layers) if quant_int8 else None
 
     tokens = jnp.full((rows, max_len), eot, dtype=jnp.int32)
     tokens = tokens.at[:, :prefix_len].set(prefix[None, :prefix_len])
@@ -742,6 +852,7 @@ def beam_decode_kv_cache(
             config=cfg,
             compute_dtype=cdt,
             beams=k_beams,
+            quant=quant,
         )
         if suppress_tokens:
             logits = logits.at[:, jnp.asarray(suppress_tokens)].set(_NEG_INF)
