@@ -235,10 +235,104 @@ def _staged_weight_finding(profile: str, settings: AppConfig) -> DiagnosticFindi
 
 def _check_staged_encoder_weights(settings: AppConfig) -> list[DiagnosticFinding]:
     """Staged-weight readiness per encoder profile (medium/accurate/research)."""
-    return [
+    findings = [
         _staged_weight_finding(profile, settings)
         for profile in ("medium", "accurate", "accurate-research")
     ]
+    finding = _check_separation_checkpoint(settings)
+    if finding is not None:
+        findings.append(finding)
+    return findings
+
+
+def _check_separation_checkpoint(settings: AppConfig) -> DiagnosticFinding | None:
+    """Validates a configured demucs separation checkpoint before first use.
+
+    A converted ``.npz`` validates by loading its config header (the layout
+    was already audited at conversion); a raw ``.th`` validates its recorded
+    constructor kwargs against what the forward implements and its tensor
+    shapes against the config-derived manifest. No configured path → no
+    finding (the weight-free REPET-SIM lane needs nothing staged).
+    """
+    path = settings.transcription.separation_model_path
+    if path is None:
+        return None
+    from pathlib import Path
+
+    code = "models.staged.separation"
+    path = Path(path)
+    if not path.exists():
+        return DiagnosticFinding(
+            code=code,
+            severity=DiagnosticSeverity.WARNING,
+            message=(
+                f"Configured separation checkpoint {path} does not exist; the "
+                "use_demucs lane will fall back to REPET-SIM."
+            ),
+            remediation=("Stage the converted demucs checkpoint at that path.",),
+        )
+    try:
+        from ser_tpu.models.demucs_v4 import is_demucs_npz, load_demucs_npz
+
+        if is_demucs_npz(path):
+            _, config = load_demucs_npz(path)
+            return DiagnosticFinding(
+                code=code,
+                severity=DiagnosticSeverity.INFO,
+                message=(
+                    f"Converted demucs checkpoint staged at {path} "
+                    f"(depth {config.depth}, {len(config.sources)} sources)."
+                ),
+            )
+        if path.suffix == ".th":
+            from ser_tpu.models.checkpoint_audit import demucs_manifest
+            from ser_tpu.models.demucs_v4 import (
+                config_from_checkpoint_kwargs,
+            )
+            import torch
+
+            package = torch.load(str(path), map_location="cpu", weights_only=False)
+            if not (isinstance(package, dict) and "state" in package):
+                raise ValueError("not a published demucs package (no 'state')")
+            config = config_from_checkpoint_kwargs(dict(package.get("kwargs") or {}))
+            shapes = {
+                name: tuple(tensor.shape) for name, tensor in package["state"].items()
+            }
+            validation = demucs_manifest(config).validate(shapes)
+            if validation.ok:
+                return DiagnosticFinding(
+                    code=code,
+                    severity=DiagnosticSeverity.INFO,
+                    message=(
+                        f"Raw demucs .th checkpoint at {path} matches the "
+                        f"expected layout ({len(shapes)} tensors); convert it "
+                        "with demucs_v4.convert_demucs_checkpoint for the lane."
+                    ),
+                )
+            return DiagnosticFinding(
+                code=code,
+                severity=DiagnosticSeverity.WARNING,
+                message=(
+                    f"Demucs checkpoint at {path} does not match the expected "
+                    f"layout: {validation.summary()}."
+                ),
+                remediation=("Verify it is the published htdemucs artifact.",),
+            )
+        from ser_tpu.models.separation import load_separator_params
+
+        load_separator_params(path)
+        return DiagnosticFinding(
+            code=code,
+            severity=DiagnosticSeverity.INFO,
+            message=f"In-house separator checkpoint staged at {path}.",
+        )
+    except Exception as err:  # noqa: BLE001 - doctor reports, never crashes
+        return DiagnosticFinding(
+            code=code,
+            severity=DiagnosticSeverity.WARNING,
+            message=f"Separation checkpoint at {path} unreadable: {err}",
+            remediation=("Re-stage or re-convert the checkpoint.",),
+        )
 
 
 def _check_dataset_registry(settings: AppConfig) -> DiagnosticFinding:

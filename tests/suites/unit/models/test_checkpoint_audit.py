@@ -302,3 +302,43 @@ def test_read_checkpoint_shapes_safetensors_header_only(tmp_path):
     }
     model_dir = _write_hf_dir(tmp_path / "m", state, {})
     assert read_checkpoint_shapes(model_dir) == {"a.weight": (3, 5), "b.bias": (7,)}
+
+
+def test_demucs_default_manifest_pins_real_checkpoint_shapes():
+    """First-contact contract for the PUBLISHED htdemucs artifact: the
+    default config's manifest carries the real checkpoint's key shapes
+    (derived from the released architecture: 4 sources, stereo, channels 48,
+    depth 4, nfft 4096, bottom 512, 5 transformer layers)."""
+    manifest = demucs_manifest(DemucsV4Config())
+    required = manifest.required
+    # Freq embedding: 2048 bins / stride 4 rows, `channels` wide.
+    assert required["freq_emb.embedding.weight"] == (512, 48)
+    # First freq encoder layer consumes cac stereo (2*2 channels).
+    assert required["encoder.0.conv.weight"] == (48, 4, 8, 1)
+    # Deepest channels: 48 * 2**3 = 384; bottom upsampler maps 384 -> 512.
+    assert required["channel_upsampler.weight"] == (512, 384, 1)
+    # Output heads: 4 sources * cac stereo channels.
+    assert required["decoder.3.conv_tr.weight"] == (48, 16, 8, 1)
+    # Cross-domain transformer at bottom_channels with packed in_proj.
+    assert required["crosstransformer.layers.0.cross_attn.in_proj_weight"] == (
+        1536,
+        512,
+    )
+    # Even layers are cross-attention, odd are self-attention (published
+    # CrossTransformerEncoder alternation).
+    assert required["crosstransformer.layers_t.4.cross_attn.in_proj_weight"] == (
+        1536,
+        512,
+    )
+    assert required["crosstransformer.layers_t.3.self_attn.in_proj_weight"] == (
+        1536,
+        512,
+    )
+    # Every tensor of the synthetic published-layout state dict is covered.
+    from ser_tpu.models._demucs_synthetic import synthetic_state_dict
+
+    state = synthetic_state_dict(DemucsV4Config.tiny(), seed=0)
+    tiny_manifest = demucs_manifest(DemucsV4Config.tiny())
+    assert tiny_manifest.validate(
+        {name: np.asarray(v).shape for name, v in state.items()}
+    ).ok
