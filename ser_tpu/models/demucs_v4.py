@@ -552,6 +552,18 @@ def demucs_forward(params: dict, mix: jax.Array, config: DemucsV4Config) -> jax.
 _compiled_forward = jax.jit(demucs_forward, static_argnums=(2,))
 
 
+@partial(jax.jit, static_argnums=(2, 3))
+def _compiled_vocals_forward(params, mix, config, vocals_index):
+    """Forward + on-device stem select/downmix: (B, C, T) → vocals (B, T).
+
+    The separation lane consumes ONLY the mono vocals stem; fetching the
+    full (B, sources, C, T) stem tensor moves 8x the bytes (88 MB per
+    8-segment dispatch at 44.1 kHz — seconds over a remote link).
+    """
+    out = demucs_forward(params, mix, config)
+    return out[:, vocals_index].mean(axis=1)
+
+
 # --------------------------------------------------------------------------- #
 # Checkpoint conversion (published torch layout → nested tree → .npz)
 # --------------------------------------------------------------------------- #
@@ -1010,10 +1022,9 @@ def separate_vocals_demucs(
         if len(chunk) < chunk_rows:
             batch = np.pad(batch, ((0, chunk_rows - len(chunk)), (0, 0)))
         stereo = np.repeat(batch[:, None, :], cfg.audio_channels, axis=1)
-        out = np.asarray(_compiled_forward(params, jnp.asarray(stereo), cfg))[
-            : len(chunk)
-        ]
-        vocal = out[:, vocals_index].mean(axis=1)  # downmix stems to mono
+        vocal = np.asarray(
+            _compiled_vocals_forward(params, jnp.asarray(stereo), cfg, vocals_index)
+        )[: len(chunk)]
         for row, start in enumerate(chunk):
             acc[start : start + segment] += vocal[row] * weight
             norm[start : start + segment] += weight
