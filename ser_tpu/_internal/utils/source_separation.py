@@ -196,7 +196,15 @@ def separate_vocals_auto(
             from ser_tpu.models.demucs_v4 import is_demucs_npz, load_demucs_npz
 
             if is_demucs_npz(key):
-                cached = ("demucs_v4", load_demucs_npz(key))
+                import jax
+                import jax.numpy as jnp
+
+                demucs_params, demucs_config = load_demucs_npz(key)
+                # Device-committed tree: every transcription window reuses
+                # the same ~320 MB of weights — caching host numpy would
+                # re-upload them per call over a remote link.
+                demucs_params = jax.tree_util.tree_map(jnp.asarray, demucs_params)
+                cached = ("demucs_v4", (demucs_params, demucs_config))
             else:
                 from ser_tpu.models.separation import load_separator_params
 

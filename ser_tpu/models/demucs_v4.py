@@ -982,6 +982,12 @@ def separate_vocals_demucs(
     if audio.size == 0:
         return audio
     cfg = config
+    # Commit the param tree to device ONCE per call: host-numpy leaves would
+    # re-upload the full ~320 MB tree on EVERY chunk dispatch (the dominant
+    # cost of the lane over a remote link — SEPARATION_BENCH_r05). Loaders
+    # that cache device-resident trees (separate_vocals_auto) make this a
+    # no-op.
+    params = jax.tree_util.tree_map(jnp.asarray, params)
     if sample_rate != cfg.sample_rate:
         g = gcd(cfg.sample_rate, sample_rate)
         up, down = cfg.sample_rate // g, sample_rate // g
